@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]`` in one JVM; the config choices below are
+the ones that transfer to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting) — (Currency,Event)-style
+  group keys in real calendars are heavily skewed (a few currencies
+  dominate), and AQE's skew-join handling is the first line of defense.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE's coalescing makes the initial number far less sensitive.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  comparable against the DuckDB oracle (naive-UTC timestamps).
+- Arrow enabled for every pandas boundary (pandas_udf / applyInPandas /
+  toPandas) — the only sanctioned Python data path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mql5_econ_news_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Spark has no TIMESTAMP(NANOS) parquet type; read as long and let
+        # the loader convert ns → µs (same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

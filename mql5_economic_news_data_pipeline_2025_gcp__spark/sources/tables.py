@@ -1,0 +1,53 @@
+"""Synthetic test-table loaders (TESTDATA.md).
+
+One parquet per table under ``{sf_dir}``. Schemas ride in the parquet
+footers; readers stay schema-on-read so Catalyst can prune columns and
+push predicates into the scan.
+
+Nanosecond-timestamp handling: Spark's parquet reader has no
+TIMESTAMP(NANOS) type (``PARQUET_TYPE_ILLEGAL``). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by ``session``) those
+columns arrive as epoch-nanos longs; the loader detects them from the
+parquet footer (driver-side, one footer read) and converts to proper
+timestamps by ns→µs truncation — byte-identical to how DuckDB reads the
+same files, which keeps the differential oracle comparable.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SYNTHETIC_TABLES
+
+
+@lru_cache(maxsize=None)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table by name from ``sf_dir``; ns-timestamps are
+    converted to TimestampType (µs truncation)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (SQL entry path)."""
+    for name in SYNTHETIC_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
