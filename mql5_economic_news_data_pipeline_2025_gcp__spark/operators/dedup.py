@@ -1,0 +1,215 @@
+"""Document deduplication operators for large-scale training-data
+pipelines (engine extension beyond the reference surface; BASELINE.json
+north-star).
+
+All variants are expression/shuffle compositions — no Python in the hot
+path except where noted. Scale notes per operator:
+
+- exact:   one hash shuffle on the digest; identical to a groupBy.
+- minhash: explode to shingles (map-side), per-doc signature agg (one
+  shuffle on doc_id), band-bucket self-join (shuffle on band key).
+  Bucket sizes are bounded by band width; skewed buckets (boilerplate
+  shingle sets) are handled by AQE skew-join.
+- simhash: same shape as minhash without the self-join (signature only);
+  near-dup candidates = equal signature prefix buckets.
+- ngram-jaccard: exact verification on candidate pairs only — never run
+  it all-pairs at scale; feed it from the LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup on an md5 digest of (optionally whitespace-normalized,
+    lowercased) text; keeps the lowest id per digest."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    digest = F.md5(t)
+    w = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """→ (id, shingle) distinct pairs; shingle = n consecutive tokens."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for hash seed k, min over shingles of
+    md5(k || shingle). md5 keeps the construction engine-portable (the
+    DuckDB oracle computes the identical signature).
+
+    Shape: one hash aggregate on doc_id computing all ``num_hashes``
+    mins in a single pass (map-side partial aggregation keeps the
+    shuffle tiny: num_hashes digests per doc per mapper).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature, self-join per band bucket → candidate pairs
+    (a < b). Each band key is the concat of its rows' minhashes."""
+    num_hashes = bands * rows_per_band
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ ngram jaccard
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard similarity per pair.
+
+    With ``pairs`` given (candidate set, e.g. from LSH), verifies only
+    those — the scale path. Without, all-pairs via shingle co-occurrence:
+    join shingle lists on equality (inverted-index join, NOT a cross
+    join), count common shingles, |A∪B| = |A|+|B|-common.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, on=["id_a", "id_b"], how="inner")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signature per doc from token md5 bits.
+
+    bit j of the signature = majority vote of bit j across token hashes
+    (each token's md5 first 4 bytes, engine-portable). Implemented as
+    explode(tokens) × explode(bit positions) → conditional sum → bit
+    reassembly; two narrow shuffles on doc_id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    # token hash: first 8 hex chars of md5 → 32-bit int (conv base 16)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    bitted = toks.withColumn("h", h).select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), "h"
+    )
+    votes = bitted.withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(
+            -1
+        ),
+    ).groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    sig = votes.withColumn(
+        "bitval",
+        F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("bit"))).otherwise(0),
+    ).groupBy(id_col).agg(F.sum("bitval").alias("simhash"))
+    return sig

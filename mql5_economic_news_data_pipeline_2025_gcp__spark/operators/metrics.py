@@ -57,6 +57,46 @@ def group_metrics(
     )
 
 
+def group_metrics_exact(
+    df: DataFrame,
+    actual_cents: str,
+    pred_cents: str,
+    key: Sequence[str] = ("Currency", "Event"),
+    min_samples: int = MIN_SAMPLES,
+    scale: float = 10000.0,
+) -> DataFrame:
+    """Integer-exact variant of :func:`group_metrics` for differential
+    testing: actual/pred arrive as integer cents, every aggregate is an
+    exact int64 sum, and R²/MSE are single exact-int divisions —
+    bit-reproducible across engines (see plans.registry determinism
+    contract).
+
+    Identities used (all integer until the final division):
+      ss_res = Σ(a-p)²
+      ss_tot = Σa² - (Σa)²/n    ⇒  R² = 1 - n·ss_res / (n·Σa² - (Σa)²)
+      MSE    = (ss_res / n) / scale     (scale converts cents² → value²)
+    """
+    a, p = F.col(actual_cents), F.col(pred_cents)
+    scored = df.filter(a.isNotNull() & p.isNotNull())
+    agg = scored.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("Samples"),
+        F.sum((a - p) * (a - p)).alias("_ss_res"),
+        F.sum(a).alias("_sum_a"),
+        F.sum(a * a).alias("_sum_a2"),
+    )
+    den = F.col("Samples") * F.col("_sum_a2") - F.col("_sum_a") * F.col("_sum_a")
+    r2 = F.when(den == 0, F.lit(-1.0)).otherwise(
+        F.lit(1.0) - (F.col("Samples") * F.col("_ss_res")) / den
+    )
+    mse = (F.col("_ss_res") / F.col("Samples")) / F.lit(scale)
+    return (
+        agg.filter(F.col("Samples") >= min_samples)
+        .withColumn("R2", r2)
+        .withColumn("MSE", mse)
+        .select(*key, "R2", "MSE", "Samples")
+    )
+
+
 def metrics_summary(metrics: DataFrame) -> DataFrame:
     """A8: scalar summary over a metric table (reference VAL:317-319)."""
     return metrics.agg(

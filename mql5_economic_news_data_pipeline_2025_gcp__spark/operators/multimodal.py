@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata (engine extension).
+
+The container has no image/audio libraries, so the DECODE step is a
+deterministic stub behind a clearly-marked seam (``_decode_stub``) —
+swap in PIL/torchaudio/ffmpeg on a real cluster. Everything Spark-side
+is real and tested: schema, Arrow batch shape, ``mapInPandas``
+signature, partition sizing.
+
+Scale notes: payloads ride the executor (never the driver); metadata
+extraction is map-only. For very large assets, store payloads out of
+band (object store) and keep only URIs + metadata in the DataFrame —
+``attach_payload_uri`` models that layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the metadata-extraction stage.
+MEDIA_META_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, "
+    "width int, height int, duration_ms long, checksum string"
+)
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decoder. REAL deployments replace this with
+    PIL.Image.open / soundfile / ffprobe — the surrounding plumbing
+    (batching, schema, partitioning) is identical.
+
+    Derives plausible metadata purely from the byte content so tests are
+    reproducible without media libraries.
+    """
+    n = len(payload)
+    if media_type == "image":
+        return {"width": 64 + n % 512, "height": 64 + (n // 7) % 512, "duration_ms": 0}
+    if media_type == "audio":
+        return {"width": 0, "height": 0, "duration_ms": 1000 + n % 60000}
+    if media_type == "video":
+        return {
+            "width": 320 + n % 1280,
+            "height": 240 + (n // 3) % 720,
+            "duration_ms": 5000 + n % 600000,
+        }
+    raise NotImplementedError(f"unknown media_type {media_type!r}")
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` metadata extraction over binary payloads.
+
+    Input needs columns: asset_id, media_type, payload (binary).
+    Arrow-batched: each pandas batch holds whole payloads; cap batch
+    bytes via ``spark.sql.execution.arrow.maxRecordsPerBatch`` when
+    assets are large.
+    """
+    import hashlib
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _decode_stub(p if p is not None else b"", mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "checksum": [
+                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as fake media payloads so the
+    multimodal plumbing is exercisable on the synthetic ``documents``
+    table (doc_id → asset_id, utf-8 bytes → payload)."""
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def attach_payload_uri(df: DataFrame, base_uri: str) -> DataFrame:
+    """Out-of-band payload layout: replace inline bytes with a URI column
+    (the 100 TB-friendly shape: parquet holds pointers + metadata)."""
+    return df.withColumn(
+        "payload_uri",
+        F.concat(F.lit(base_uri.rstrip("/") + "/"), F.col("asset_id"), F.lit(".bin")),
+    ).drop("payload")

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same semantics:
+
+- ``cosine_topk``            : exact brute force — query set × corpus
+  inverted to an equi-free broadcast join. Correctness baseline and the
+  right choice when |queries| is small (broadcast the queries, stream the
+  corpus: map-only, no shuffle of the corpus).
+- ``bucketed_ann_topk``      : sign-LSH (random-hyperplane family) —
+  bucket on the sign pattern of projections, search only within bucket.
+  At 100 TB the corpus is hashed once (map-only), bucketed join replaces
+  the cross product; recall is tunable via number of planes / probes.
+
+Vector math is pure ``zip_with``/``aggregate`` column expressions
+(JVM-side, codegen) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    → (query_id, neighbor_id, cosine_sim, rank). Self-matches excluded.
+    The query side is broadcast; ranking ties break on neighbor id for
+    determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sign_bucket(vec_col: Column, dims: list[int]) -> Column:
+    """Deterministic sign-LSH bucket: one bit per listed dimension
+    (coordinate hyperplanes — deterministic across engines; swap in
+    seeded random planes for production recall)."""
+    bits = [
+        F.when(F.element_at(vec_col, d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    → (query_id, neighbor_id, cosine_sim, rank). Recall < 1 by design;
+    at scale this turns the cross product into an equi-join on bucket.
+    """
+    dims = dims or [0, 1, 2, 3]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def near_dup_pairs_cosine(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+
+    Candidate generation via the sign-LSH bucket (equi-join, not cross);
+    exact cosine verification on candidates only.
+    """
+    dims = dims or [0, 1, 2, 3]
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), dims))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine_sim", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )

@@ -1,0 +1,95 @@
+"""Text analysis operators over the ``documents`` table (engine
+extension: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure column expressions — tokenization is regex split, scoring is
+arithmetic over token arrays. Map-only at any scale (no shuffle unless
+the caller aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for the n-gram/stopword heuristics.
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-ish sub-word proxy: count of word/number/punct fragments via
+    regex (the classic GPT-2 pre-tokenizer shape, simplified)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    parts = F.split(c, r"(?=\s)|(?<=\s)|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(parts, lambda p: F.trim(p) != ""))
+
+
+def stopword_ratio(text_col: Column | str) -> Column:
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(text_col: Column | str) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite document quality heuristic in [0,1]: rewards
+    mid-length docs with low punctuation noise and a natural stopword
+    ratio. Deterministic arithmetic only."""
+    n_tok = token_count(text_col).cast("double")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop = stopword_ratio(text_col)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.15)) / F.lit(0.85)
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    return F.round((length_score + stop_score + punct_score) / 3, 6)
+
+
+def predict_lang(text_col: Column | str) -> Column:
+    """Language-ID heuristic: 'en' when enough known-English stopwords
+    appear, else 'other'. (A production n-gram model drops in behind the
+    same column signature.)"""
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(n_stop >= 1, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text
+    (rolling-hash stand-in; engine-portable for the oracle)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis profile to each document."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len(text_col), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("pred_lang", predict_lang(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

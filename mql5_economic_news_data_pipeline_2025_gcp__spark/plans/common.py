@@ -1,0 +1,39 @@
+"""Shared builders for the query registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal double (determinism contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+#: SQL-side equivalent of :func:`cents`.
+def sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic ``events`` table in the reference's series shape:
+    (user_id, event_type) ≈ (Currency, Event), plus exact value cents
+    (FIXTURES.md §A mapping)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        cents("value").alias("value_c"),
+        "props",
+    )
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,984 @@
+"""Core query registry: relational operators (scans, joins, aggregates,
+windows, set ops) + the reference pipeline's dataflow operators mapped
+onto the synthetic tables (FIXTURES.md §A mapping: (user_id, event_type)
+≈ (Currency, Event), ts ≈ DateTime, value ≈ Actual_numeric).
+
+Every oracle follows the determinism contract in ``registry`` —
+integer-exact aggregation, identical division trees, deterministic
+tie-breaks. SURVEY §2 operator IDs cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.features import (
+    bfill,
+    ffill,
+    latest_per_group,
+    with_high_impact_count,
+)
+from ..operators.metrics import group_metrics_exact
+from ..operators.routing import model_routing
+from ..functions.parsers import (
+    clean_text,
+    format_event_date,
+    month_bucket,
+    parse_date_multi,
+    parse_numeric,
+    parse_time_to_seconds,
+)
+from .common import cents, keyed_events, t
+from .registry import register
+
+# =====================================================================
+# Relational coverage (S2-S5, P1-P8, J*, A*, W5-W7 on TPC-H-ish tables)
+# =====================================================================
+
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)      AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)      AS sum_charge_c6,
+           CAST(count(*) AS BIGINT) AS count_order,
+           (CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / count(*)) / 100.0 AS avg_qty,
+           (CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / count(*)) / 100.0 AS avg_price,
+           (CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / count(*)) / 100.0 AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary: filtered scan + 8-agg hash aggregate (A3/A7-shape)",
+    tags=("relational", "aggregate"),
+)
+def rel_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qc).alias("sum_qty_c"),
+        F.sum(pc).alias("sum_base_c"),
+        F.sum(pc * (100 - dc)).alias("sum_disc_c4"),
+        F.sum(pc * (100 - dc) * (100 + tc)).alias("sum_charge_c6"),
+        F.count(F.lit(1)).alias("count_order"),
+        ((F.sum(qc) / F.count(F.lit(1))) / F.lit(100.0)).alias("avg_qty"),
+        ((F.sum(pc) / F.count(F.lit(1))) / F.lit(100.0)).alias("avg_price"),
+        ((F.sum(dc) / F.count(F.lit(1))) / F.lit(100.0)).alias("avg_disc"),
+    )
+
+
+@register(
+    "rel_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    description="3-way equi-join star query; dims broadcast (J1/J2 shape at scale)",
+    tags=("relational", "join"),
+)
+def rel_revenue_by_nation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_c"),
+        )
+    )
+
+
+@register(
+    "rel_topk_orders_per_segment",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             CAST(round(o.o_totalprice*100) AS BIGINT) AS price_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (
+      SELECT c_mktsegment, o_orderkey, price_c,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY price_c DESC, o_orderkey ASC) AS rnk
+      FROM j)
+    SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey, price_c
+    FROM r WHERE rnk <= 3
+    """,
+    description="top-k per group via ranked window (W5 generalization)",
+    tags=("relational", "window"),
+)
+def rel_topk_orders_per_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "price_c")
+    )
+
+
+@register(
+    "rel_semi_anti_parts",
+    oracle="""
+    SELECT 'ordered' AS status,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p_partkey) AS BIGINT) AS key_checksum
+    FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'never_ordered',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(p_partkey), 0) AS BIGINT)
+    FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+    description="left-semi + left-anti joins (P6 shape) with union (§2.7)",
+    tags=("relational", "join", "setop"),
+)
+def rel_semi_anti_parts(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    semi = p.join(li, p.p_partkey == li.l_partkey, "left_semi").agg(
+        F.lit("ordered").alias("status"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_partkey").alias("key_checksum"),
+    )
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti").agg(
+        F.lit("never_ordered").alias("status"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.coalesce(F.sum("p_partkey"), F.lit(0)).alias("key_checksum"),
+    )
+    return semi.select("status", "n_parts", "key_checksum").unionByName(
+        anti.select("status", "n_parts", "key_checksum")
+    )
+
+
+@register(
+    "rel_order_priority_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           (CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / count(*)) / 100.0 AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    description="two-key hash aggregate with exact average (A3/A8)",
+    tags=("relational", "aggregate"),
+)
+def rel_order_priority_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(pc).alias("revenue_c"),
+        ((F.sum(pc) / F.count(F.lit(1))) / F.lit(100.0)).alias("avg_price"),
+    )
+
+
+@register(
+    "rel_distinct_counts",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    description="distinct aggregates (A9)",
+    tags=("relational", "aggregate"),
+)
+def rel_distinct_counts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rel_orders_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders
+    GROUP BY 1
+    """,
+    description="month-bucket rollup (F8 on relational data)",
+    tags=("relational", "aggregate", "date"),
+)
+def rel_orders_monthly(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(month_bucket(F.col("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("revenue_c"),
+    )
+
+
+@register(
+    "rel_set_ops_customers",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+    SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'only_1995', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'either', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+    """,
+    description="INTERSECT / EXCEPT / UNION-distinct cohort analysis (§2.7)",
+    tags=("relational", "setop"),
+)
+def rel_set_ops_customers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    rows = [
+        ("both", y95.intersect(y96)),
+        ("only_1995", y95.exceptAll(y96).distinct()),
+        ("either", y95.union(y96).distinct()),
+    ]
+    out = None
+    for label, df in rows:
+        one = df.agg(F.lit(label).alias("cohort"), F.count(F.lit(1)).alias("n"))
+        out = one if out is None else out.unionByName(one)
+    return out.select("cohort", "n")
+
+
+@register(
+    "rel_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="pivot (conditional aggregation) over linestatus",
+    tags=("relational", "pivot"),
+)
+def rel_pivot_status(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        )
+    )
+
+
+# =====================================================================
+# Reference pipeline dataflow on the synthetic events table
+# =====================================================================
+
+
+@register(
+    "evt_typed_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS value_c,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+    description="typed projection scan of the events stream (S4/P1)",
+    tags=("events", "scan"),
+)
+def evt_typed_scan(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value_c"),
+        F.to_date("ts").alias("event_date"),
+    )
+
+
+@register(
+    "evt_hwm_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS value_c
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    """,
+    description="high-water-mark incremental filter (P4/A1): scalar max → pushed-down predicate",
+    tags=("events", "filter"),
+)
+def evt_hwm_filter(spark, sf_dir):
+    import datetime
+
+    ev = keyed_events(spark, sf_dir)
+    hwm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(days=7)
+    return ev.filter(F.col("ts") > F.lit(hwm)).select(
+        "event_id", "user_id", "event_type", "value_c"
+    )
+
+
+@register(
+    "evt_upsert_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS event_date,
+             event_id, CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_date, event_id, value_c
+    FROM ranked WHERE rn = 1
+    """,
+    description="natural-key upsert dedup, newest wins (S9, SQL:20 semantics)",
+    tags=("events", "dedup", "window"),
+)
+def evt_upsert_dedup(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "event_type", "event_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_date", "event_id", "value_c")
+    )
+
+
+@register(
+    "evt_lag_features",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS value_c,
+           lag(CAST(round(value*100) AS BIGINT), 1) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS value_c_lag1
+    FROM events
+    """,
+    description="per-series lag-1 feature (W1, TRAIN:424-425)",
+    tags=("events", "window"),
+)
+def evt_lag_features(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value_c",
+        F.lag("value_c", 1).over(w).alias("value_c_lag1"),
+    )
+
+
+@register(
+    "evt_ffill_bfill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(round(value*100) AS BIGINT) END AS v
+      FROM events),
+    filled AS (
+      SELECT event_id, user_id, event_type, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+      FROM base)
+    SELECT event_id, user_id, event_type,
+           coalesce(v, ff, bf) AS filled_fb,
+           coalesce(v, bf, ff) AS filled_bf
+    FROM filled
+    """,
+    description="per-series ffill→bfill and bfill→ffill (W2; train vs val order, TRAIN:428-429 / VAL:235-236)",
+    tags=("events", "window", "fill"),
+)
+def evt_ffill_bfill(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value_c"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ff, bf = ffill("v", w), bfill("v", w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("v"), ff, bf).alias("filled_fb"),
+        F.coalesce(F.col("v"), bf, ff).alias("filled_bf"),
+    )
+
+
+@register(
+    "evt_high_impact_count",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(sum(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY event_type, CAST(ts AS DATE)) AS BIGINT) AS high_impact_count
+    FROM events
+    """,
+    description="windowed conditional count replacing the reference's agg+join (J1→window, TRAIN:419-421)",
+    tags=("events", "window"),
+)
+def evt_high_impact_count(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "impact", (F.col("event_id") % 4).cast("int")
+    ).withColumn("event_date", F.to_date("ts"))
+    out = with_high_impact_count(
+        ev,
+        impact_col="impact",
+        currency_col="event_type",
+        date_col="event_date",
+        out_col="high_impact_count",
+        high_value=3,
+    )
+    return out.select("event_id", "user_id", "event_type", "high_impact_count")
+
+
+@register(
+    "evt_chrono_split",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events),
+    labeled AS (
+      SELECT event_id,
+             CASE WHEN rn <= CAST(floor(n * 0.7) AS BIGINT) THEN 'train'
+                  WHEN rn <= CAST(floor(n * 0.7) AS BIGINT)
+                           + CAST(floor(n * 0.15) AS BIGINT) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ordered)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM labeled GROUP BY split
+    """,
+    description="chronological 70/15/15 split, reference floor arithmetic (W3, TRAIN:131-153)",
+    tags=("events", "split"),
+)
+def evt_chrono_split(spark, sf_dir):
+    from ..operators.split import split_labels
+
+    ev = keyed_events(spark, sf_dir)
+    labeled = split_labels(ev, order=("ts", "event_id"), exact=True)
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "evt_minmax_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS c,
+             min(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id, event_type) AS mn,
+             max(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id, event_type) AS mx
+      FROM events)
+    SELECT event_id, user_id, event_type,
+           (c - mn) / (CASE WHEN mx = mn THEN 1 ELSE mx - mn END) AS value_norm
+    FROM stats
+    """,
+    description="per-series min-max normalization, rng==0→1.0 guard (W6/A6, TRAIN:122-129)",
+    tags=("events", "window", "normalize"),
+)
+def evt_minmax_normalize(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type")
+    mn, mx = F.min("value_c").over(w), F.max("value_c").over(w)
+    rng = F.when(mx == mn, F.lit(1)).otherwise(mx - mn)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ((F.col("value_c") - mn) / rng).alias("value_norm"),
+    )
+
+
+@register(
+    "evt_group_mean_impute",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(round(value*100) AS BIGINT) END AS v
+      FROM events),
+    stats AS (
+      SELECT event_id, user_id, event_type, v,
+             sum(v)   OVER (PARTITION BY user_id, event_type) AS s,
+             count(v) OVER (PARTITION BY user_id, event_type) AS cnt
+      FROM base)
+    SELECT event_id, user_id, event_type,
+           coalesce(CAST(v AS DOUBLE),
+                    CASE WHEN cnt = 0 THEN NULL ELSE CAST(s AS BIGINT) / cnt END,
+                    0.0) AS imputed
+    FROM stats
+    """,
+    description="group-mean imputation with 0.0 fallback (F10/A3, TRAIN:347-357)",
+    tags=("events", "impute"),
+)
+def evt_group_mean_impute(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value_c"))
+    )
+    w = Window.partitionBy("user_id", "event_type")
+    s, cnt = F.sum("v").over(w), F.count("v").over(w)
+    mean = F.when(cnt == 0, None).otherwise(s / cnt)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("v").cast("double"), mean, F.lit(0.0)).alias("imputed"),
+    )
+
+
+@register(
+    "evt_model_routing",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS total_samples,
+           CASE WHEN count(*) >= 10 THEN 'rnn' ELSE 'xgb' END AS model_type
+    FROM events GROUP BY user_id, event_type
+    """,
+    description="per-series model routing by sample count (A4, TRAIN:377-389; threshold 10 to exercise both branches at test SF, reference default 50)",
+    tags=("events", "routing"),
+)
+def evt_model_routing(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return model_routing(ev, key=("user_id", "event_type"), threshold=10).select(
+        "user_id", "event_type", "total_samples", "model_type"
+    )
+
+
+@register(
+    "evt_drop_allnull_groups",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'signup' OR event_id % 3 = 0 THEN NULL
+                  ELSE CAST(round(value*100) AS BIGINT) END AS v
+      FROM events),
+    flagged AS (
+      SELECT event_id, user_id, event_type, v,
+             count(v) OVER (PARTITION BY user_id, event_type) AS nn
+      FROM base)
+    SELECT event_id, user_id, event_type, v
+    FROM flagged WHERE nn > 0
+    """,
+    description="drop all-null series groups (A5/P6, TRAIN:361-369) — the 'signup' series vanish",
+    tags=("events", "filter"),
+)
+def evt_drop_allnull_groups(spark, sf_dir):
+    from ..operators.features import drop_allnull_groups
+
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "v",
+        F.when(
+            (F.col("event_type") == "signup") | (F.col("event_id") % 3 == 0), None
+        ).otherwise(F.col("value_c")),
+    )
+    out = drop_allnull_groups(ev, ["v"], key=("user_id", "event_type"))
+    return out.select("event_id", "user_id", "event_type", "v")
+
+
+@register(
+    "evt_latest_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id, value_c AS live_value_c
+    FROM ranked WHERE rn = 1
+    """,
+    description="latest row per series = live forecast row (W5, TEST:95-103)",
+    tags=("events", "window"),
+)
+def evt_latest_per_group(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    out = latest_per_group(
+        ev, key=("user_id", "event_type"), order_col="ts", tie_breaker="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", F.col("value_c").alias("live_value_c")
+    )
+
+
+@register(
+    "evt_metrics_r2_mse",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS a,
+             lag(CAST(round(value*100) AS BIGINT), 1) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS p
+      FROM events),
+    scored AS (SELECT * FROM lagged WHERE a IS NOT NULL AND p IS NOT NULL),
+    agg AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS "Samples",
+             CAST(sum((a - p) * (a - p)) AS BIGINT) AS ss_res,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(a * a) AS BIGINT) AS sum_a2
+      FROM scored GROUP BY user_id, event_type)
+    SELECT user_id, event_type,
+           CASE WHEN "Samples" * sum_a2 - sum_a * sum_a = 0 THEN -1.0
+                ELSE 1.0 - ("Samples" * ss_res) / ("Samples" * sum_a2 - sum_a * sum_a)
+           END AS "R2",
+           (ss_res / "Samples") / 10000.0 AS "MSE",
+           "Samples"
+    FROM agg WHERE "Samples" >= 2
+    """,
+    description="FLAGSHIP: per-series R²/MSE/Samples with lag-1 stub predictor; ss_tot==0→-1.0 and n>=2 guards (A7, TRAIN:169-269)",
+    tags=("events", "metrics", "flagship"),
+)
+def evt_metrics_r2_mse(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value_c").alias("a"),
+        F.lag("value_c", 1).over(w).alias("p"),
+    )
+    return group_metrics_exact(
+        lagged, actual_cents="a", pred_cents="p", key=("user_id", "event_type")
+    )
+
+
+@register(
+    "evt_monthly_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_c,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="month-bucket rollup per event type (F8/A3, TRAIN:417)",
+    tags=("events", "aggregate", "date"),
+)
+def evt_monthly_rollup(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return ev.groupBy(
+        month_bucket(F.col("ts")).alias("month"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("total_c"),
+        (F.sum("value_c") / F.count(F.lit(1)) / F.lit(100.0)).alias("mean_value"),
+    )
+
+
+@register(
+    "evt_formatted_dates",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%-d %B %Y') AS formatted_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events GROUP BY 1
+    """,
+    description="events_formatted view: 'd MMMM yyyy' display dates (F7, SQL:24-35)",
+    tags=("events", "date"),
+)
+def evt_formatted_dates(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return ev.groupBy(
+        format_event_date(F.to_date("ts")).alias("formatted_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "evt_impact_ordinal_counts",
+    oracle="""
+    SELECT CASE WHEN event_type = 'click' THEN 1
+                WHEN event_type = 'view' THEN 2
+                WHEN event_type = 'error' THEN 3
+                ELSE 0 END AS impact_ordinal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    description="ordinal encoding + value_counts (F5/A9, TRAIN:333-343): event_type plays Impact",
+    tags=("events", "encode"),
+)
+def evt_impact_ordinal_counts(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    ordinal = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "error", 3)
+        .otherwise(0)
+        .cast("int")
+    )
+    return ev.groupBy(ordinal.alias("impact_ordinal")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "evt_props_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1
+    """,
+    description="JSON payload extraction + bucket aggregate (semi-structured props column)",
+    tags=("events", "json"),
+)
+def evt_props_json(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+@register(
+    "evt_sequence_build",
+    oracle="""
+    WITH seqs AS (
+      SELECT event_id, user_id, event_type,
+             list(CAST(round(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS seq
+      FROM events)
+    SELECT event_id, user_id, event_type,
+           array_to_string(seq, ',') AS seq_str
+    FROM seqs WHERE len(seq) = 3
+    """,
+    description="sliding-window sequence construction for RNN input, SEQ_LENGTH=3 (W4, TRAIN:484-488)",
+    tags=("events", "window", "sequence"),
+)
+def evt_sequence_build(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    seq = F.collect_list("value_c").over(w)
+    return (
+        ev.withColumn("seq", seq)
+        .filter(F.size("seq") == 3)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.concat_ws(",", F.col("seq").cast("array<string>")).alias("seq_str"),
+        )
+    )
+
+
+@register(
+    "evt_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM gaps),
+    sessions AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS session_len
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(session_len) AS BIGINT) AS max_session_len,
+           CAST(sum(session_len) AS BIGINT) AS n_events
+    FROM per_session GROUP BY user_id
+    """,
+    description="sessionization via lag-gap + running sum (30-min gap); batch analogue of session_window streaming",
+    tags=("events", "window", "session"),
+)
+def evt_sessionize(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_s).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_len")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_len").alias("max_session_len"),
+        F.sum("session_len").alias("n_events"),
+    )
+
+
+# =====================================================================
+# Scalar function round-trips (F1-F4) — Spark builds strings, parses
+# them with the library; the oracle computes ground truth directly.
+# =====================================================================
+
+
+@register(
+    "fn_parse_date_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, CAST(ts AS DATE) AS dt, event_id % 9 AS fmt FROM events)
+    SELECT event_id,
+           CASE WHEN fmt IN (3, 6) AND day(dt) <= 12
+                THEN make_date(year(dt), day(dt), month(dt))
+                ELSE dt END AS parsed_date
+    FROM d
+    """,
+    description="F1 9-format date parse round-trip; ambiguous d/M strings resolve US-first (PUSH:129-130 order)",
+    tags=("functions", "date"),
+)
+def fn_parse_date_roundtrip(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    dt = F.to_date("ts")
+    fmt = F.col("event_id") % 9
+    spark_fmts = [
+        "yyyy-MM-dd",
+        "d MMMM yyyy",
+        "M/d/yyyy",
+        "d/M/yyyy",
+        "yyyy/M/d",
+        "M-d-yyyy",
+        "d-M-yyyy",
+        "MMM d, yyyy",
+        "MMMM d, yyyy",
+    ]
+    s = None
+    for i, f_ in enumerate(spark_fmts):
+        branch = F.date_format(dt, f_)
+        s = F.when(fmt == i, branch) if s is None else s.when(fmt == i, branch)
+    return ev.select("event_id", parse_date_multi(s).alias("parsed_date"))
+
+
+@register(
+    "fn_parse_time_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 2
+                THEN hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INT)
+                ELSE hour(ts) * 3600 + minute(ts) * 60 END AS secs
+    FROM events
+    """,
+    description="F2 time parse round-trip over H:mm / h:mm a / '0 days HH:mm:ss' timedelta artifact (PUSH:137-146, TRAIN:89-112)",
+    tags=("functions", "time"),
+)
+def fn_parse_time_roundtrip(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    m = F.col("event_id") % 3
+    s = (
+        F.when(m == 0, F.date_format("ts", "H:mm"))
+        .when(m == 1, F.date_format("ts", "h:mm a"))
+        .otherwise(F.concat(F.lit("0 days "), F.date_format("ts", "HH:mm:ss")))
+    )
+    return ev.select(
+        "event_id", parse_time_to_seconds(s).alias("secs")
+    )
+
+
+@register(
+    "fn_parse_numeric_suffixes",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, CAST(round(value*100) AS BIGINT) AS c, event_id % 6 AS m
+      FROM events)
+    SELECT event_id,
+           CASE WHEN m = 0 THEN CAST(c AS DOUBLE)
+                WHEN m = 1 THEN CAST(c AS DOUBLE) * 1000.0
+                WHEN m = 2 THEN CAST(c AS DOUBLE) * 1000000.0
+                WHEN m = 3 THEN NULL
+                WHEN m = 4 THEN NULL
+                ELSE CAST(-c AS DOUBLE) END AS parsed
+    FROM b
+    """,
+    description="F4 numeric parse: %, K/M suffixes, negatives, N/A and garbage → NULL (TRAIN:37-59)",
+    tags=("functions", "numeric"),
+)
+def fn_parse_numeric_suffixes(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    c = F.col("value_c").cast("string")
+    m = F.col("event_id") % 6
+    s = (
+        F.when(m == 0, F.concat(c, F.lit("%")))
+        .when(m == 1, F.concat(c, F.lit("K")))
+        .when(m == 2, F.concat(c, F.lit("M")))
+        .when(m == 3, F.lit("N/A"))
+        .when(m == 4, F.lit("abc"))
+        .otherwise(F.concat(F.lit("-"), c))
+    )
+    return ev.select("event_id", parse_numeric(s).alias("parsed"))
+
+
+@register(
+    "fn_clean_text_sentinel",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 6 = 5 THEN 'ok' ELSE 'N/A' END AS cleaned
+    FROM events
+    """,
+    description="F3 null-ish text → 'N/A' sentinel (PUSH:148-151)",
+    tags=("functions", "text"),
+)
+def fn_clean_text_sentinel(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    m = F.col("event_id") % 6
+    s = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit("  "))
+        .when(m == 2, F.lit("nan"))
+        .when(m == 3, F.lit("None"))
+        .when(m == 4, F.lit(None).cast("string"))
+        .otherwise(F.lit("  ok "))
+    )
+    return ev.select("event_id", clean_text(s).alias("cleaned"))

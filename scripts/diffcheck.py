@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Local differential checker mimicking the driver: runs every registered
+query on Spark AND its DuckDB oracle at the given SF, compares row count,
+column names, and cell values (exact for ints/strings, bit-exact target
+for doubles — reports max abs diff when nonzero).
+
+Usage: python scripts/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
+    return df
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    if len(sdf) != len(odf):
+        return [f"row count differs: spark={len(sdf)} oracle={len(odf)}"]
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = pd.to_numeric(sv, errors="coerce").astype(float)
+            ov = pd.to_numeric(ov, errors="coerce").astype(float)
+            both_nan = sv.isna() & ov.isna()
+            diff = (sv - ov).abs()
+            bad = ~both_nan & ~(diff == 0)
+            if bad.any():
+                mx = diff[bad].max()
+                n_exact_nan_mismatch = int((sv.isna() != ov.isna()).sum())
+                problems.append(
+                    f"col {c}: {int(bad.sum())}/{len(sv)} cells differ, "
+                    f"max abs diff {mx!r}, nan-mismatch {n_exact_nan_mismatch}"
+                )
+        else:
+            neq = ~((sv == ov) | (sv.isna() & ov.isna()))
+            if neq.any():
+                i = int(np.argmax(neq.values))
+                problems.append(
+                    f"col {c}: {int(neq.sum())}/{len(sv)} cells differ, "
+                    f"first: spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
+
+    spark = get_spark("diffcheck", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {tab} AS SELECT * FROM '{SF_DIR}/{tab}.parquet'"
+        )
+
+    n_pass = n_fail = 0
+    for name, spec in REGISTRY.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.spark_fn(spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            status = f"rows-only ({len(sdf)} rows)"
+            if len(sdf) == 0:
+                print(f"WARN {name}: {status} — EMPTY")
+            else:
+                print(f"pass {name}: {status}  [{time.time()-t0:.1f}s]")
+                n_pass += 1
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception:
+            print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} rows)  [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"pass {name} ({len(sdf)} rows)  [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
