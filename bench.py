@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of all benched queries (one warm-up
+query first to absorb JVM/AQE startup, excluded from timings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the flagship + one per operator family.
+BENCH_QUERIES = [
+    "evt_metrics_r2_mse",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_topk_orders_per_segment",
+    "evt_upsert_dedup",
+    "evt_ffill_bfill",
+    "evt_sequence_build",
+    "evt_sessionize",
+    "doc_minhash_lsh_candidates",
+    "doc_jaccard_near_dup",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "emb_bucketed_ann_topk",
+    "mm_media_meta",
+]
+
+
+def main() -> None:
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm-up: JVM JIT + AQE + parquet footer caches
+    REGISTRY["evt_typed_scan"].spark_fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        df = spec.spark_fn(spark, SF_DIR)
+        # noop sink forces full materialization of every output column
+        # (count() would let Catalyst prune computed columns)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,13 +53,15 @@ def _tokens(text_col: str) -> F.Column:
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """→ (id, shingle) distinct pairs; shingle = n consecutive tokens."""
+    """→ (id, shingle) distinct pairs; shingle = n consecutive tokens.
+    Docs with fewer than n tokens produce no shingles."""
     toks = _tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
         .distinct()
     )
 
@@ -204,12 +206,12 @@ def simhash(
     )
     votes = bitted.withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(
-            -1
-        ),
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1),
     ).groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
     sig = votes.withColumn(
         "bitval",
-        F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("bit"))).otherwise(0),
+        F.when(F.col("v") > 0, F.pow(2, F.col("bit")).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
     ).groupBy(id_col).agg(F.sum("bitval").alias("simhash"))
     return sig

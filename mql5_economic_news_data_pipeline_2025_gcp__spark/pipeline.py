@@ -1,0 +1,199 @@
+"""Orchestration API mirroring the reference's FastAPI surface
+(SURVEY §2.11): train / validate / test / automate as Python functions
+over Spark DataFrames, with the reference's parameter-merge and skip
+semantics (API:241-267, API:318-373).
+
+The engine produces model *inputs* (normalized features/sequences) and
+consumes model *outputs* (predictions) as DataFrames; actual LSTM/XGB
+training is out of engine scope (SURVEY §2.10). A deterministic stub
+predictor (lag-1) keeps the full dataflow runnable and oracle-checkable;
+real models drop in behind ``predict_fn``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.features import (
+    latest_per_group,
+    with_filled,
+    with_high_impact_count,
+    with_lag_features,
+    with_min_max_normalized,
+    normalization_params,
+)
+from .operators.metrics import group_metrics, metrics_summary
+from .operators.routing import model_routing, with_model_type
+from .operators.split import split_labels
+
+#: Reference defaults (API:30-42 = TRAIN:20-32; PARAMS file overrides).
+DEFAULT_PARAMS = {
+    "SEQ_LENGTH": 5,
+    "HIDDEN_SIZE": 64,
+    "NUM_LAYERS": 2,
+    "DROPOUT": 0.2,
+    "BATCH_SIZE": 64,
+    "EPOCHS": 1,
+    "LEARNING_RATE": 0.001,
+    "WEIGHT_DECAY": 1e-4,
+    "XGB_N_ESTIMATORS": 100,
+    "XGB_MAX_DEPTH": 3,
+    "XGB_LEARNING_RATE": 0.1,
+}
+
+
+def merge_params(
+    file_params: dict | None,
+    body_params: dict | None,
+    merge: bool = True,
+) -> dict:
+    """Reference param resolution (API:241-264): defaults ∪ file ∪ body;
+    body overrides file when ``merge`` — otherwise body alone overrides
+    defaults. Non-model keys pass through untouched."""
+    out = dict(DEFAULT_PARAMS)
+    if merge:
+        out.update(file_params or {})
+        out.update(body_params or {})
+    else:
+        out.update(body_params if body_params is not None else (file_params or {}))
+    return out
+
+
+def load_params_file(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+@dataclass
+class PipelineResult:
+    metrics: DataFrame
+    summary: DataFrame
+    extra: dict = field(default_factory=dict)
+
+
+SERIES_KEY = ("Currency", "Event")
+
+
+def _default_predict(df: DataFrame) -> DataFrame:
+    """Deterministic stub model: predict the lagged value (FIXTURES B5)."""
+    return df.withColumn("prediction", F.col("value_lag1"))
+
+
+def build_features(
+    events: DataFrame,
+    key=SERIES_KEY,
+    order=("event_ts",),
+    fill_direction: str = "ffill_then_bfill",
+) -> DataFrame:
+    """The reference's create_features chain (TRAIN:415-433): high-impact
+    count, lag-1 features, directional fill. One shuffle on the series
+    key services every window."""
+    df = events.withColumn("EventDate", F.to_date(F.col(order[0])))
+    df = with_high_impact_count(
+        df, impact_col="ImpactOrdinal", currency_col=key[0], date_col="EventDate"
+    )
+    df = with_lag_features(df, ["value"], key=key, order=order)
+    df = with_filled(df, ["value_lag1"], key=key, order=order, direction=fill_direction)
+    return df
+
+
+def run_train(
+    events: DataFrame,
+    params: dict | None = None,
+    predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
+    key=SERIES_KEY,
+    order=("event_ts",),
+) -> PipelineResult:
+    """POST /train analogue: features → split → routing → normalize →
+    predict → per-group metrics (TRAIN:272-586)."""
+    params = params or merge_params(None, None)
+    feats = build_features(events, key=key, order=order)
+    labeled = split_labels(feats, order=order, exact=True)
+    train_df = labeled.filter(F.col("split") == "train")
+    routing = model_routing(train_df, key=key)
+    train_df = with_model_type(train_df, routing, key=key)
+    train_df = with_min_max_normalized(train_df, ["value"], key=key)
+    norm_params = normalization_params(train_df, ["value"], key=key)
+    scored = predict_fn(train_df)
+    metrics = group_metrics(scored, actual_col="value", pred_col="prediction", key=key)
+    return PipelineResult(
+        metrics=metrics,
+        summary=metrics_summary(metrics),
+        extra={"routing": routing, "norm_params": norm_params, "params": params},
+    )
+
+
+def run_validate(
+    events: DataFrame,
+    train_result: PipelineResult,
+    predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
+    key=SERIES_KEY,
+    order=("event_ts",),
+) -> PipelineResult:
+    """POST /validate analogue: re-derive features on the val split ONLY
+    (leakage-aware, VAL:220-236), normalize with TRAINING params +
+    fallback (VAL:258-287), score, per-group metrics."""
+    labeled = split_labels(events, order=order, exact=True)
+    val = labeled.filter(F.col("split") == "val")
+    feats = build_features(val, key=key, order=order, fill_direction="bfill_then_ffill")
+    feats = with_min_max_normalized(
+        feats, ["value"], key=key, params=train_result.extra["norm_params"]
+    )
+    feats = with_model_type(feats, train_result.extra["routing"], key=key)
+    scored = predict_fn(feats)
+    metrics = group_metrics(scored, actual_col="value", pred_col="prediction", key=key)
+    return PipelineResult(metrics=metrics, summary=metrics_summary(metrics))
+
+
+def run_test(
+    events: DataFrame,
+    train_result: PipelineResult,
+    predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
+    key=SERIES_KEY,
+    order=("event_ts",),
+) -> PipelineResult:
+    """POST /test analogue: test-split metrics + live forecast = latest
+    denormalized prediction per series (TEST:95-120)."""
+    labeled = split_labels(events, order=order, exact=True)
+    test = labeled.filter(F.col("split") == "test")
+    feats = build_features(test, key=key, order=order, fill_direction="bfill_then_ffill")
+    feats = with_min_max_normalized(
+        feats, ["value"], key=key, params=train_result.extra["norm_params"]
+    )
+    scored = predict_fn(feats)
+    metrics = group_metrics(scored, actual_col="value", pred_col="prediction", key=key)
+    live = latest_per_group(
+        scored.filter(F.col("prediction").isNotNull()),
+        key=key,
+        order_col=order[0],
+    ).select(*key, F.col("prediction").alias("ForecastValue"))
+    return PipelineResult(
+        metrics=metrics, summary=metrics_summary(metrics), extra={"live_forecasts": live}
+    )
+
+
+def run_automate(
+    events: DataFrame,
+    params: dict | None = None,
+    predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
+    skip_training: bool = False,
+    key=SERIES_KEY,
+    order=("event_ts",),
+) -> dict[str, PipelineResult]:
+    """POST /automate analogue: sequential train → validate → test with
+    the skip-training short-circuit (API:318-373)."""
+    out: dict[str, PipelineResult] = {}
+    train_res = run_train(events, params=params, predict_fn=predict_fn, key=key, order=order)
+    if not skip_training:
+        out["train"] = train_res
+    out["validate"] = run_validate(events, train_res, predict_fn=predict_fn, key=key, order=order)
+    out["test"] = run_test(events, train_res, predict_fn=predict_fn, key=key, order=order)
+    return out

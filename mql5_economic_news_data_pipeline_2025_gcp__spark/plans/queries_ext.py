@@ -1,1 +1,463 @@
-"""Extension query registry (placeholder — populated after core is green)."""
+"""Extension query registry: large-scale training-data-pipeline
+operators over ``documents`` / ``embeddings`` (dedup, similarity search,
+text analysis, multimodal plumbing) + Structured Streaming ingest.
+
+Same determinism contract as queries_core: md5-only digests, integer
+counts, divisions with identical trees. Cosine similarities are the one
+place both engines sum doubles in unspecified order — outputs are
+rounded to 6 decimals on BOTH sides, and rankings order by the rounded
+value with an id tie-break, so rank sets are engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from ..operators.multimodal import documents_as_media, extract_media_meta
+from ..operators.similarity import _as_double, cosine, sign_bucket
+from ..operators.textops import (
+    fingerprint,
+    mean_word_len,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from .common import t
+from .registry import register
+
+#: DuckDB fragment: distinct (doc_id, 3-token shingle) pairs.
+_SQL_SHINGLES = r"""
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS shingle
+  FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3)
+"""
+
+
+@register(
+    "doc_exact_dedup",
+    oracle=r"""
+    WITH digests AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, digest FROM digests WHERE rn = 1
+    """,
+    description="exact dedup on normalized-text md5, lowest doc_id survives (hash-groupBy dedup)",
+    tags=("documents", "dedup"),
+)
+def doc_exact_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, text_col="text", id_col="doc_id")
+    return out.select("doc_id", fingerprint("text").alias("digest"))
+
+
+@register(
+    "doc_token_stats",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents),
+    st AS (
+      SELECT doc_id, len(string_split(nt, ' ')) AS n_tokens, length(nt) AS n_chars
+      FROM norm)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_chars - (n_tokens - 1) AS BIGINT) AS total_token_chars,
+           (n_chars - (n_tokens - 1)) / n_tokens AS mean_word_len
+    FROM st
+    """,
+    description="token counting + exact mean word length (text analysis)",
+    tags=("documents", "text"),
+)
+def doc_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_tok = token_count("text")
+    total = (F.length(nt) - (n_tok - 1)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        total.alias("total_token_chars"),
+        (total / n_tok).alias("mean_word_len"),
+    )
+
+
+@register(
+    "doc_quality_profile",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents),
+    st AS (
+      SELECT doc_id, text,
+             len(string_split(nt, ' ')) AS n_tok,
+             len(list_filter(string_split(nt, ' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM norm)
+    SELECT doc_id,
+           n_stop / greatest(n_tok, 1) AS stopword_ratio,
+           n_punct / greatest(n_chars, 1) AS punct_ratio,
+           round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                  + (1.0 - abs(n_stop / greatest(n_tok, 1) - 0.15) / 0.85)
+                  + (1.0 - least(n_punct / greatest(n_chars, 1) * 5, 1.0))) / 3,
+                 6) AS quality
+    FROM st
+    """,
+    description="document quality scoring: stopword/punct ratios + composite score",
+    tags=("documents", "text", "quality"),
+)
+def doc_quality_profile(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "doc_langid_accuracy",
+    oracle=r"""
+    WITH preds AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(
+                    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) >= 1
+                  THEN 'en' ELSE 'other' END AS pred_lang
+      FROM documents)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM preds GROUP BY lang, pred_lang
+    """,
+    description="language-ID heuristic (stopword evidence) vs labeled lang column",
+    tags=("documents", "text", "langid"),
+)
+def doc_langid_accuracy(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", predict_lang("text").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "doc_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+             min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+             min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+             min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b FROM pairs
+    """,
+    description="MinHash(8)+LSH(4 bands x 2) near-dup candidate pairs; md5-seeded, engine-portable",
+    tags=("documents", "dedup", "lsh"),
+)
+def doc_minhash_lsh_candidates(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+@register(
+    "doc_jaccard_near_dup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, c / (sa.sz + sb.sz - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.08
+    """,
+    description="3-gram Jaccard near-dup pairs via inverted-index co-occurrence join (never cross-join)",
+    tags=("documents", "dedup", "jaccard"),
+)
+def doc_jaccard_near_dup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3)
+    return jaccard_pairs(sh, threshold=0.08)
+
+
+@register(
+    "doc_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range(0, 16)) AS bit) b
+      GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    description="16-bit SimHash from token-md5 bits, majority vote per bit",
+    tags=("documents", "dedup", "simhash"),
+)
+def doc_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    description="per-document content fingerprint (normalized md5)",
+    tags=("documents", "text"),
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# =====================================================================
+# Embedding similarity search
+# =====================================================================
+
+_SQL_COSINE = """
+list_cosine_similarity(a.e, b.e)
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim
+      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description="exact brute-force cosine top-5 (broadcast queries, corpus map-only)",
+    tags=("embeddings", "similarity"),
+)
+def emb_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+@register(
+    "emb_bucketed_ann_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim
+      FROM v q JOIN v c ON q.bucket = c.bucket
+       AND q.vec_id < 20 AND c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    description="sign-LSH bucketed ANN top-3: equi-join on bucket replaces the cross product (the 100 TB path)",
+    tags=("embeddings", "similarity", "lsh"),
+)
+def emb_bucketed_ann_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    dims = [0, 1, 2, 3]
+    q = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+@register(
+    "emb_near_dup_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+    """,
+    description="embedding-cosine near-dup pairs: LSH-bucket candidates + exact verify",
+    tags=("embeddings", "dedup"),
+)
+def emb_near_dup_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    dims = [0, 1, 2, 3]
+    v = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), dims))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cosine_sim",
+        )
+    )
+
+
+# =====================================================================
+# Multimodal plumbing + streaming (rows-only where noted)
+# =====================================================================
+
+
+@register(
+    "mm_media_meta",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n,
+             md5(text) AS checksum
+      FROM documents)
+    SELECT asset_id, media_type,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE media_type WHEN 'image' THEN 64 + n % 512
+                                WHEN 'audio' THEN 0
+                                ELSE 320 + n % 1280 END AS INT) AS width,
+           CAST(CASE media_type WHEN 'image' THEN 64 + (n // 7) % 512
+                                WHEN 'audio' THEN 0
+                                ELSE 240 + (n // 3) % 720 END AS INT) AS height,
+           CAST(CASE media_type WHEN 'image' THEN 0
+                                WHEN 'audio' THEN 1000 + n % 60000
+                                ELSE 5000 + n % 600000 END AS BIGINT) AS duration_ms,
+           checksum
+    FROM m
+    """,
+    description="multimodal metadata extraction via mapInPandas over binary payloads (decode stubbed deterministically; oracle checks the full Arrow round-trip)",
+    tags=("multimodal", "pandas-udf"),
+)
+def mm_media_meta(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return extract_media_meta(media)
+
+
+@register(
+    "stream_dedup_counts",
+    oracle=None,  # Structured Streaming: rows-only check (§2.9)
+    description="Structured-Streaming ingest: file source → watermark → natural-key dropDuplicates → count per type (AvailableNow batch-drain semantics)",
+    tags=("streaming",),
+)
+def stream_dedup_counts(spark, sf_dir):
+    from ..streaming.ingest import stream_events_dedup_counts
+
+    return stream_events_dedup_counts(spark, sf_dir)

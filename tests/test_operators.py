@@ -1,0 +1,126 @@
+"""Unit tests for operators not fully covered by the oracle gate:
+upsert edge semantics, fill-direction divergence, split floor
+arithmetic, metrics guards, pipeline orchestration param merge."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import upsert
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.features import (
+    with_filled,
+)
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.metrics import (
+    group_metrics,
+)
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.split import (
+    split_labels,
+)
+from mql5_economic_news_data_pipeline_2025_gcp__spark.pipeline import (
+    DEFAULT_PARAMS,
+    merge_params,
+    run_automate,
+)
+
+TS = datetime.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_ts timestamp, Date date, Time string, Currency string, "
+        "Event string, Impact string, Actual string, Forecast string, Previous string"
+    )
+
+
+def test_upsert_incoming_beats_existing(spark):
+    d = datetime.date(2025, 1, 1)
+    old = _events(spark, [(TS(2025, 1, 1, 9), d, "09:00", "USD", "NFP", "high", "1", "2", "3")])
+    new = _events(spark, [(TS(2025, 1, 1, 9), d, "09:00", "USD", "NFP", "high", "9", "2", "3")])
+    out = upsert(old, new).collect()
+    assert len(out) == 1 and out[0]["Actual"] == "9"
+
+
+def test_upsert_last_in_batch_wins(spark):
+    d = datetime.date(2025, 1, 1)
+    new = _events(
+        spark,
+        [
+            (TS(2025, 1, 1, 9), d, "09:00", "USD", "NFP", "high", "first", "2", "3"),
+            (TS(2025, 1, 1, 9), d, "09:00", "USD", "NFP", "high", "last", "2", "3"),
+        ],
+    ).coalesce(1)
+    out = upsert(None, new).collect()
+    assert len(out) == 1 and out[0]["Actual"] == "last"
+
+
+def test_fill_direction_divergence(spark):
+    # interior null adjacent to an edge null: ffill→bfill and bfill→ffill differ
+    rows = [
+        ("g", 1, None),
+        ("g", 2, 10.0),
+        ("g", 3, None),
+        ("g", 4, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "Currency string, event_ts long, v double")
+    fb = with_filled(df, ["v"], key=["Currency"], order=["event_ts"],
+                     direction="ffill_then_bfill")
+    bf = with_filled(df, ["v"], key=["Currency"], order=["event_ts"],
+                     direction="bfill_then_ffill")
+    fb_vals = [r["v"] for r in fb.orderBy("event_ts").collect()]
+    bf_vals = [r["v"] for r in bf.orderBy("event_ts").collect()]
+    assert fb_vals == [10.0, 10.0, 10.0, 20.0]  # edge null filled by bfill fallback
+    assert bf_vals == [10.0, 10.0, 20.0, 20.0]  # interior null back-filled first
+
+
+def test_split_floor_arithmetic(spark):
+    n = 10
+    df = spark.range(n).withColumn("event_ts", F.col("id"))
+    out = split_labels(df, order=("event_ts",), exact=True)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"train": 7, "val": 1, "test": 2}  # int(10*.7)=7, int(10*.15)=1
+
+
+def test_metrics_guards(spark):
+    rows = [
+        ("USD", "A", 1.0, 1.5), ("USD", "A", 2.0, 2.5),   # normal group
+        ("USD", "B", 3.0, 3.0), ("USD", "B", 3.0, 4.0),   # constant actuals -> R2 = -1.0
+        ("USD", "C", 9.0, 9.0),                             # n=1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "Currency string, Event string, actual double, prediction double")
+    m = {(r["Currency"], r["Event"]): r for r in
+         group_metrics(df, actual_col="actual").collect()}
+    assert ("USD", "C") not in m
+    assert m[("USD", "B")]["R2"] == -1.0
+    assert abs(m[("USD", "A")]["MSE"] - 0.25) < 1e-12
+
+
+def test_merge_params_semantics():
+    fp = {"SEQ_LENGTH": 3, "note": "file"}
+    bp = {"SEQ_LENGTH": 7}
+    assert merge_params(fp, bp)["SEQ_LENGTH"] == 7           # body overrides file
+    assert merge_params(fp, None)["SEQ_LENGTH"] == 3         # file overrides default
+    assert merge_params(None, None) == DEFAULT_PARAMS
+    assert merge_params(fp, bp, merge=False)["SEQ_LENGTH"] == 7  # body alone
+    assert merge_params(fp, bp)["note"] == "file"            # non-model keys pass through
+
+
+def test_run_automate_end_to_end(spark):
+    # 2 series x 40 rows of synthetic events through the full train/val/test flow
+    rows = []
+    base = TS(2025, 1, 1)
+    for g, cur in enumerate(["USD", "EUR"]):
+        for i in range(40):
+            rows.append(
+                (base + datetime.timedelta(hours=i), cur, "CPI", float(i % 7) + g, 1)
+            )
+    df = spark.createDataFrame(
+        rows, "event_ts timestamp, Currency string, Event string, value double, ImpactOrdinal int"
+    )
+    res = run_automate(df)
+    assert set(res) == {"train", "validate", "test"}
+    train_metrics = res["train"].metrics.collect()
+    assert len(train_metrics) == 2
+    live = res["test"].extra["live_forecasts"].collect()
+    assert len(live) == 2 and all(r["ForecastValue"] is not None for r in live)
