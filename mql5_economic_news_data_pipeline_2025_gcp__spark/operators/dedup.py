@@ -52,17 +52,23 @@ def _tokens(text_col: str) -> F.Column:
     return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """→ (id, shingle) distinct pairs; shingle = n consecutive tokens.
-    Docs with fewer than n tokens produce no shingles."""
+def shingle_array(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct n-token shingles of a document as an array column —
+    entirely map-side (no shuffle). Docs with < n tokens → empty array."""
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.when(F.size(toks) >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """→ (id, shingle) pairs, distinct within each doc (via map-side
+    array_distinct — no dedup shuffle needed)."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -87,6 +93,28 @@ def minhash_signatures(
         for k in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_mapside(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zero-shuffle MinHash: signatures computed per row from the shingle
+    ARRAY via ``array_min(transform(...))`` — the scan is the only stage.
+    Identical output to :func:`minhash_signatures`; preferred at scale
+    (the explode+groupBy form shuffles |shingles| rows, this shuffles
+    nothing)."""
+    arr = shingle_array(text_col, n)
+    cols = [
+        F.array_min(
+            F.transform(arr, lambda x: F.md5(F.concat(F.lit(f"{k}|"), x)))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -149,14 +177,20 @@ def jaccard_pairs(
     those — the scale path. Without, all-pairs via shingle co-occurrence:
     join shingle lists on equality (inverted-index join, NOT a cross
     join), count common shingles, |A∪B| = |A|+|B|-common.
+
+    The join key is ``xxhash64(shingle)`` — equality classes are the
+    same (64-bit, negligible collision odds) and the shuffle moves 8-byte
+    keys instead of shingle strings. The shingle frame is cached: it
+    feeds the sizes aggregate and both join sides.
     """
+    sh = sh.withColumn("_shash", F.xxhash64("shingle")).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     common = (
         a.join(
             b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
+            (F.col("sa._shash") == F.col("sb._shash"))
             & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
         )
         .groupBy(

@@ -37,3 +37,13 @@ def keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan to full parallelism before CPU-heavy
+    map work (md5/shingling/Python UDFs). A single small parquet file
+    arrives as ONE partition — without this, every narrow transform runs
+    on one core. The shuffle moves only the raw rows (cheap); the
+    expensive expressions then run on all cores. At 100 TB inputs span
+    many splits naturally and this becomes a no-op decision."""
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -18,7 +18,7 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_mapside,
     shingles,
     simhash,
 )
@@ -33,7 +33,7 @@ from ..operators.textops import (
     stopword_ratio,
     token_count,
 )
-from .common import t
+from .common import fan_out, t
 from .registry import register
 
 #: DuckDB fragment: distinct (doc_id, 3-token shingle) pairs.
@@ -65,7 +65,7 @@ sh AS (
     tags=("documents", "dedup"),
 )
 def doc_exact_dedup(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     out = exact_dedup(docs, text_col="text", id_col="doc_id")
     return out.select("doc_id", fingerprint("text").alias("digest"))
 
@@ -89,7 +89,7 @@ def doc_exact_dedup(spark, sf_dir):
     tags=("documents", "text"),
 )
 def doc_token_stats(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     n_tok = token_count("text")
     total = (F.length(nt) - (n_tok - 1)).cast("bigint")
@@ -129,7 +129,7 @@ def doc_token_stats(spark, sf_dir):
     tags=("documents", "text", "quality"),
 )
 def doc_quality_profile(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         stopword_ratio("text").alias("stopword_ratio"),
@@ -155,7 +155,7 @@ def doc_quality_profile(spark, sf_dir):
     tags=("documents", "text", "langid"),
 )
 def doc_langid_accuracy(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return docs.groupBy("lang", predict_lang("text").alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -187,9 +187,8 @@ def doc_langid_accuracy(spark, sf_dir):
     tags=("documents", "dedup", "lsh"),
 )
 def doc_minhash_lsh_candidates(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    sh = shingles(docs, n=3)
-    sig = minhash_signatures(sh, num_hashes=8)
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
     return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
@@ -213,7 +212,7 @@ def doc_minhash_lsh_candidates(spark, sf_dir):
     tags=("documents", "dedup", "jaccard"),
 )
 def doc_jaccard_near_dup(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sh = shingles(docs, n=3)
     return jaccard_pairs(sh, threshold=0.08)
 
@@ -244,7 +243,7 @@ def doc_jaccard_near_dup(spark, sf_dir):
     tags=("documents", "dedup", "simhash"),
 )
 def doc_simhash(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return simhash(docs, bits=16)
 
 
@@ -259,7 +258,7 @@ def doc_simhash(spark, sf_dir):
     tags=("documents", "text"),
 )
 def doc_fingerprints(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
@@ -292,7 +291,7 @@ list_cosine_similarity(a.e, b.e)
     tags=("embeddings", "similarity"),
 )
 def emb_cosine_topk(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     )
@@ -341,7 +340,7 @@ def emb_cosine_topk(spark, sf_dir):
     tags=("embeddings", "similarity", "lsh"),
 )
 def emb_bucketed_ann_topk(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     dims = [0, 1, 2, 3]
     q = (
         emb.filter(F.col("vec_id") < 20)
@@ -389,7 +388,7 @@ def emb_bucketed_ann_topk(spark, sf_dir):
     tags=("embeddings", "dedup"),
 )
 def emb_near_dup_cosine(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     dims = [0, 1, 2, 3]
     v = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -446,7 +445,7 @@ def emb_near_dup_cosine(spark, sf_dir):
     tags=("multimodal", "pandas-udf"),
 )
 def mm_media_meta(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     media = documents_as_media(docs)
     return extract_media_meta(media)
 
