@@ -45,8 +45,12 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm-up: JVM JIT + AQE + parquet footer caches
+    # warm-up: JVM JIT + AQE + parquet footer caches + Python worker
+    # daemons (pandas-UDF queries otherwise pay ~8 s one-time spawn cost)
     REGISTRY["evt_typed_scan"].spark_fn(spark, SF_DIR).count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

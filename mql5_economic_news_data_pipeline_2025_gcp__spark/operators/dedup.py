@@ -74,25 +74,51 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "d
 
 # -------------------------------------------------------------- minhash
 
+#: Universal-hash seeds (a_k, b_k): h_k = (a_k*h + b_k) mod MINHASH_P over a
+#: 32-bit base hash h. One md5 per shingle total, k variants by arithmetic —
+#: ~k× less hashing than k independent digests, same engine portability
+#: (the DuckDB oracle runs the identical formula).
+MINHASH_SEEDS = [
+    (1000003, 12345),
+    (1000033, 54321),
+    (1000037, 98765),
+    (1000039, 56789),
+    (1000081, 13579),
+    (1000099, 97531),
+    (1000117, 24680),
+    (1000121, 86420),
+]
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _base_hash(col: F.Column) -> F.Column:
+    """Engine-portable 32-bit hash: first 8 hex chars of md5 as a long.
+    DuckDB equivalent: CAST('0x' || substring(md5(x),1,8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _uhash(h: F.Column, k: int) -> F.Column:
+    a, b = MINHASH_SEEDS[k]
+    return (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MINHASH_P)
+
 
 def minhash_signatures(
     sh: DataFrame,
     num_hashes: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: for hash seed k, min over shingles of
-    md5(k || shingle). md5 keeps the construction engine-portable (the
-    DuckDB oracle computes the identical signature).
+    """MinHash signature per doc from exploded (id, shingle) pairs: for
+    hash k, min over shingles of (a_k*md5_32(shingle)+b_k) mod P.
 
     Shape: one hash aggregate on doc_id computing all ``num_hashes``
     mins in a single pass (map-side partial aggregation keeps the
-    shuffle tiny: num_hashes digests per doc per mapper).
+    shuffle tiny: num_hashes longs per doc per mapper).
     """
+    hashed = sh.select(F.col(id_col), _base_hash(F.col("shingle")).alias("_h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(num_hashes)
+        F.min(_uhash(F.col("_h"), k)).alias(f"mh{k}") for k in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures_mapside(
@@ -103,18 +129,24 @@ def minhash_signatures_mapside(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Zero-shuffle MinHash: signatures computed per row from the shingle
-    ARRAY via ``array_min(transform(...))`` — the scan is the only stage.
-    Identical output to :func:`minhash_signatures`; preferred at scale
-    (the explode+groupBy form shuffles |shingles| rows, this shuffles
-    nothing)."""
-    arr = shingle_array(text_col, n)
+    ARRAY — the scan is the only stage. Identical output to
+    :func:`minhash_signatures`; preferred at scale (the explode+groupBy
+    form shuffles |shingles| rows, this shuffles nothing).
+
+    The base-hash array is materialized in its own projection so the one
+    md5-per-shingle is computed once, not once per signature column
+    (CollapseProject keeps the split: 8 uses of a non-cheap expr)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingle_array(text_col, n), _base_hash).alias("_harr"),
+    )
     cols = [
-        F.array_min(
-            F.transform(arr, lambda x: F.md5(F.concat(F.lit(f"{k}|"), x)))
-        ).alias(f"mh{k}")
+        F.array_min(F.transform(F.col("_harr"), lambda h: _uhash(h, k))).alias(
+            f"mh{k}"
+        )
         for k in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -124,8 +156,14 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Band the signature, self-join per band bucket → candidate pairs
-    (a < b). Each band key is the concat of its rows' minhashes."""
+    (a < b). Each band key is the concat of its rows' minhashes.
+
+    The signatures feed BOTH sides of the self-join; the repartition
+    below materializes them in one exchange that Spark reuses
+    (ReusedExchange), so the expensive minhash computation runs once,
+    not twice."""
     num_hashes = bands * rows_per_band
+    signatures = signatures.repartition(id_col)
     banded = signatures.select(
         id_col,
         F.explode(

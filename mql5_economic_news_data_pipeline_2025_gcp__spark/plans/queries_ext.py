@@ -48,6 +48,14 @@ sh AS (
   WHERE len(t) >= 3)
 """
 
+# mirror of operators.dedup.MINHASH_SEEDS / MINHASH_P
+from ..operators.dedup import MINHASH_P, MINHASH_SEEDS  # noqa: E402
+
+_SQL_MINHASH_AGGS = ",\n             ".join(
+    f"min((CAST({a} AS BIGINT)*h + {b}) % {MINHASH_P}) AS mh{k}"
+    for k, (a, b) in enumerate(MINHASH_SEEDS)
+)
+
 
 @register(
     "doc_exact_dedup",
@@ -165,13 +173,13 @@ def doc_langid_accuracy(spark, sf_dir):
     "doc_minhash_lsh_candidates",
     oracle=f"""
     WITH {_SQL_SHINGLES},
-    sig AS (
+    hh AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
-             min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
-             min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
-             min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
-      FROM sh GROUP BY doc_id),
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
     banded AS (
       SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
       UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
