@@ -982,3 +982,69 @@ def fn_clean_text_sentinel(spark, sf_dir):
         .otherwise(F.lit("  ok "))
     )
     return ev.select("event_id", clean_text(s).alias("cleaned"))
+
+
+# =====================================================================
+# §2.10 inference islands (M5): routed pandas_udf prediction
+# =====================================================================
+
+
+@register(
+    "evt_routed_inference",
+    oracle="""
+    WITH routing AS (
+      SELECT user_id, event_type,
+             CASE WHEN count(*) >= 10 THEN 'rnn' ELSE 'xgb' END AS model_type
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT e.event_id, e.user_id, e.event_type, r.model_type, e.ts,
+             CAST(CAST(round(e.value*100) AS BIGINT) AS DOUBLE) AS v
+      FROM events e JOIN routing r USING (user_id, event_type)),
+    rnn AS (
+      SELECT event_id, user_id, event_type, model_type,
+             list(v) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS seq
+      FROM base WHERE model_type = 'rnn'),
+    rnn_pred AS (
+      SELECT event_id, user_id, event_type, model_type,
+             0.25*seq[1] + 0.25*seq[2] + 0.5*seq[3] AS prediction
+      FROM rnn WHERE len(seq) = 3),
+    xgb AS (
+      SELECT event_id, user_id, event_type, model_type,
+             lag(v) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS lag1
+      FROM base WHERE model_type = 'xgb'),
+    xgb_pred AS (
+      SELECT event_id, user_id, event_type, model_type,
+             CASE WHEN lag1 < 0
+                  THEN CASE WHEN event_id % 5 < 2 THEN lag1*0.5
+                            ELSE lag1*0.25 END
+                  ELSE CASE WHEN event_id % 5 < 2 THEN lag1*0.5 + 100.0
+                            ELSE lag1*0.75 END
+             END AS prediction
+      FROM xgb WHERE lag1 IS NOT NULL)
+    SELECT event_id, user_id, event_type, model_type,
+           CAST(prediction AS DOUBLE) AS prediction
+    FROM rnn_pred
+    UNION ALL
+    SELECT event_id, user_id, event_type, model_type,
+           CAST(prediction AS DOUBLE) AS prediction
+    FROM xgb_pred
+    """,
+    description=(
+        "routed pandas_udf inference: rnn series -> sequence windows -> "
+        "LSTM-stub UDF, rest -> lag features -> XGB-stub UDF, unioned "
+        "(SURVEY 2.10, TRAIN:184-231; deterministic stubs keep it "
+        "value-checkable)"
+    ),
+    tags=("events", "inference", "pandas-udf"),
+)
+def evt_routed_inference(spark, sf_dir):
+    from ..operators.inference import route_and_predict
+
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "value_c", F.col("value_c").cast("double")
+    )
+    routing = model_routing(ev, key=("user_id", "event_type"), threshold=10)
+    return route_and_predict(ev, routing)

@@ -124,3 +124,29 @@ def test_run_automate_end_to_end(spark):
     assert len(train_metrics) == 2
     live = res["test"].extra["live_forecasts"].collect()
     assert len(live) == 2 and all(r["ForecastValue"] is not None for r in live)
+
+
+def test_route_and_predict_branches(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.inference import (
+        route_and_predict,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.routing import (
+        model_routing,
+    )
+
+    # series A: 5 rows -> rnn (threshold 4); series B: 2 rows -> xgb
+    rows = [(i, TS(2025, 1, 1, 9 + i), "A", "e", float(100 * (i + 1))) for i in range(5)]
+    rows += [(10, TS(2025, 1, 2, 9), "B", "e", -400.0), (11, TS(2025, 1, 2, 10), "B", "e", 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string, value_c double"
+    )
+    routing = model_routing(df, key=("user_id", "event_type"), threshold=4)
+    out = {r["event_id"]: r for r in route_and_predict(df, routing).collect()}
+    # rnn: only rows 3,4 have a full 3-seq; row 3 seq=[100,200,300]
+    assert set(out) == {3, 4, 11}
+    assert out[3]["model_type"] == "rnn"
+    assert out[3]["prediction"] == 0.25 * 100 + 0.25 * 200 + 0.5 * 300
+    assert out[4]["prediction"] == 0.25 * 200 + 0.25 * 300 + 0.5 * 400
+    # xgb: event_id 11, lag1=-400 < 0, bucket=11%5=1 < 2 -> lag1*0.5
+    assert out[11]["model_type"] == "xgb"
+    assert out[11]["prediction"] == -200.0
