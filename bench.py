@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "doc_simhash",
     "emb_cosine_topk",
     "emb_bucketed_ann_topk",
+    "emb_ivf_topk",
+    "evt_routed_inference",
+    "stream_windowed_counts",
     "mm_media_meta",
 ]
 

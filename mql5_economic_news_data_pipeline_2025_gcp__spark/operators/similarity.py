@@ -131,6 +131,100 @@ def bucketed_ann_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (→ its *cell*). Map-only: centroids are broadcast
+    and the argmax is a per-row loop over |centroids| — no shuffle of the
+    corpus. Ties break on centroid id; similarity rounded for
+    cross-engine determinism.
+
+    ``centroids`` needs (centroid_id, cv) columns. Production swaps the
+    deterministic centroid pick for k-means fit; assignment/search are
+    unchanged.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", F.round(cosine(F.col(vec_col), F.col("cv")), round_digits)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned into centroid cells
+    (inverted file); each query probes its ``nprobe`` nearest cells and
+    scores only those candidates.
+
+    → (query_id, neighbor_id, cosine_sim, rank). At 100 TB: the one-off
+    assignment is map-only; the search joins queries to ~nprobe/|cells|
+    of the corpus instead of all of it, shuffling on cell — cells are the
+    parallelism unit, skewed cells split by AQE. Recall tunes via
+    nprobe × |centroids|.
+    """
+    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cells = ivf_assign(v, centroids, id_col=id_col, round_digits=round_digits)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probe_scores = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scores.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+
+    scored = (
+        cells.join(probes, on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("qv"), F.col("v")), round_digits)
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
 def near_dup_pairs_cosine(
     df: DataFrame,
     threshold: float = 0.95,

@@ -378,6 +378,59 @@ def emb_bucketed_ann_topk(spark, sf_dir):
 
 
 @register(
+    "emb_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT v.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                        c.centroid_id ASC) AS rnk
+      FROM v JOIN cents c ON true),
+    cell AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id AS cell
+      FROM assign WHERE vec_id < 10 AND rnk <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN cell a ON a.cell = p.cell AND a.vec_id != p.query_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(q.e, n.e), 6) AS cosine_sim
+      FROM cand
+      JOIN v q ON q.vec_id = query_id
+      JOIN v n ON n.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+    description=(
+        "IVF approximate top-5: coarse-quantize corpus into 8 centroid "
+        "cells (map-only broadcast argmax), probe 2 nearest cells per "
+        "query, exact cosine within candidates (scale path: search "
+        "touches ~nprobe/|cells| of the corpus)"
+    ),
+    tags=("embeddings", "similarity", "ivf"),
+)
+def emb_ivf_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+@register(
     "emb_near_dup_cosine",
     oracle="""
     WITH v AS (
@@ -460,7 +513,14 @@ def mm_media_meta(spark, sf_dir):
 
 @register(
     "stream_dedup_counts",
-    oracle=None,  # Structured Streaming: rows-only check (§2.9)
+    # a single-drain run has empty watermark state (nothing late), so the
+    # streaming result equals the batch distinct — fully oracle-checkable
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+             AS n_unique_keys
+    FROM events GROUP BY event_type
+    """,
     description="Structured-Streaming ingest: file source → watermark → natural-key dropDuplicates → count per type (AvailableNow batch-drain semantics)",
     tags=("streaming",),
 )
@@ -468,3 +528,21 @@ def stream_dedup_counts(spark, sf_dir):
     from ..streaming.ingest import stream_events_dedup_counts
 
     return stream_events_dedup_counts(spark, sf_dir)
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_sum
+    FROM events GROUP BY 1, 2
+    """,
+    description="watermarked tumbling-window event-time aggregation (1-day windows): state dropped past the watermark bounds memory on unbounded streams (§2.9 parity-plus)",
+    tags=("streaming", "window"),
+)
+def stream_windowed_counts(spark, sf_dir):
+    from ..streaming.ingest import stream_windowed_counts as _swc
+
+    return _swc(spark, sf_dir)

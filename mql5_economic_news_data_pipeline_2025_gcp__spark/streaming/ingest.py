@@ -13,36 +13,37 @@ the monthly-DAG semantics, but incremental and exactly-once.
 At scale: the file source tracks processed files in the checkpoint (no
 re-reads); dropDuplicates state is bounded by the watermark; the
 foreachBatch merge rewrites only partitions that received keys.
+
+Determinism note: a single-drain run starts with empty watermark state,
+so no row is late relative to the watermark and the results equal the
+batch equivalents — which is what makes these oracle-checkable.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_events_dedup_counts(
-    spark: SparkSession,
-    sf_dir: str,
-    watermark: str = "1 hour",
-) -> DataFrame:
-    """Drive a streaming dedup + aggregate over the events parquet and
-    return the materialized result (memory sink, AvailableNow-style).
+def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source readStream over one test parquet (ns-timestamps read
+    as long, converted downstream — same convention as sources.tables).
 
-    Dedup key mirrors the reference natural key: one row per
-    (user_id, event_type, calendar day), then count rows per event_type.
+    The file stream source requires a directory; the single test parquet
+    is exposed through a symlinked temp dir (a real deployment points at
+    the landing prefix directly).
     """
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/events.parquet"
-    arrow_schema = pq.read_schema(path)
-    # build the Spark read schema: ns-timestamps arrive as long
     from pyspark.sql import types as T
 
+    path = f"{sf_dir}/{table}.parquet"
     fields = []
-    for f_ in arrow_schema:
+    for f_ in pq.read_schema(path):
         s = str(f_.type)
         if s.startswith("timestamp[ns"):
             typ: T.DataType = T.LongType()
@@ -59,41 +60,76 @@ def stream_events_dedup_counts(
         else:
             typ = T.StringType()
         fields.append(T.StructField(f_.name, typ, True))
-    schema = T.StructType(fields)
 
-    # the file stream source requires a directory; expose the single test
-    # parquet through a temp dir (a real deployment points at the landing
-    # prefix directly)
-    import os
-    import tempfile
-
-    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-
-    stream = (
-        spark.readStream.schema(schema)
+    stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+    return (
+        spark.readStream.schema(T.StructType(fields))
         .option("maxFilesPerTrigger", "8")
         .parquet(stream_dir)
     )
-    events = stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    ).withColumn("event_date", F.to_date("ts"))
-    deduped = events.withWatermark("ts", watermark).dropDuplicates(
-        ["user_id", "event_type", "event_date"]
-    )
-    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_keys"))
 
+
+def _drain_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a streaming frame to exhaustion into a memory sink and return
+    the materialized result as a batch DataFrame."""
     name = "stream_out_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return agg.sparkSession.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_source(spark, sf_dir, "events")
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def stream_events_dedup_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup + aggregate: one row per natural key
+    (user_id, event_type, calendar day) — the reference's UNIQUE KEY
+    semantics (SQL:20) — then count unique keys per event_type.
+    """
+    events = _events_stream(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type", "event_date"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_keys"))
+    return _drain_to_table(agg)
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over event time: rows and
+    exact value cents per (window, event_type). The windowed-agg state
+    store is the scale mechanism: state is dropped once the watermark
+    passes a window's end, so unbounded streams run in bounded memory.
+    """
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_c_sum",
+        )
+    )
+    return _drain_to_table(agg)
