@@ -55,15 +55,21 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    # Best-of-2 per query: iteration 1 pays one-time codegen compilation
+    # for that query's operators; iteration 2 measures the plan itself.
+    # min also damps noisy-neighbor CPU spikes on shared hosts.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
-        t0 = time.time()
-        df = spec.spark_fn(spark, SF_DIR)
-        # noop sink forces full materialization of every output column
-        # (count() would let Catalyst prune computed columns)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = spec.spark_fn(spark, SF_DIR)
+            # noop sink forces full materialization of every output column
+            # (count() would let Catalyst prune computed columns)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -72,6 +78,8 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "iterations": 2,
+                "agg": "min",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
