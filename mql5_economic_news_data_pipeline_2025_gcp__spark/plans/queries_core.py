@@ -30,7 +30,7 @@ from ..functions.parsers import (
     parse_time_to_seconds,
 )
 from .common import cents, keyed_events, t
-from .registry import register
+from .registry import REGISTRY, register
 
 # =====================================================================
 # Relational coverage (S2-S5, P1-P8, J*, A*, W5-W7 on TPC-H-ish tables)
@@ -1048,3 +1048,79 @@ def evt_routed_inference(spark, sf_dir):
     )
     routing = model_routing(ev, key=("user_id", "event_type"), threshold=10)
     return route_and_predict(ev, routing)
+
+
+@register(
+    "evt_normalize_train_params",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) AS v
+      FROM events),
+    params AS (
+      SELECT user_id, event_type, min(v) AS pmn, max(v) AS pmx
+      FROM base WHERE v > 0 GROUP BY 1, 2),
+    selfp AS (
+      SELECT user_id, event_type, min(v) AS smn, max(v) AS smx
+      FROM base GROUP BY 1, 2),
+    joined AS (
+      SELECT b.event_id, b.user_id, b.event_type, b.v,
+             coalesce(p.pmn, s.smn) AS mn, coalesce(p.pmx, s.smx) AS mx
+      FROM base b
+      JOIN selfp s USING (user_id, event_type)
+      LEFT JOIN params p USING (user_id, event_type))
+    SELECT event_id, user_id, event_type, v,
+           (v - mn) / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) AS v_norm
+    FROM joined
+    """,
+    description=(
+        "min-max normalize with TRAINING params via broadcast join + "
+        "coalesce fallback to self-computed stats (J2/W6 variant, "
+        "VAL:258-287; 'train' sample = positive-valued rows)"
+    ),
+    tags=("events", "normalize", "join"),
+)
+def evt_normalize_train_params(spark, sf_dir):
+    from ..operators.features import normalization_params, with_min_max_normalized
+
+    ev = keyed_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("value_c").cast("double").alias("v"),
+    )
+    params = normalization_params(
+        ev.filter(F.col("v") > 0), ["v"], key=("user_id", "event_type")
+    )
+    out = with_min_max_normalized(
+        ev, ["v"], key=("user_id", "event_type"), params=params
+    )
+    return out.select("event_id", "user_id", "event_type", "v", "v_norm")
+
+
+#: A8: the MLflow-style scalar summary over the flagship metric table
+#: (VAL:317-319 / TEST:209-211). Averages of per-group doubles are
+#: rounded to 4 decimals on both sides (summation order is the one
+#: engine-unspecified step; 1e-13 absolute error vs 1e-4 grid).
+_FLAGSHIP_ORACLE = REGISTRY["evt_metrics_r2_mse"].oracle
+
+
+@register(
+    "evt_metrics_summary",
+    oracle=f"""
+    WITH m AS ({_FLAGSHIP_ORACLE})
+    SELECT CAST(count(*) AS BIGINT) AS n_series,
+           round(avg("R2"), 4) AS mean_r2,
+           round(avg("MSE"), 4) AS mean_mse,
+           CAST(sum("Samples") AS BIGINT) AS total_samples
+    FROM m
+    """,
+    description="metric-table scalar summary: series count, mean R2/MSE, total samples (A8, VAL:317-319)",
+    tags=("events", "metrics", "summary"),
+)
+def evt_metrics_summary(spark, sf_dir):
+    m = evt_metrics_r2_mse(spark, sf_dir)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.round(F.avg("R2"), 4).alias("mean_r2"),
+        F.round(F.avg("MSE"), 4).alias("mean_mse"),
+        F.sum("Samples").alias("total_samples"),
+    )

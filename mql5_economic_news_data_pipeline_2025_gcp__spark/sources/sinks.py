@@ -1,0 +1,65 @@
+"""Table sinks (SURVEY §2.1, S7–S12): the reference's write modes
+re-expressed for a columnar catalog.
+
+| Reference | Here |
+|---|---|
+| batched INSERT append, chunks of 1000/500 (DB:120-150)  | ``save_append`` (row-group batching is the parquet writer's job) |
+| TRUNCATE + insert replace (DB:126-141)                  | ``save_replace`` |
+| append-if-first-run-else-replace (DB:189-198, TEST:227-230) | ``save_conditional`` |
+| joblib split/params hand-off between stages (TRAIN:401-409) | ``persist_splits`` / ``load_splits`` |
+
+All writes are atomic-per-partition parquet; on a real deployment the
+same API fronts ``.write.jdbc(batchsize=N)`` (the reference's MySQL
+sink) or a MERGE-capable table format. Upsert (S9) is the algorithmic
+one and lives in ``operators.upsert``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_append(df: DataFrame, path: str) -> None:
+    """S7: append rows to a table directory."""
+    df.write.mode("append").parquet(path)
+
+
+def save_replace(df: DataFrame, path: str) -> None:
+    """S8: TRUNCATE-then-insert — full replace of the table."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def _table_exists_nonempty(spark: SparkSession, path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    try:
+        return not spark.read.parquet(path).isEmpty()
+    except Exception:
+        return False
+
+
+def save_conditional(spark: SparkSession, df: DataFrame, path: str) -> str:
+    """S10: the reference's live-forecast mode — append when the table is
+    empty/absent (first run), replace otherwise. Returns the mode used."""
+    mode = "append" if not _table_exists_nonempty(spark, path) else "overwrite"
+    df.write.mode(mode).parquet(path)
+    return mode
+
+
+def persist_splits(splits: dict[str, DataFrame], base_dir: str) -> dict[str, str]:
+    """S12: persist named split DataFrames (train/val/test) as parquet —
+    the columnar replacement for the reference's joblib artifact hand-off.
+    Returns name → path."""
+    out = {}
+    for name, df in splits.items():
+        p = os.path.join(base_dir, name)
+        df.write.mode("overwrite").parquet(p)
+        out[name] = p
+    return out
+
+
+def load_splits(spark: SparkSession, base_dir: str, names=("train", "val", "test")) -> dict[str, DataFrame]:
+    """S12 read side: reload persisted splits."""
+    return {n: spark.read.parquet(os.path.join(base_dir, n)) for n in names}

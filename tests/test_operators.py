@@ -150,3 +150,28 @@ def test_route_and_predict_branches(spark):
     # xgb: event_id 11, lag1=-400 < 0, bucket=11%5=1 < 2 -> lag1*0.5
     assert out[11]["model_type"] == "xgb"
     assert out[11]["prediction"] == -200.0
+
+
+def test_sinks_modes(spark, tmp_path):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        load_splits,
+        persist_splits,
+        save_conditional,
+        save_replace,
+    )
+
+    df1 = spark.range(3).withColumnRenamed("id", "x")
+    df2 = spark.range(5).withColumnRenamed("id", "x")
+    t = str(tmp_path / "live")
+    # S10: first write appends (table absent), second replaces
+    assert save_conditional(spark, df1, t) == "append"
+    assert save_conditional(spark, df2, t) == "overwrite"
+    assert spark.read.parquet(t).count() == 5
+    # S8 replace
+    save_replace(df1, t)
+    assert spark.read.parquet(t).count() == 3
+    # S12 split round-trip
+    paths = persist_splits({"train": df1, "val": df2}, str(tmp_path / "splits"))
+    back = load_splits(spark, str(tmp_path / "splits"), names=("train", "val"))
+    assert back["train"].count() == 3 and back["val"].count() == 5
+    assert set(paths) == {"train", "val"}
