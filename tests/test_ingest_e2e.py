@@ -1,0 +1,69 @@
+"""End-to-end ingest-path integration test (SURVEY §3.1): headerless CSV
+→ fixed positional schema → cleaning chain → high-water-mark filter →
+natural-key upsert. Mirrors the reference's monthly push
+(PUSH:194-231) on crafted rows exercising every parser branch.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cleaning import (
+    clean_raw_events,
+    high_water_mark_filter,
+)
+from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import upsert
+from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.csv_source import (
+    read_raw_events_csv,
+)
+
+CSV_BODY = "\n".join(
+    [
+        # ISO date, 24h time, quoted event with comma
+        '2025-03-04,13:30,USD,"Nonfarm Payrolls, SA",high,250K,240K,230K,0,wk1',
+        # US-ambiguous date (month-first wins -> April 3), 12h time
+        '04/03/2025,1:30 PM,EUR,CPI Flash,medium,3.4%,3.2%,3.1%,0,wk1',
+        # long-form date, null-ish text fields -> N/A
+        '4 March 2025,09:00,GBP,GDP QoQ,  ,nan,,-0.1,0,wk1',
+        # unparseable date -> row dropped
+        'not-a-date,09:00,JPY,BoJ Rate,low,1,2,3,0,wk1',
+        # duplicate natural key of row 1, later in file -> upsert winner
+        '2025-03-04,13:30,USD,"Nonfarm Payrolls, SA",high,260K,240K,230K,0,wk1',
+    ]
+)
+
+
+def test_ingest_csv_to_upsert(spark, tmp_path):
+    p = tmp_path / "batch.csv"
+    p.write_text(CSV_BODY + "\n")
+
+    raw = read_raw_events_csv(spark, str(p))
+    assert raw.columns[:4] == ["Date", "Time", "Currency", "Event"]
+    assert raw.count() == 5
+
+    clean = clean_raw_events(raw)
+    rows = {(r["Currency"], r["Event"]): r for r in clean.collect()}
+    # unparseable date dropped; two USD rows share one key pre-upsert
+    assert len(rows) == 3 and clean.count() == 4
+    # US-first ambiguity: 04/03/2025 -> April 3 (PUSH:129-130 order)
+    assert rows[("EUR", "CPI Flash")]["Date"] == datetime.date(2025, 4, 3)
+    assert rows[("EUR", "CPI Flash")]["Time"] == "13:30"
+    # null-ish -> N/A sentinel
+    gbp = rows[("GBP", "GDP QoQ")]
+    assert gbp["Impact"] == "N/A" and gbp["Actual"] == "N/A" and gbp["Forecast"] == "N/A"
+    assert gbp["Previous"] == "-0.1"
+
+    # upsert into an existing table: newest duplicate wins, older ts kept
+    existing = clean.filter(F.col("Currency") == "GBP")
+    merged = upsert(existing, clean)
+    assert merged.count() == 3
+    usd = merged.filter(F.col("Currency") == "USD").first()
+    assert usd["Actual"] == "260K"
+
+    # high-water-mark: only rows strictly after existing max pass
+    hwm_new = high_water_mark_filter(clean, existing)
+    # GBP row is 09:00 Mar 4; USD 13:30 Mar 4 and EUR Apr 3 pass
+    assert hwm_new.count() == 3  # (two USD dup rows + EUR)
+    assert hwm_new.filter(F.col("Currency") == "GBP").count() == 0
