@@ -1124,3 +1124,49 @@ def evt_metrics_summary(spark, sf_dir):
         F.round(F.avg("MSE"), 4).alias("mean_mse"),
         F.sum("Samples").alias("total_samples"),
     )
+
+
+@register(
+    "evt_salted_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_c,
+           CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_c,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(value) AS BIGINT) AS mean_c
+    FROM events GROUP BY event_type
+    """,
+    description=(
+        "salted two-phase aggregation over a hot low-cardinality key "
+        "(5 event types x 10k+ rows): (key,salt) partial agg spreads each "
+        "hot key over 16 reducers, tiny merge finishes; avg decomposed as "
+        "exact sum/count (skew mitigation, SURVEY §4)"
+    ),
+    tags=("events", "aggregate", "skew"),
+)
+def evt_salted_heavy_hitters(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = keyed_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        key=("event_type",),
+        aggs={
+            "n": ("count", "value_c"),
+            "total_c": ("sum", "value_c"),
+            "min_c": ("min", "value_c"),
+            "max_c": ("max", "value_c"),
+            "mean_c": ("avg", "value_c"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "total_c",
+        "min_c",
+        "max_c",
+        F.col("mean_c").cast("double").alias("mean_c"),
+    )

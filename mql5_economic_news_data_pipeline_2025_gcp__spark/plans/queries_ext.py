@@ -546,3 +546,35 @@ def stream_windowed_counts(spark, sf_dir):
     from ..streaming.ingest import stream_windowed_counts as _swc
 
     return _swc(spark, sf_dir)
+
+
+@register(
+    "stream_series_state",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_c,
+           CAST(max(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hwm_ts
+    FROM events GROUP BY 1, 2
+    """,
+    description=(
+        "applyInPandasWithState custom stateful operator: per-series "
+        "running count / max / high-water-mark advanced across "
+        "micro-batches; O(1) state per key (2.9 parity-plus; the "
+        "streaming form of TRAIN:377-389 + PUSH:160-167 bookkeeping)"
+    ),
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_series_state(spark, sf_dir):
+    from ..streaming.stateful import stream_series_running_state
+
+    raw = stream_series_running_state(spark, sf_dir)
+    # update-mode sinks append one row per key per batch; keep the
+    # latest (n is cumulative, so max-n struct = final state)
+    latest = raw.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("n", "max_c", "hwm_ts")).alias("s")
+    )
+    return latest.select(
+        "user_id", "event_type", F.col("s.n").alias("n"),
+        F.col("s.max_c").alias("max_c"), F.col("s.hwm_ts").alias("hwm_ts"),
+    )

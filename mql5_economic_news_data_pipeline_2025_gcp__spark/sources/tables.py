@@ -43,7 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double
+        # division drifts by up to ±1 µs vs DuckDB's exact truncation
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

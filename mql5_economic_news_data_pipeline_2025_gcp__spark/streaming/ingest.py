@@ -84,9 +84,8 @@ def _drain_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_source(spark, sf_dir, "events")
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer `div` (not `/`): epoch-nanos exceed 2^53 double precision
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_events_dedup_counts(
