@@ -85,6 +85,51 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
 
 
+#: Output schema of the feature-extraction stage.
+MEDIA_FEATURES_SCHEMA = (
+    "asset_id long, media_type string, "
+    "f0 long, f1 long, f2 long, f3 long, "
+    "resized_w int, resized_h int"
+)
+
+#: Resize target (the usual vision-model input clamp).
+RESIZE_MAX = 224
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` decode → feature-extract → resize stage.
+
+    Real deployments decode the payload (PIL / torchvision) and run a
+    vision encoder; here the "embedding" is four 32-bit words of the
+    payload md5 (deterministic, testable) and "resize" clamps the
+    decoded dimensions to ``RESIZE_MAX`` — the plumbing (schema, Arrow
+    batching, partition-parallel map) is the production shape.
+    """
+    import hashlib
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            digests = [hashlib.md5(p).hexdigest() for p in payloads]
+            metas = [
+                _decode_stub(p, mt) for p, mt in zip(payloads, pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    **{
+                        f"f{i}": [int(d[8 * i : 8 * i + 8], 16) for d in digests]
+                        for i in range(4)
+                    },
+                    "resized_w": [min(m["width"], RESIZE_MAX) for m in metas],
+                    "resized_h": [min(m["height"], RESIZE_MAX) for m in metas],
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=MEDIA_FEATURES_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as fake media payloads so the
     multimodal plumbing is exercisable on the synthetic ``documents``

@@ -1170,3 +1170,40 @@ def evt_salted_heavy_hitters(spark, sf_dir):
         "max_c",
         F.col("mean_c").cast("double").alias("mean_c"),
     )
+
+
+#: S3: the SQL entry path — one ANSI text, two engines. Runs through
+#: spark.sql over catalog-registered views (sources.tables.register_views)
+#: and verbatim through DuckDB as its own oracle.
+_SQL_TOP_CUSTOMERS = """
+    WITH tot AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, c_custkey, total_c,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY total_c DESC, c_custkey ASC) AS rnk
+      FROM tot)
+    SELECT segment, c_custkey, total_c, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "sql_top_customers_per_segment",
+    oracle=_SQL_TOP_CUSTOMERS,
+    description=(
+        "S3 SQL entry path: identical ANSI text through spark.sql over "
+        "catalog views and through the oracle — join + grouped sum + "
+        "ranked window, exact cents"
+    ),
+    tags=("relational", "sql-api"),
+)
+def sql_top_customers_per_segment(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_CUSTOMERS)

@@ -578,3 +578,41 @@ def stream_series_state(spark, sf_dir):
         "user_id", "event_type", F.col("s.n").alias("n"),
         F.col("s.max_c").alias("max_c"), F.col("s.hwm_ts").alias("hwm_ts"),
     )
+
+
+@register(
+    "mm_media_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n, md5(text) AS d
+      FROM documents)
+    SELECT asset_id, media_type,
+           CAST(('0x' || substring(d, 1, 8)) AS BIGINT) AS f0,
+           CAST(('0x' || substring(d, 9, 8)) AS BIGINT) AS f1,
+           CAST(('0x' || substring(d, 17, 8)) AS BIGINT) AS f2,
+           CAST(('0x' || substring(d, 25, 8)) AS BIGINT) AS f3,
+           CAST(CASE media_type WHEN 'image' THEN least(64 + n % 512, 224)
+                                WHEN 'audio' THEN 0
+                                ELSE least(320 + n % 1280, 224) END AS INT)
+             AS resized_w,
+           CAST(CASE media_type WHEN 'image' THEN least(64 + (n // 7) % 512, 224)
+                                WHEN 'audio' THEN 0
+                                ELSE least(240 + (n // 3) % 720, 224) END AS INT)
+             AS resized_h
+    FROM base
+    """,
+    description=(
+        "multimodal decode -> feature-extract -> resize via mapInPandas: "
+        "md5-word stub embedding + dimension clamp (production shape with "
+        "a deterministic decoder; swap PIL/torchvision at the seam)"
+    ),
+    tags=("multimodal", "pandas-udf"),
+)
+def mm_media_features(spark, sf_dir):
+    from ..operators.multimodal import extract_media_features
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return extract_media_features(documents_as_media(docs))
