@@ -1207,3 +1207,88 @@ def sql_top_customers_per_segment(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TOP_CUSTOMERS)
+
+
+@register(
+    "evt_asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value*100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(round(value*100) AS BIGINT)) AS rv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts, l.v, r.rv AS rv_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    description=(
+        "as-of join (time-series primitive Spark lacks): latest purchase "
+        "value at-or-before each click, per user — union + ordered-window "
+        "form (O(n+m)/key, one shuffle), vs DuckDB's native ASOF JOIN"
+    ),
+    tags=("events", "window", "asof"),
+)
+def evt_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = keyed_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value_c").alias("v")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value_c").alias("rv"))
+    )
+    out = asof_join(
+        left, right, key=("user_id",), ts_col="ts", value_cols=("rv",)
+    )
+    return out.select("event_id", "user_id", "ts", "v", F.col("rv_asof"))
+
+
+@register(
+    "rel_rollup_revenue",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT)
+             AS grp_id,
+           CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    description=(
+        "ROLLUP grouping sets over the star join: per-nation, per-region "
+        "and grand-total revenue in one pass (partial aggregation + "
+        "grouping-id expansion; dims broadcast)"
+    ),
+    tags=("relational", "aggregate", "rollup"),
+)
+def rel_rollup_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    out = joined.rollup("r_name", "n_name").agg(
+        F.sum(cents("o_totalprice")).alias("revenue_c"),
+        (F.grouping("r_name") * 2 + F.grouping("n_name"))
+        .cast("bigint")
+        .alias("grp_id"),
+    )
+    return out.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        "grp_id",
+        "revenue_c",
+    )

@@ -175,3 +175,26 @@ def test_sinks_modes(spark, tmp_path):
     back = load_splits(spark, str(tmp_path / "splits"), names=("train", "val"))
     assert back["train"].count() == 3 and back["val"].count() == 5
     assert set(paths) == {"train", "val"}
+
+
+def test_asof_join_semantics(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", TS(2025, 1, 1, 9, 0)), (2, "u", TS(2025, 1, 1, 12, 0)),
+         (3, "v", TS(2025, 1, 1, 9, 0))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", TS(2025, 1, 1, 9, 0), 10), ("u", TS(2025, 1, 1, 11, 0), 20),
+         ("v", TS(2025, 1, 1, 10, 0), 99)],
+        "user_id string, ts timestamp, rv long",
+    )
+    out = {r["event_id"]: r["rv_asof"] for r in asof_join(
+        left, right, key=("user_id",), value_cols=("rv",)
+    ).collect()}
+    assert out[1] == 10      # exactly-simultaneous right row IS visible
+    assert out[2] == 20      # latest at-or-before wins
+    assert out[3] is None    # no prior right row -> NULL (left outer)
