@@ -198,3 +198,30 @@ def test_asof_join_semantics(spark):
     assert out[1] == 10      # exactly-simultaneous right row IS visible
     assert out[2] == 20      # latest at-or-before wins
     assert out[3] is None    # no prior right row -> NULL (left outer)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.bucketed import (
+        cluster_for_join,
+    )
+
+    left = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "lv", F.col("k") * 2
+    )
+    right = spark.range(500).withColumnRenamed("id", "k").withColumn(
+        "rv", F.col("k") * 3
+    )
+    bl, br = cluster_for_join(spark, left, right, key=("k",), n_buckets=8)
+    # defeat broadcast so the co-location (not broadcast) avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(br, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS _bkt_left")
+        spark.sql("DROP TABLE IF EXISTS _bkt_right")
