@@ -37,7 +37,11 @@ BENCH_QUERIES = [
     "emb_bucketed_ann_topk",
     "emb_ivf_topk",
     "evt_routed_inference",
+    "evt_asof_join",
+    "evt_salted_heavy_hitters",
+    "rel_rollup_revenue",
     "stream_windowed_counts",
+    "stream_series_state",
     "mm_media_meta",
 ]
 
