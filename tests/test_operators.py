@@ -225,3 +225,51 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS _bkt_left")
         spark.sql("DROP TABLE IF EXISTS _bkt_right")
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.ingest import (
+        stream_upsert_foreachbatch,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import (
+        upsert,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    target = str(tmp_path / "events_upserted")
+    out = stream_upsert_foreachbatch(spark, sf, target)
+
+    # streamed merge == batch upsert on the same natural key
+    ev = load_table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
+    expect = upsert(None, ev, key=("user_id", "event_type", "event_date"), recency_col="ts")
+    assert out.count() == expect.count()
+    # one row per natural key
+    assert (
+        out.groupBy("user_id", "event_type", "event_date").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_split_scale_path(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.split import (
+        split_labels,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    labeled = split_labels(ev, order=("ts",), exact=False)
+    counts = {r["split"]: r["count"] for r in labeled.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == ev.count()
+    # quantile cutoffs approximate the 70/15/15 ratios
+    assert abs(counts["train"] / n - 0.70) < 0.05
+    assert abs(counts.get("val", 0) / n - 0.15) < 0.05
+    # chronological: max(train ts) <= min(test ts)
+    mx_train = labeled.filter(F.col("split") == "train").agg(F.max("ts")).first()[0]
+    mn_test = labeled.filter(F.col("split") == "test").agg(F.min("ts")).first()[0]
+    assert mx_train <= mn_test
