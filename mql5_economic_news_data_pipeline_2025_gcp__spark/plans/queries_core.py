@@ -1292,3 +1292,68 @@ def rel_rollup_revenue(spark, sf_dir):
         "grp_id",
         "revenue_c",
     )
+
+
+@register(
+    "evt_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50,
+           quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90,
+           CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.99)
+                AS BIGINT) AS p99_disc
+    FROM events GROUP BY event_type
+    """,
+    description=(
+        "exact interpolated percentiles per type (sort-based aggregate; "
+        "at scale swap for approx_percentile's one-pass sketch when "
+        "exactness is not contractual) — bitwise-matched vs quantile_cont"
+    ),
+    tags=("events", "aggregate", "percentile"),
+)
+def evt_value_percentiles(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value_c, 0.5)").alias("p50"),
+        F.expr("percentile(value_c, 0.9)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value_c)")
+        .cast("bigint")
+        .alias("p99_disc"),
+    )
+
+
+@register(
+    "evt_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+    description=(
+        "interval (range) join via time-bucketed equi-join: clicks "
+        "within 1h after an error by the same user — O(equi-join) "
+        "instead of the per-key cross product a theta join costs"
+    ),
+    tags=("events", "join", "range"),
+)
+def evt_interval_join(spark, sf_dir):
+    from ..operators.rangejoin import interval_join
+
+    ev = keyed_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    out = interval_join(
+        clicks, errors, key=("user_id",), ts_col="ts",
+        start_col="start", end_col="end", bucket_width_s=3600,
+    )
+    return out.select("click_id", "error_id")
