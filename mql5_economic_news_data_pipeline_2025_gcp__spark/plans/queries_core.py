@@ -1357,3 +1357,39 @@ def evt_interval_join(spark, sf_dir):
         start_col="start", end_col="end", bucket_width_s=3600,
     )
     return out.select("click_id", "error_id")
+
+
+@register(
+    "cat_table_census",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+    description=(
+        "catalog walk: per-table row census as ONE lazy union plan "
+        "(S5/S6/A10, DB:223-231's SHOW TABLES + COUNT loop without the "
+        "driver-side iteration)"
+    ),
+    tags=("catalog", "aggregate"),
+)
+def cat_table_census(spark, sf_dir):
+    from functools import reduce
+
+    from ..schemas import SYNTHETIC_TABLES
+
+    parts = [
+        t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for name in SYNTHETIC_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
