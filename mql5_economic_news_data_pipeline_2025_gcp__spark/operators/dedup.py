@@ -252,6 +252,69 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+# ------------------------------------------------- dedup clustering (CC)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → cluster id =
+    min doc id in the component (the canonical survivor). The iterative
+    step LSH/Jaccard feed into: pairs only say "these two are similar";
+    clustering turns that into dedup groups.
+
+    Iterative min-label propagation to fixpoint: each round every node
+    takes the min label among itself and its neighbors. Converges in
+    O(component diameter) rounds — near-dup clusters are shallow (star
+    or chain of a few docs), so 3-5 rounds in practice; ``max_iter``
+    bounds adversarial chains.
+
+    Scale shape per round: one equi-join labels⋈edges + one min-agg —
+    both shuffle on node id, AQE-coalesced. Labels are checkpointed
+    every round (localCheckpoint) so the plan does not grow with the
+    iteration count; convergence is detected via the label sum, which
+    strictly decreases until fixpoint (labels only ever decrease).
+    Fixpoint output is iteration-order independent → deterministic.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # --------------------------------------------------------------- simhash
 
 

@@ -616,3 +616,50 @@ def mm_media_features(spark, sf_dir):
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return extract_media_features(documents_as_media(docs))
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node, min(label) AS label FROM walk GROUP BY node)
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS cluster_id FROM cc
+    """,
+    description=(
+        "iterative connected-components dedup clustering over MinHash-LSH "
+        "candidate pairs: min-label propagation to fixpoint (checkpointed "
+        "per round, O(diameter) rounds); cluster id = canonical min doc"
+    ),
+    tags=("documents", "dedup", "iterative"),
+)
+def doc_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return dedup_clusters(pairs, docs, id_col="doc_id")
