@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "evt_sessionize",
     "doc_minhash_lsh_candidates",
     "doc_jaccard_near_dup",
+    "doc_dedup_clusters",
     "doc_simhash",
     "emb_cosine_topk",
     "emb_bucketed_ann_topk",
