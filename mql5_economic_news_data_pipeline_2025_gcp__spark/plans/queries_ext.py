@@ -663,3 +663,32 @@ def doc_dedup_clusters(spark, sf_dir):
     sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     return dedup_clusters(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "doc_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+'))
+                + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+             AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+    description=(
+        "token counting two ways: whitespace tokens + BPE-ish sub-word "
+        "fragments (word runs + standalone punct; lookaround split in "
+        "Spark, equivalent run/char-count identity in the RE2 oracle)"
+    ),
+    tags=("documents", "text", "tokens"),
+)
+def doc_bpe_token_counts(spark, sf_dir):
+    from ..operators.textops import bpe_ish_token_count
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+    )
