@@ -1393,3 +1393,64 @@ def cat_table_census(spark, sf_dir):
         for name in SYNTHETIC_TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "evt_live_forecast_denorm",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) AS v
+      FROM events),
+    feat AS (
+      SELECT *,
+             lag(v) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS lag1,
+             min(v) OVER (PARTITION BY user_id, event_type) AS mn,
+             max(v) OVER (PARTITION BY user_id, event_type) AS mx,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM base)
+    SELECT user_id, event_type,
+           ((lag1 - mn) / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END))
+             * (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + mn
+             AS "ForecastValue"
+    FROM feat WHERE rn = 1 AND lag1 IS NOT NULL
+    """,
+    description=(
+        "live forecast: latest-per-series normalized stub prediction "
+        "denormalized back to value space (W5 + W6 inverse, TEST:95-120; "
+        "normalize/denormalize round-trip through identical float trees)"
+    ),
+    tags=("events", "window", "forecast"),
+)
+def evt_live_forecast_denorm(spark, sf_dir):
+    from ..operators.features import denormalize, latest_per_group
+
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "v", F.col("value_c").cast("double")
+    )
+    key = ("user_id", "event_type")
+    w = Window.partitionBy(*key).orderBy("ts", "event_id")
+    wk = Window.partitionBy(*key)
+    feat = (
+        ev.withColumn("lag1", F.lag("v", 1).over(w))
+        .withColumn("mn", F.min("v").over(wk))
+        .withColumn("mx", F.max("v").over(wk))
+    )
+    rng = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        F.col("mx") - F.col("mn")
+    )
+    feat = feat.withColumn("pred_norm", (F.col("lag1") - F.col("mn")) / rng)
+    latest = latest_per_group(
+        feat.filter(F.col("lag1").isNotNull()),
+        key=key,
+        order_col="ts",
+        tie_breaker="event_id",
+    )
+    return latest.select(
+        *key,
+        denormalize(F.col("pred_norm"), F.col("mn"), F.col("mx")).alias(
+            "ForecastValue"
+        ),
+    )
