@@ -48,6 +48,27 @@ def save_conditional(spark: SparkSession, df: DataFrame, path: str) -> str:
     return mode
 
 
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols=("event_month",),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned layout (the 100 TB events-table shape): partition
+    by month(event_ts) so (a) the monthly ingest merge rewrites ONE
+    partition, (b) high-water-mark and date-range predicates prune
+    partitions at plan time. With ``mode='overwrite'`` and dynamic
+    partition overwrite, only partitions present in ``df`` are replaced.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def persist_splits(splits: dict[str, DataFrame], base_dir: str) -> dict[str, str]:
     """S12: persist named split DataFrames (train/val/test) as parquet —
     the columnar replacement for the reference's joblib artifact hand-off.

@@ -273,3 +273,43 @@ def test_split_scale_path(spark):
     mx_train = labeled.filter(F.col("split") == "train").agg(F.max("ts")).first()[0]
     mn_test = labeled.filter(F.col("split") == "test").agg(F.min("ts")).first()[0]
     assert mx_train <= mn_test
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, v string")
+    expected = sorted(
+        (r["k"], r["payload"], r["v"]) for r in big.join(small, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["v"])
+        for r in salted_join(big, small, key=("k",), n_salt=4).collect()
+    )
+    assert got == expected and len(got) == 300
+
+
+def test_save_partitioned_dynamic_overwrite(spark, tmp_path):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        save_partitioned,
+    )
+
+    p = str(tmp_path / "events_by_month")
+    df1 = spark.createDataFrame(
+        [("2025-01", 1), ("2025-02", 2)], "event_month string, x int"
+    )
+    save_partitioned(df1, p)
+    # re-write ONLY february; january partition must survive
+    df2 = spark.createDataFrame([("2025-02", 99)], "event_month string, x int")
+    save_partitioned(df2, p)
+    out = {(r["event_month"], r["x"]) for r in spark.read.parquet(p).collect()}
+    assert out == {("2025-01", 1), ("2025-02", 99)}
+    # partition pruning: a month predicate scans one partition
+    pruned = spark.read.parquet(p).filter(F.col("event_month") == "2025-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_month" in plan
