@@ -87,6 +87,44 @@ def _default_predict(df: DataFrame) -> DataFrame:
     return df.withColumn("prediction", F.col("value_lag1"))
 
 
+def routed_stub_predict(
+    df: DataFrame,
+    key=SERIES_KEY,
+    order=("event_ts",),
+) -> DataFrame:
+    """M5↔M6 integration: route each series through its pandas_udf
+    inference island (LSTM-stub over sequence windows for 'rnn' series,
+    XGB-stub over lag features otherwise — TRAIN:184-231). Expects a
+    ``model_type`` column (from routing.with_model_type); rows a branch
+    cannot score (short history / no lag) get NULL predictions, which
+    the metric aggregate then ignores — the reference's skip behavior.
+    """
+    from .operators.inference import SEQ_LENGTH, lstm_stub_predict, xgb_stub_predict
+
+    w = Window.partitionBy(*key).orderBy(*order)
+    rnn = (
+        df.filter(F.col("model_type") == "rnn")
+        .withColumn(
+            "_seq", F.collect_list("value").over(w.rowsBetween(-SEQ_LENGTH, -1))
+        )
+        .withColumn(
+            "prediction",
+            F.when(
+                F.size("_seq") == SEQ_LENGTH, lstm_stub_predict(F.col("_seq"))
+            ),
+        )
+        .drop("_seq")
+    )
+    xgb = df.filter(F.col("model_type") != "rnn").withColumn(
+        "prediction",
+        F.when(
+            F.col("value_lag1").isNotNull(),
+            xgb_stub_predict(F.col("value_lag1"), F.lit(0).cast("long")),
+        ),
+    )
+    return rnn.unionByName(xgb)
+
+
 def build_features(
     events: DataFrame,
     key=SERIES_KEY,
@@ -168,6 +206,7 @@ def run_test(
     feats = with_min_max_normalized(
         feats, ["value"], key=key, params=train_result.extra["norm_params"]
     )
+    feats = with_model_type(feats, train_result.extra["routing"], key=key)
     scored = predict_fn(feats)
     metrics = group_metrics(scored, actual_col="value", pred_col="prediction", key=key)
     live = latest_per_group(

@@ -939,7 +939,9 @@ def fn_parse_time_roundtrip(spark, sf_dir):
                 WHEN m = 2 THEN CAST(c AS DOUBLE) * 1000000.0
                 WHEN m = 3 THEN NULL
                 WHEN m = 4 THEN NULL
-                ELSE CAST(-c AS DOUBLE) END AS parsed
+                -- parse the STRING like the engine does: '-0' must give
+                -- IEEE -0.0, not integer-negation +0.0 (hash-visible)
+                ELSE CAST('-' || CAST(c AS VARCHAR) AS DOUBLE) END AS parsed
     FROM b
     """,
     description="F4 numeric parse: %, K/M suffixes, negatives, N/A and garbage → NULL (TRAIN:37-59)",

@@ -313,3 +313,27 @@ def test_save_partitioned_dynamic_overwrite(spark, tmp_path):
     pruned = spark.read.parquet(p).filter(F.col("event_month") == "2025-01")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_month" in plan
+
+
+def test_run_automate_with_routed_inference(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.pipeline import (
+        routed_stub_predict,
+    )
+
+    rows = []
+    base = TS(2025, 1, 1)
+    # USD: 60 rows -> rnn branch (threshold 50); EUR: 30 rows -> xgb
+    for cur, n in (("USD", 60), ("EUR", 30)):
+        for i in range(n):
+            rows.append(
+                (base + datetime.timedelta(hours=i), cur, "CPI", float(i % 9), 1)
+            )
+    df = spark.createDataFrame(
+        rows, "event_ts timestamp, Currency string, Event string, value double, ImpactOrdinal int"
+    )
+    res = run_automate(df, predict_fn=routed_stub_predict)
+    m = {(r["Currency"], r["Event"]): r for r in res["train"].metrics.collect()}
+    assert ("USD", "CPI") in m and ("EUR", "CPI") in m
+    assert all(r["Samples"] >= 2 for r in m.values())
+    live = res["test"].extra["live_forecasts"].collect()
+    assert len(live) >= 1 and all(r["ForecastValue"] is not None for r in live)
