@@ -1456,3 +1456,50 @@ def evt_live_forecast_denorm(spark, sf_dir):
             "ForecastValue"
         ),
     )
+
+
+@register(
+    "evt_series_trend",
+    oracle="""
+    WITH idx AS (
+      SELECT user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) - 1 AS x
+      FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sx2
+      FROM idx GROUP BY 1, 2),
+    fit AS (
+      SELECT user_id, event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope,
+             sy, sx
+      FROM s WHERE n >= 2)
+    SELECT user_id, event_type, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           n
+    FROM fit
+    """,
+    description=(
+        "per-series OLS trend via applyInPandas grouped-map (whole-group "
+        "custom logic, SURVEY 2.10 grouped processing): int64-exact sums "
+        "inside the UDF, single float division - bit-matched vs the "
+        "closed-form SQL"
+    ),
+    tags=("events", "pandas-udf", "grouped"),
+)
+def evt_series_trend(spark, sf_dir):
+    from ..operators.grouped import series_trend
+
+    ev = keyed_events(spark, sf_dir)
+    return series_trend(
+        ev, key=("user_id", "event_type"), value_col="value_c",
+        order=("ts", "event_id"),
+    )
