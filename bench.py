@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "emb_bucketed_ann_topk",
     "emb_ivf_topk",
     "evt_routed_inference",
+    "evt_series_trend",
     "evt_asof_join",
     "evt_salted_heavy_hitters",
     "rel_rollup_revenue",

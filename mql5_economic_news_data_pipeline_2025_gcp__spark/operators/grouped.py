@@ -43,14 +43,21 @@ def series_trend(
     )
     sort_cols = [*order, value_col]
 
+    import numpy as np
+
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(columns=[*key, "slope", "intercept", "n"])
-        y = [int(v) for v in pdf[value_col]]
-        sy = sum(y)
-        sxy = sum(i * v for i, v in enumerate(y))
+        order_idx = np.lexsort(
+            [pdf[c].to_numpy() for c in reversed(sort_cols)]
+        )
+        # int64 numpy accumulation — exact for |values| within the
+        # documented bounds, identical to arbitrary-precision sums
+        y = pdf[value_col].to_numpy(np.int64)[order_idx]
+        x = np.arange(n, dtype=np.int64)
+        sy = int(y.sum())
+        sxy = int((x * y).sum())
         sx = n * (n - 1) // 2
         sx2 = (n - 1) * n * (2 * n - 1) // 6
         den = n * sx2 - sx * sx
@@ -66,3 +73,79 @@ def series_trend(
         )
 
     return df.groupBy(*key).applyInPandas(_fit, schema=out_schema)
+
+
+def series_trend_fast(
+    df: DataFrame,
+    key: Sequence[str] = ("Currency", "Event"),
+    value_col: str = "value_c",
+    order: Sequence[str] = ("event_ts",),
+) -> DataFrame:
+    """Same OLS trend as :func:`series_trend`, built for MANY groups.
+
+    ``applyInPandas`` pays per-GROUP overhead (one Arrow round-trip and
+    pandas frame per group — measured ~1 ms/group/core even for a no-op
+    UDF: fine for 10³ series, wrong for 10⁷). This form pays per-BATCH
+    overhead instead: repartition on the key + sortWithinPartitions
+    makes every group contiguous inside a partition, then ONE
+    ``mapInPandas`` pass reduces each Arrow batch with numpy slices,
+    carrying partial sums across batch boundaries. Identical output
+    (int64-exact sums, same division tree).
+    """
+    import numpy as np
+
+    key = list(key)
+    out_schema = ", ".join(
+        [f"{k} {dict(df.dtypes)[k]}" for k in key]
+        + ["slope double", "intercept double", "n long"]
+    )
+    narrow = df.select(*key, *order, value_col)
+    parts = narrow.repartition(*key).sortWithinPartitions(*key, *order, value_col)
+
+    def _finish(kvals, n, sy, sxy):
+        if n < 2:
+            return None
+        sx = n * (n - 1) // 2
+        sx2 = (n - 1) * n * (2 * n - 1) // 6
+        slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return (*kvals, slope, intercept, n)
+
+    def _reduce(batches):
+        carry = None  # (key_tuple, n, sy, sxy)
+        for pdf in batches:
+            out = []
+            y = pdf[value_col].to_numpy(np.int64)
+            keys = list(zip(*(pdf[k] for k in key)))
+            m = len(pdf)
+            # group boundaries within the (sorted) batch
+            starts = [0] + [i for i in range(1, m) if keys[i] != keys[i - 1]]
+            ends = starts[1:] + [m]
+            for s_, e_ in zip(starts, ends):
+                kv, seg = keys[s_], y[s_:e_]
+                ln = e_ - s_
+                if carry is not None and carry[0] == kv:
+                    _, n0, sy0, sxy0 = carry
+                    x = np.arange(n0, n0 + ln, dtype=np.int64)
+                    acc = (kv, n0 + ln, sy0 + int(seg.sum()), sxy0 + int((x * seg).sum()))
+                else:
+                    if carry is not None:
+                        row = _finish(*carry)
+                        if row:
+                            out.append(row)
+                    x = np.arange(ln, dtype=np.int64)
+                    acc = (kv, ln, int(seg.sum()), int((x * seg).sum()))
+                carry = acc
+                if e_ != m:  # group closed inside this batch
+                    row = _finish(*carry)
+                    if row:
+                        out.append(row)
+                    carry = None
+            if out:
+                yield pd.DataFrame(out, columns=[*key, "slope", "intercept", "n"])
+        if carry is not None:
+            row = _finish(*carry)
+            if row:
+                yield pd.DataFrame([row], columns=[*key, "slope", "intercept", "n"])
+
+    return parts.mapInPandas(_reduce, schema=out_schema)

@@ -1496,10 +1496,10 @@ def evt_live_forecast_denorm(spark, sf_dir):
     tags=("events", "pandas-udf", "grouped"),
 )
 def evt_series_trend(spark, sf_dir):
-    from ..operators.grouped import series_trend
+    from ..operators.grouped import series_trend_fast
 
     ev = keyed_events(spark, sf_dir)
-    return series_trend(
+    return series_trend_fast(
         ev, key=("user_id", "event_type"), value_col="value_c",
         order=("ts", "event_id"),
     )

@@ -337,3 +337,19 @@ def test_run_automate_with_routed_inference(spark):
     assert all(r["Samples"] >= 2 for r in m.values())
     live = res["test"].extra["live_forecasts"].collect()
     assert len(live) >= 1 and all(r["ForecastValue"] is not None for r in live)
+
+
+def test_series_trend_fast_matches_grouped_map(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.grouped import (
+        series_trend,
+        series_trend_fast,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    ev = keyed_events(spark, "/root/testdata/sf0.001")
+    kw = dict(key=("user_id", "event_type"), value_col="value_c", order=("ts", "event_id"))
+    a = sorted(map(tuple, series_trend(ev, **kw).collect()))
+    b = sorted(map(tuple, series_trend_fast(ev, **kw).collect()))
+    assert a == b and len(a) > 0
