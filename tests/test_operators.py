@@ -353,3 +353,17 @@ def test_series_trend_fast_matches_grouped_map(spark):
     a = sorted(map(tuple, series_trend(ev, **kw).collect()))
     b = sorted(map(tuple, series_trend_fast(ev, **kw).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, nodes).collect()}
+    # chain 1-2-3 collapses to min id 1 (requires >1 propagation round)
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
