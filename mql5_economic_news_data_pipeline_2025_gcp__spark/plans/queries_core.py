@@ -1503,3 +1503,63 @@ def evt_series_trend(spark, sf_dir):
         ev, key=("user_id", "event_type"), value_col="value_c",
         order=("ts", "event_id"),
     )
+
+
+@register(
+    "rel_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_orderkey,
+             CAST(o.o_orderdate AS DATE) AS o_orderdate,
+             o.o_orderpriority,
+             CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS revenue_cc
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue_cc DESC, l_orderkey ASC)
+               AS rnk
+      FROM rev)
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cc,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    description=(
+        "TPC-H Q3 shape (shipping priority): selective 3-way join with "
+        "date pushdown on both scans, exact-cents revenue agg, "
+        "deterministic top-10 (rank with key tie-break, not bare LIMIT)"
+    ),
+    tags=("relational", "join", "topk"),
+)
+def rel_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = "1998-01-01"
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev_line = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev_line).alias("revenue_cc"))
+    )
+    # TakeOrderedAndProject (O(k) heap per partition + driver merge), NOT
+    # a global row_number window; the (revenue, orderkey) order is total,
+    # so the limit is deterministic. rnk is attached post-limit (10 rows).
+    top = rev.orderBy(
+        F.col("revenue_cc").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("revenue_cc").desc(), F.col("l_orderkey").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cc", "rnk"
+    )

@@ -692,3 +692,56 @@ def doc_bpe_token_counts(spark, sf_dir):
         token_count("text").alias("n_ws_tokens"),
         bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM e),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM g),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    sess AS (SELECT user_id, sid,
+                    min(ts) AS session_start,
+                    max(ts) + INTERVAL 30 MINUTE AS session_end,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM s GROUP BY 1, 2),
+    wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+           FROM events)
+    SELECT user_id, session_start, session_end, n
+    FROM sess WHERE session_end < (SELECT w FROM wm)
+    """,
+    description=(
+        "streaming session windows (30-min gap) with 10-min watermark: "
+        "append mode emits a session once the watermark passes its end, "
+        "so the oracle is the batch sessionization RESTRICTED to "
+        "watermark-closed sessions — the late-data contract made exact "
+        "(sessions still open at drain end are correctly withheld)"
+    ),
+    tags=("streaming", "session", "window"),
+)
+def stream_session_windows(spark, sf_dir):
+    from ..streaming.ingest import _drain_to_table, _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+    return _drain_to_table(agg, mode="append")
