@@ -1563,3 +1563,215 @@ def rel_shipping_priority(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cc", "rnk"
     )
+
+
+# =====================================================================
+# TPC-H hard shapes: correlated subqueries (decorrelated Spark-first),
+# outer-join histograms, group-having joins, conditional shares,
+# EXISTS/anti composites.
+# =====================================================================
+
+
+@register(
+    "rel_small_qty_revenue",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+             CAST(round(l_quantity*100) AS BIGINT) AS qc,
+             sum(CAST(round(l_quantity*100) AS BIGINT))
+               OVER (PARTITION BY l_partkey) AS sum_qc,
+             count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(coalesce(sum(pc), 0) AS BIGINT) AS revenue_c
+    FROM w WHERE qc * 5 * n < sum_qc
+    """,
+    description=(
+        "TPC-H Q17 shape: rows below 20% of their group's average "
+        "quantity. The classic correlated scalar subquery is expressed "
+        "directly as ONE window over l_partkey (single shuffle, no "
+        "self-join), and the avg comparison qty < 0.2*avg is cleared of "
+        "division: qc*5*n < sum_qc — exact integer arithmetic"
+    ),
+    tags=("relational", "window", "subquery"),
+)
+def rel_small_qty_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    enriched = li.select(
+        cents("l_extendedprice").alias("pc"),
+        cents("l_quantity").alias("qc"),
+        F.sum(cents("l_quantity")).over(w).alias("sum_qc"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    small = enriched.filter(F.col("qc") * 5 * F.col("n") < F.col("sum_qc"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.coalesce(F.sum("pc"), F.lit(0)).cast("bigint").alias("revenue_c"),
+    )
+
+
+@register(
+    "rel_cust_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    description=(
+        "TPC-H Q13 shape: orders-per-customer distribution. LEFT OUTER "
+        "join keeps zero-order customers (count(col) skips the nulls the "
+        "outer join manufactures), then a second, much smaller aggregate "
+        "buckets customers by their count — two shuffles, the second over "
+        "|customers| rows only"
+    ),
+    tags=("relational", "join", "aggregate"),
+)
+def rel_cust_order_histogram(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "rel_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+    SELECT o.o_orderkey, c.c_name,
+           CAST(round(o.o_totalprice*100) AS BIGINT) AS price_c,
+           b.sum_qty_c
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    description=(
+        "TPC-H Q18 shape: large-volume orders. Aggregate lineitem first "
+        "(HAVING prunes ~99% of orders BEFORE any join), then join the "
+        "tiny survivor set to orders/customer — AQE sees the post-filter "
+        "size at runtime and downgrades both joins to broadcasts"
+    ),
+    tags=("relational", "join", "aggregate", "having"),
+)
+def rel_large_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 25000)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            cents("o_totalprice").alias("price_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+@register(
+    "rel_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.disc_c ELSE 0 END) AS BIGINT) AS promo_c4,
+      CAST(sum(l.disc_c) AS BIGINT) AS total_c4,
+      (100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.disc_c ELSE 0 END))
+        / sum(l.disc_c) AS promo_share_pct
+    FROM (SELECT l_partkey,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT)) AS disc_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00') l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    description=(
+        "TPC-H Q14 shape: promo revenue share for a ship window. "
+        "Conditional aggregation over a fact-dim join; the date filter is "
+        "pushed to the parquet scan (row-group pruning on l_shipdate "
+        "min/max), and the final ratio divides two exact integer sums "
+        "with the identical expression tree in both engines"
+    ),
+    tags=("relational", "join", "aggregate"),
+)
+def rel_promo_revenue_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_c = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+        "disc_c"
+    )
+    j = li.select("l_partkey", disc_c).join(
+        p, F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("disc_c")).otherwise(F.lit(0))
+    )
+    total = F.sum("disc_c")
+    return j.agg(
+        promo.cast("bigint").alias("promo_c4"),
+        total.cast("bigint").alias("total_c4"),
+        ((F.lit(100.0) * promo) / total).alias("promo_share_pct"),
+    )
+
+
+@register(
+    "rel_idle_rich_customers",
+    oracle="""
+    WITH stats AS (
+      SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_c,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS totbal_c
+    FROM customer c, stats s
+    WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * s.n > s.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    description=(
+        "TPC-H Q22 shape: above-average-balance customers who never "
+        "ordered. The scalar avg subquery is a 1-row broadcast cross "
+        "join (bal*n > sum clears the division exactly); NOT EXISTS is a "
+        "left-anti join on o_custkey"
+    ),
+    tags=("relational", "join", "subquery", "anti"),
+)
+def rel_idle_rich_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents("c_acctbal")).alias("sum_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        cents("c_acctbal") * F.col("n") > F.col("sum_c")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(cents("c_acctbal")).alias("totbal_c"),
+    )
