@@ -745,3 +745,196 @@ def stream_session_windows(spark, sf_dir):
         )
     )
     return _drain_to_table(agg, mode="append")
+
+
+# =====================================================================
+# Training-corpus curation composites: cluster-representative selection,
+# C4-style filter chains, exact class centroids.
+# =====================================================================
+
+#: DuckDB CTE chain mirroring operators.textops quality expressions
+#: (same formulas as the doc_quality_profile oracle, kept in one place
+#: so composite queries reuse them).
+_SQL_QUALITY = r"""
+qnorm AS (
+  SELECT doc_id, text, lang, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents),
+qst AS (
+  SELECT doc_id, lang, source,
+         len(string_split(nt, ' ')) AS n_tok,
+         len(list_filter(string_split(nt, ' '),
+             x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM qnorm),
+qscore AS (
+  SELECT doc_id, lang, source, n_tok,
+         n_stop / greatest(n_tok, 1) AS stop_ratio,
+         round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                + (1.0 - abs(n_stop / greatest(n_tok, 1) - 0.15) / 0.85)
+                + (1.0 - least(n_punct / greatest(n_chars, 1) * 5, 1.0))) / 3,
+               6) AS quality
+  FROM qst)
+"""
+
+
+@register(
+    "doc_dedup_keep_best",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node, min(label) AS label FROM walk GROUP BY node),
+    {_SQL_QUALITY},
+    m AS (
+      SELECT CAST(cc.label AS BIGINT) AS cluster_id, q.doc_id, q.quality
+      FROM cc JOIN qscore q ON q.doc_id = cc.node),
+    r AS (
+      SELECT cluster_id, doc_id, quality,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM m)
+    SELECT cluster_id, doc_id AS kept_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+    description=(
+        "dedup with representative selection: near-dup clusters (MinHash-"
+        "LSH + connected components) keep their highest-QUALITY member "
+        "instead of the min-id member — the form corpus curation actually "
+        "ships. Ranking is on the 6-decimal-rounded score with an id "
+        "tie-break, so the survivor set is engine-identical"
+    ),
+    tags=("documents", "dedup", "quality", "iterative"),
+)
+def doc_dedup_keep_best(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    clusters = dedup_clusters(pairs, docs, id_col="doc_id")
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    j = clusters.join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    w = wc.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
+@register(
+    "doc_corpus_filter",
+    oracle=f"""
+    WITH {_SQL_QUALITY},
+    verdicts AS (
+      SELECT source,
+             CASE WHEN lang != 'en'        THEN 'non_english'
+                  WHEN n_tok < 15          THEN 'too_short'
+                  WHEN n_tok > 90          THEN 'too_long'
+                  WHEN stop_ratio < 0.02   THEN 'low_stopword'
+                  WHEN quality < 0.75      THEN 'low_quality'
+                  ELSE 'kept' END AS verdict
+      FROM qscore)
+    SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+    FROM verdicts GROUP BY source, verdict
+    """,
+    description=(
+        "C4-style corpus filter chain: language gate, length bounds, "
+        "stopword-density (natural-language) gate, quality floor — first "
+        "failing rule wins, per-source audit counts. Map-only expressions "
+        "+ one small aggregate; at 100 TB the chain is embarrassingly "
+        "parallel per split"
+    ),
+    tags=("documents", "text", "quality", "filter"),
+)
+def doc_corpus_filter(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    n_tok = token_count("text")
+    verdict = (
+        F.when(F.col("lang") != "en", "non_english")
+        .when(n_tok < 15, "too_short")
+        .when(n_tok > 90, "too_long")
+        .when(stopword_ratio("text") < 0.02, "low_stopword")
+        .when(quality_score("text") < 0.75, "low_quality")
+        .otherwise("kept")
+    )
+    return docs.groupBy("source", verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v_c
+      FROM embeddings)
+    SELECT label, dim,
+           CAST(sum(v_c) AS BIGINT) AS sum_c,
+           CAST(count(*) AS BIGINT) AS n,
+           (sum(v_c) / count(*)) / 1000000.0 AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+    description=(
+        "per-class embedding centroids, exactly: posexplode to "
+        "(label, dim, micro-int) triples — float*1e6 is exact in double "
+        "(24-bit mantissa + 14 bits of 5^6 < 53) — then integer sums and "
+        "one identical final division. The k-means/IVF training primitive "
+        "as a pure hash aggregate; at scale one shuffle of "
+        "|labels|x|dims| partial rows"
+    ),
+    tags=("embeddings", "aggregate", "centroid"),
+)
+def emb_label_centroids(spark, sf_dir):
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v_c"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.sum("v_c").alias("sum_c"),
+        F.count(F.lit(1)).alias("n"),
+        ((F.sum("v_c") / F.count(F.lit(1))) / F.lit(1000000.0)).alias(
+            "centroid"
+        ),
+    )
