@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     "stream_windowed_counts",
     "stream_series_state",
     "mm_media_meta",
+    "mm_frame_sample",
+    "rel_small_qty_revenue",
+    "rel_cust_order_histogram",
+    "rel_large_orders",
+    "doc_corpus_filter",
+    "emb_label_centroids",
+    "evt_series_similarity_topk",
 ]
 
 

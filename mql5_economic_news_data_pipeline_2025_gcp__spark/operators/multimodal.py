@@ -151,3 +151,54 @@ def attach_payload_uri(df: DataFrame, base_uri: str) -> DataFrame:
         "payload_uri",
         F.concat(F.lit(base_uri.rstrip("/") + "/"), F.col("asset_id"), F.lit(".bin")),
     ).drop("payload")
+
+
+#: Output schema of the frame-sampling stage (one row PER FRAME).
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id long, frame_idx int, t_ms long, frame_checksum string"
+)
+
+#: Sampling policy: 1 frame/second, capped per asset.
+FRAME_SAMPLE_MAX = 8
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` video frame sampling — the one-to-MANY multimodal
+    stage (each input asset emits 0..N frame rows, so the Arrow batch
+    shape changes cardinality, unlike the 1:1 decode/feature stages).
+
+    Real deployments seek the container (ffmpeg) at t_ms and decode a
+    frame; the stub derives the frame count from the stub decoder's
+    duration (1 fps capped at ``FRAME_SAMPLE_MAX``) and fingerprints
+    each frame as md5(payload ++ ':' ++ frame_idx) — deterministic and
+    reproducible in any engine, so the fan-out plumbing is fully
+    value-checked. Non-video assets emit no rows (filter-by-emptiness).
+    """
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "t_ms": [],
+                "frame_checksum": [],
+            }
+            for aid, mt, p in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "video":
+                    continue
+                payload = p if p is not None else b""
+                meta = _decode_stub(payload, "video")
+                n_frames = min(meta["duration_ms"] // 1000, FRAME_SAMPLE_MAX)
+                for i in range(int(n_frames)):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["t_ms"].append(i * 1000)
+                    out["frame_checksum"].append(
+                        hashlib.md5(payload + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)

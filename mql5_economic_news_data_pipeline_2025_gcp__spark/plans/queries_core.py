@@ -1775,3 +1775,80 @@ def rel_idle_rich_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_custs"),
         F.sum(cents("c_acctbal")).alias("totbal_c"),
     )
+
+
+@register(
+    "evt_series_similarity_topk",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             list(CAST(round(value*100) AS BIGINT) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id, event_type HAVING count(*) >= 8),
+    tails AS (SELECT user_id, event_type, vals[-8:] AS tail FROM s),
+    q AS (SELECT tail AS qtail FROM tails
+          WHERE user_id = 0 AND event_type = 'purchase'),
+    d AS (
+      SELECT t.user_id, t.event_type,
+             list_sum(list_transform(range(1, 9),
+               i -> (t.tail[i] - q.qtail[i]) * (t.tail[i] - q.qtail[i]))) AS ssd
+      FROM tails t, q
+      WHERE NOT (t.user_id = 0 AND t.event_type = 'purchase')),
+    r AS (
+      SELECT user_id, event_type, CAST(ssd AS BIGINT) AS ssd,
+             row_number() OVER (ORDER BY ssd ASC, user_id ASC, event_type ASC) AS rnk
+      FROM d)
+    SELECT user_id, event_type, ssd, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+    description=(
+        "time-series similarity search (EDBT'19/REPOSE shape): each "
+        "series' last-8 tail as an exact integer-cents vector, "
+        "sum-of-squared-differences to a broadcast query tail, top-10. "
+        "One shuffle builds all tails (sort_array(collect_list) — "
+        "partial_sort per group, never a global sort); distance is "
+        "zip_with/aggregate JVM arithmetic on bigints, map-only; top-k "
+        "is a TakeOrdered heap, and ranks attach post-limit so no "
+        "global window touches the full series set"
+    ),
+    tags=("events", "similarity", "timeseries", "topk"),
+)
+def evt_series_similarity_topk(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    tails = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "value_c"))
+                    ),
+                    lambda x: x.value_c,
+                ),
+                -8,
+                8,
+            ).alias("tail"),
+        )
+        .filter(F.col("n") >= 8)
+        .drop("n")
+    )
+    q = tails.filter(
+        (F.col("user_id") == 0) & (F.col("event_type") == "purchase")
+    ).select(F.col("tail").alias("qtail"))
+    ssd = F.aggregate(
+        F.zip_with(F.col("tail"), F.col("qtail"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        tails.crossJoin(F.broadcast(q))
+        .filter(~((F.col("user_id") == 0) & (F.col("event_type") == "purchase")))
+        .select("user_id", "event_type", ssd.alias("ssd"))
+    )
+    top = d.orderBy(
+        F.col("ssd").asc(), F.col("user_id").asc(), F.col("event_type").asc()
+    ).limit(10)
+    w = Window.orderBy(
+        F.col("ssd").asc(), F.col("user_id").asc(), F.col("event_type").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

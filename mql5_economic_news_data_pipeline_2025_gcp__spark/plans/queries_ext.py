@@ -938,3 +938,35 @@ def emb_label_centroids(spark, sf_dir):
             "centroid"
         ),
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS asset_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2),
+    framed AS (
+      SELECT asset_id, text,
+             least((5000 + n % 600000) // 1000, 8) AS n_frames
+      FROM media)
+    SELECT asset_id,
+           CAST(u.i AS INT) AS frame_idx,
+           CAST(u.i * 1000 AS BIGINT) AS t_ms,
+           md5(text || ':' || CAST(u.i AS VARCHAR)) AS frame_checksum
+    FROM framed, unnest(range(0, n_frames)) AS u(i)
+    """,
+    description=(
+        "video frame sampling (1 fps capped at 8): one-to-many "
+        "mapInPandas fan-out — each asset row emits n_frames frame rows "
+        "with per-frame fingerprints; the stub decoder's duration rule "
+        "is mirrored arithmetically in the oracle"
+    ),
+    tags=("multimodal", "mapInPandas", "fanout"),
+)
+def mm_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import sample_frames
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return sample_frames(documents_as_media(docs))
