@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "rel_small_qty_revenue",
     "rel_cust_order_histogram",
     "rel_large_orders",
+    "rel_nation_trade_volume",
+    "rel_profit_by_nation_year",
+    "rel_late_sole_supplier",
     "doc_corpus_filter",
     "emb_label_centroids",
     "evt_series_similarity_topk",

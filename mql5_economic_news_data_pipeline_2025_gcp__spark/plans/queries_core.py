@@ -1852,3 +1852,515 @@ def evt_series_similarity_topk(spark, sf_dir):
         F.col("ssd").asc(), F.col("user_id").asc(), F.col("event_type").asc()
     )
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# =====================================================================
+# TPC-H hard shapes, batch 2: Q7/Q8/Q9/Q10/Q12/Q15/Q19/Q21 analogues
+# adapted to the driver schema (no partsupp / shipmode / receiptdate:
+# cost uses p_retailprice, lateness uses l_shipdate - o_orderdate).
+# =====================================================================
+
+
+@register(
+    "rel_nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                AS BIGINT) AS volume_c4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    description=(
+        "TPC-H Q7 shape: bilateral trade volume between two nations per "
+        "ship-year. Nation filter is applied to supplier and customer "
+        "BEFORE the fact joins (broadcast the 2-row nation slice into "
+        "both dims), so the only big-big shuffle is lineitem<->orders on "
+        "l_orderkey; everything else broadcasts"
+    ),
+    tags=("relational", "join"),
+)
+def rel_nation_trade_volume(spark, sf_dir):
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    )
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        "c_nationkey",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    oc = o.join(
+        c.select("c_custkey", "cust_nation"), o.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("vol_c4"),
+    )
+    ls = li.join(
+        F.broadcast(s.select("s_suppkey", "supp_nation")),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    return (
+        ls.join(oc, ls.l_orderkey == oc.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("vol_c4").alias("volume_c4"),
+        )
+    )
+
+
+@register(
+    "rel_market_share",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                    THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS nation_vol_c4,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                AS BIGINT) AS region_vol_c4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(l.l_shipdate)
+    """,
+    description=(
+        "TPC-H Q8 shape: one nation's market share of ASIA-customer "
+        "revenue per year. The share division is left to the reader — "
+        "numerator and denominator are emitted as exact integers so the "
+        "check is bit-stable. Conditional agg replaces the classic "
+        "CASE-in-sum-over-subquery; dims broadcast, one big-big shuffle"
+    ),
+    tags=("relational", "join", "aggregate"),
+)
+def rel_market_share(spark, sf_dir):
+    nc = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nc.join(
+        F.broadcast(r), nc.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    c = t(spark, sf_dir, "customer").join(F.broadcast(asia_nations), "c_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    oc = o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey"
+    )
+    supp_nation = t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("vol_c4"),
+    )
+    ls = li.join(
+        F.broadcast(supp_nation.select("s_suppkey", "supp_nation")),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    return (
+        ls.join(oc, ls.l_orderkey == oc.o_orderkey)
+        .groupBy("l_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol_c4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_vol_c4"),
+            F.sum("vol_c4").alias("region_vol_c4"),
+        )
+    )
+
+
+@register(
+    "rel_profit_by_nation_year",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                  - CAST(round(p.p_retailprice*100) AS BIGINT)
+                    * CAST(round(l.l_quantity*100) AS BIGINT))
+                AS BIGINT) AS profit_c4
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY ns.n_name, year(l.l_shipdate)
+    """,
+    description=(
+        "TPC-H Q9 shape (partsupp-less: unit cost := p_retailprice). "
+        "profit_c4 = price_c*(100-disc_c) - retail_c*qty_c; both terms "
+        "are value*10^4 so the subtraction is scale-consistent and "
+        "integer-exact. part+supplier+nation broadcast into the lineitem "
+        "scan -> single map-side join chain, one aggregation shuffle "
+        "over (nation, year) = tiny key space -> partial aggs do "
+        "nearly all the work map-side"
+    ),
+    tags=("relational", "join", "aggregate"),
+)
+def rel_profit_by_nation_year(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", cents("p_retailprice").alias("retail_c")
+    )
+    sn = t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_c4"),
+        cents("l_quantity").alias("qty_c"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(sn.select("s_suppkey", "supp_nation")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("supp_nation", "l_year")
+        .agg(
+            F.sum(
+                F.col("rev_c4") - F.col("retail_c") * F.col("qty_c")
+            ).alias("profit_c4")
+        )
+    )
+
+
+@register(
+    "rel_returned_revenue_topk",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS revenue_c4
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name)
+    SELECT c_custkey, c_name, n_name, revenue_c4, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue_c4 DESC, c_custkey ASC)
+                    AS rnk FROM rev)
+    WHERE rnk <= 20
+    """,
+    description=(
+        "TPC-H Q10 shape: top-20 customers by returned-item revenue in a "
+        "half-year window. Date + returnflag predicates push into the "
+        "scans; agg shrinks to |customers| rows BEFORE the global top-k, "
+        "so the final rank window sorts only the aggregated set (take "
+        "via TakeOrderedAndProject, not a full sort, at scale)"
+    ),
+    tags=("relational", "join", "topk"),
+)
+def rel_returned_revenue_topk(spark, sf_dir):
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_c4"),
+        )
+    )
+    cn = t(spark, sf_dir, "customer").join(
+        F.broadcast(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            )
+        ),
+        "c_nationkey",
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+    )
+    top = rev.orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc()).limit(20)
+    w = Window.orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "rel_ship_speed_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 365
+                THEN 'medium' ELSE 'slow' END AS ship_speed,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    description=(
+        "TPC-H Q12 shape (shipmode-less: buckets on ship lag days). "
+        "Conditional two-way counts per bucket; the join is the only "
+        "shuffle (AQE can pick SMJ or shuffled hash), the 3-row agg is "
+        "all map-side partials"
+    ),
+    tags=("relational", "join", "aggregate"),
+)
+def rel_ship_speed_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(lag <= 30, "fast")
+            .when(lag <= 365, "medium")
+            .otherwise("slow")
+            .alias("ship_speed"),
+            high.alias("high"),
+        )
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+    """,
+    description=(
+        "TPC-H Q15 shape: supplier(s) achieving max quarterly revenue. "
+        "The correlated max-subquery becomes a global-max window over "
+        "the aggregated per-supplier set (|suppliers| rows, so the "
+        "single-partition window is bounded and safe); supplier dim "
+        "broadcasts back for the name"
+    ),
+    tags=("relational", "join", "subquery"),
+)
+def rel_top_supplier(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_c4"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_c4").alias("total_rev_c4"))
+    mx = rev.withColumn(
+        "mx", F.max("total_rev_c4").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("total_rev_c4") == F.col("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return mx.join(
+        F.broadcast(s), mx.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_rev_c4")
+
+
+@register(
+    "rel_brand_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0)
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    description=(
+        "TPC-H Q19 shape: disjunction of three brand/size/quantity "
+        "conjunctions across the join. part-side conjuncts (brand IN, "
+        "size <= 25) are factored out so they push into the part scan; "
+        "the filtered part slice broadcasts and the residual OR runs "
+        "post-join inside codegen"
+    ),
+    tags=("relational", "join", "predicate"),
+)
+def rel_brand_disjunctive_revenue(spark, sf_dir):
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_c4"),
+    )
+    q = F.col("l_quantity")
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 15)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 25)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.coalesce(F.sum("rev_c4"), F.lit(0)).cast("bigint").alias("revenue_c4"),
+        )
+    )
+
+
+@register(
+    "rel_late_sole_supplier",
+    oracle="""
+    WITH ls AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 700
+                 THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey),
+    agg AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             sum(is_late) AS n_late
+      FROM ls GROUP BY l_orderkey),
+    blamed AS (
+      SELECT ls.l_suppkey
+      FROM ls JOIN agg ON ls.l_orderkey = agg.l_orderkey
+      WHERE agg.n_supp >= 2 AND agg.n_late = 1 AND ls.is_late = 1),
+    cnt AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM blamed GROUP BY l_suppkey)
+    SELECT s.s_name, c.l_suppkey AS s_suppkey, c.n_orders,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY n_orders DESC, l_suppkey ASC)
+                    AS rnk FROM cnt) c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    WHERE rnk <= 10
+    """,
+    description=(
+        "TPC-H Q21 shape (receiptdate-less: late := shipped >700 days "
+        "after order date). The classic EXISTS / NOT EXISTS pair over "
+        "lineitem self-joins is re-expressed as ONE aggregation to "
+        "(orderkey, suppkey) plus ONE window over orderkey computing "
+        "(n_supp, n_late) — multi-supplier orders where exactly the one "
+        "late supplier is to blame — no self-join, two shuffles total, "
+        "then a bounded top-10"
+    ),
+    tags=("relational", "window", "subquery"),
+)
+def rel_late_sole_supplier(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 700, 1
+    ).otherwise(0)
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+            & (F.col("is_late") == 1)
+        )
+    )
+    cnt = blamed.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    top = cnt.orderBy(F.col("n_orders").desc(), F.col("l_suppkey").asc()).limit(10)
+    wr = Window.orderBy(F.col("n_orders").desc(), F.col("l_suppkey").asc())
+    ranked = top.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return ranked.join(
+        F.broadcast(s), ranked.l_suppkey == s.s_suppkey
+    ).select("s_name", "s_suppkey", "n_orders", "rnk")
