@@ -970,3 +970,139 @@ def mm_frame_sample(spark, sf_dir):
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return sample_frames(documents_as_media(docs))
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      ) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(c) AS len FROM tf GROUP BY doc_id),
+    df AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((CAST(tf.c AS DOUBLE) / dl.len)
+                   * ln(CAST(n.nd AS DOUBLE) / df.dfc), 6) AS tfidf
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.term = df.term
+      CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    description=(
+        "tf-idf top-3 terms per document: explode -> (doc,term) counts "
+        "-> doc-length and document-frequency aggs joined back -> "
+        "score = (c/len)*ln(N/df). Per-doc rank window is bounded by "
+        "vocabulary-per-doc; the df join is agg-to-agg (|vocab| rows). "
+        "Determinism: identical division/log trees both engines, "
+        "round-6 before ranking, term tie-break"
+    ),
+    tags=("documents", "text"),
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c").cast("double") / F.col("len"))
+                * F.log(F.col("nd").cast("double") / F.col("dfc")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "emb_kmeans_assign",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(v.e, c.e), 6) AS cs
+      FROM v JOIN cent c ON v.vec_id >= 8),
+    best AS (
+      SELECT vec_id, cid, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cid ASC) AS rnk
+      FROM scored)
+    SELECT cid AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CAST(round(cs*1000000) AS BIGINT)) AS BIGINT)
+             AS sum_cos_micro
+    FROM best WHERE rnk = 1 GROUP BY cid
+    """,
+    description=(
+        "k-means assignment step with deterministic seed centroids "
+        "(vec_id < 8): nearest-centroid by rounded cosine, centroid-id "
+        "tie-break, then per-centroid counts + integer-micro cosine "
+        "mass. Centroids broadcast so assignment is map-only over the "
+        "corpus; one tiny shuffle for the k-row agg. Pairs with "
+        "emb_label_centroids (exact recompute) to form a full Lloyd "
+        "iteration at scale"
+    ),
+    tags=("embeddings", "similarity"),
+)
+def emb_kmeans_assign(spark, sf_dir):
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    scored = (
+        v.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(cosine(F.col("e"), F.col("ce")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(F.round(F.col("cs") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cos_micro"),
+    )

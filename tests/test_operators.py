@@ -367,3 +367,27 @@ def test_dedup_clusters_chain_and_singleton(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, nodes).collect()}
     # chain 1-2-3 collapses to min id 1 (requires >1 propagation round)
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_profit_query_broadcasts_all_dims(spark):
+    """Q9-analogue plan shape: part/supplier/nation broadcast into the
+    lineitem scan; the only shuffle is the final (nation, year) agg."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_profit_by_nation_year"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()  # let AQE finalize the executed plan
+    # toString renders final plan + AQE's "Initial Plan" echo; keep the final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_returned_topk_pushes_filters_into_scan(spark):
+    """Q10-analogue: returnflag + orderdate predicates reach parquet."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_returned_revenue_topk"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
