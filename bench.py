@@ -86,6 +86,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # operators that persist() intermediates (jaccard inverted index,
+        # CC edge list) must not leak cache blocks into later queries —
+        # accumulated executor-memory pressure inflates every timing
+        # after them (measured 3-4x on the iterative queries)
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
