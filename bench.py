@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "doc_corpus_filter",
     "emb_label_centroids",
     "evt_series_similarity_topk",
+    "doc_tfidf_top_terms",
+    "emb_kmeans_assign",
+    "evt_rolling_window_stats",
 ]
 
 

@@ -2364,3 +2364,81 @@ def rel_late_sole_supplier(spark, sf_dir):
     return ranked.join(
         F.broadcast(s), ranked.l_suppkey == s.s_suppkey
     ).select("s_name", "s_suppkey", "n_orders", "rnk")
+
+
+@register(
+    "evt_rolling_window_stats",
+    oracle="""
+    SELECT event_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+             AS roll_sum_c,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    description=(
+        "time-range rolling frame (W1 family, RANGE not ROWS): per "
+        "series, sum/count of events in the trailing 1-hour window of "
+        "each row. Spark's rangeBetween needs a numeric ordering key -> "
+        "epoch seconds; the [-3600, 0] frame is closed on both ends, "
+        "matching SQL RANGE INTERVAL semantics. One shuffle on the "
+        "series key; frame evaluation is a sliding two-pointer pass "
+        "per partition, no self-join"
+    ),
+    tags=("events", "window"),
+)
+def evt_rolling_window_stats(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum("value_c").over(w).alias("roll_sum_c"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
+    )
+
+
+@register(
+    "evt_value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY CAST(round(value*100) AS BIGINT) ASC,
+                                      event_id ASC) AS decile
+      FROM events)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value_c) AS BIGINT) AS lo_c,
+           CAST(max(value_c) AS BIGINT) AS hi_c,
+           CAST(sum(value_c) AS BIGINT) AS sum_c
+    FROM d GROUP BY event_type, decile
+    """,
+    description=(
+        "ntile decile profile per event type: integer-cent values with "
+        "event_id tie-break make bucket boundaries deterministic in both "
+        "engines. Per-type window shuffle then a 10-row-per-type agg; "
+        "at scale prefer the approxQuantile cutoff form (split.py scale "
+        "path) — this exact form exists for parity and profiling"
+    ),
+    tags=("events", "window"),
+)
+def evt_value_deciles(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value_c").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "event_type", "value_c", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value_c").alias("lo_c"),
+        F.max("value_c").alias("hi_c"),
+        F.sum("value_c").alias("sum_c"),
+    )
