@@ -2442,3 +2442,124 @@ def evt_value_deciles(spark, sf_dir):
         F.max("value_c").alias("hi_c"),
         F.sum("value_c").alias("sum_c"),
     )
+
+
+@register(
+    "evt_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_view,
+      CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 END) AS BIGINT) AS n_click_after,
+      CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                 THEN 1 END) AS BIGINT) AS n_purchase_after
+    FROM m
+    """,
+    description=(
+        "ordered funnel (view -> click -> purchase): per-user first-"
+        "touch times via ONE conditional-min aggregation (no per-stage "
+        "self-joins — the classic funnel anti-pattern is k joins over "
+        "the event log), then a global 3-counter fold. One shuffle on "
+        "user_id; NULL-propagating comparisons encode 'reached stage "
+        "k only if after stage k-1'"
+    ),
+    tags=("events", "aggregate", "funnel"),
+)
+def evt_funnel(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached1 = F.col("t_view").isNotNull()
+    reached2 = reached1 & (F.col("t_click") > F.col("t_view"))
+    reached3 = reached2 & (F.col("t_purchase") > F.col("t_click"))
+    return m.agg(
+        F.count(F.when(reached1, 1)).alias("n_view"),
+        F.count(F.when(reached2, 1)).alias("n_click_after"),
+        F.count(F.when(reached3, 1)).alias("n_purchase_after"),
+    )
+
+
+@register(
+    "evt_hash_sample",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+    GROUP BY event_type
+    """,
+    description=(
+        "deterministic ~25% sample: keep rows whose md5(event_id) hex "
+        "prefix < '40'. Unlike rand()-based sample(), this is "
+        "reproducible across engines, runs, and retries — the property "
+        "a training pipeline needs for stable held-out sets — and is a "
+        "pure map-side filter (no state, no seed plumbing, prunes "
+        "before the shuffle)"
+    ),
+    tags=("events", "sampling"),
+)
+def evt_hash_sample(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    keep = F.md5(F.col("event_id").cast("string")).substr(1, 2) < "40"
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("value_c").alias("sum_c"),
+        )
+    )
+
+
+@register(
+    "emb_class_downsample",
+    oracle="""
+    WITH r AS (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM r WHERE rn <= 40 GROUP BY label
+    """,
+    description=(
+        "class balancing: cap every label at 40 examples, chosen by "
+        "deterministic md5(vec_id) order (a reproducible shuffle — no "
+        "rand()). Per-label rank window shuffles once on label; at "
+        "scale with a hot label, pre-filter with an approximate "
+        "per-label md5-prefix threshold so the window only ranks "
+        "~cap-sized groups (same trick as split.py's quantile path). "
+        "sum_vec_id pins the EXACT surviving set, not just its size"
+    ),
+    tags=("embeddings", "sampling"),
+)
+def emb_class_downsample(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("label", "vec_id")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+    )
