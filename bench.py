@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "doc_tfidf_top_terms",
     "emb_kmeans_assign",
     "evt_rolling_window_stats",
+    "stream_view_purchase_join",
 ]
 
 

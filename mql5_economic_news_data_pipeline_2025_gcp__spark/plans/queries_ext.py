@@ -1106,3 +1106,31 @@ def emb_kmeans_assign(spark, sf_dir):
         .cast("bigint")
         .alias("sum_cos_micro"),
     )
+
+
+@register(
+    "stream_view_purchase_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(v.event_id + p.event_id) AS BIGINT) AS pair_checksum
+    FROM events v
+    JOIN events p
+      ON v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 DAY
+    GROUP BY v.user_id
+    """,
+    description=(
+        "stream-stream interval join: purchases attributed to prior "
+        "views within a 2-day horizon, both sides watermarked so the "
+        "join buffers have a derived TTL (bounded state on unbounded "
+        "streams); checksum over joined id pairs pins the exact pair "
+        "set against the batch self-join oracle"
+    ),
+    tags=("streaming", "join"),
+)
+def stream_view_purchase_join(spark, sf_dir):
+    from ..streaming.ingest import stream_stream_view_purchase_join
+
+    return stream_stream_view_purchase_join(spark, sf_dir)

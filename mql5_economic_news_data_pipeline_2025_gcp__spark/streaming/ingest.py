@@ -185,3 +185,58 @@ def stream_upsert_foreachbatch(
     finally:
         q.stop()
     return spark.read.parquet(target_dir)
+
+
+def stream_stream_view_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    horizon_days: int = 2,
+) -> DataFrame:
+    """Stream-stream interval join (§2.9 parity-plus): attribute every
+    purchase to the view events it followed within ``horizon_days``,
+    per user. Both sides are watermarked, so the join buffer is bounded:
+    a buffered view row can be evicted once the purchase-side watermark
+    passes view_ts + horizon + watermark — Spark derives that state TTL
+    from the time-range condition; without the range bound the buffers
+    would grow forever.
+
+    A single-drain run (one file => one micro-batch) buffers no late
+    rows, so the result equals the batch interval self-join — what
+    makes this oracle-checkable.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_days} DAYS")
+        ),
+        "inner",
+    )
+    pairs = _drain_to_table(joined, mode="append")
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("view_id") + F.col("purchase_id")).alias("pair_checksum"),
+    )
