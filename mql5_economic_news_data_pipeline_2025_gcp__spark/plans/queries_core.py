@@ -2563,3 +2563,80 @@ def emb_class_downsample(spark, sf_dir):
             F.sum("vec_id").alias("sum_vec_id"),
         )
     )
+
+
+@register(
+    "rel_cube_revenue",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderpriority)
+    """,
+    description=(
+        "CUBE grouping sets (all four (nation, priority) marginals in "
+        "one pass): Spark expands the cube into grouping sets inside a "
+        "single Expand+hash-agg — one shuffle for all 4 granularities, "
+        "vs 4 separate scans+aggs if written naively. Complements "
+        "rel_rollup_revenue (hierarchical subset)"
+    ),
+    tags=("relational", "aggregate", "grouping-sets"),
+)
+def rel_cube_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_c"),
+        )
+    )
+
+
+@register(
+    "rel_unpivot_returnflag_measures",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+               AS qty_c,
+             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS price_c,
+             CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+               AS disc_c
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty_c' AS measure, qty_c AS value_c FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price_c', price_c FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc_c', disc_c FROM wide
+    """,
+    description=(
+        "unpivot / melt (wide->long, inverse of rel_pivot_status): "
+        "aggregate once, then DataFrame.unpivot emits one row per "
+        "(key, measure) — an Expand node over the tiny aggregated "
+        "frame, not a re-scan per measure column"
+    ),
+    tags=("relational", "reshape"),
+)
+def rel_unpivot_returnflag_measures(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents("l_quantity")).alias("qty_c"),
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+        F.sum(cents("l_discount")).alias("disc_c"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_c", "price_c", "disc_c"],
+        variableColumnName="measure",
+        valueColumnName="value_c",
+    )

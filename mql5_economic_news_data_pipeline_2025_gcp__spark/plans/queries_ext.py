@@ -1134,3 +1134,70 @@ def stream_view_purchase_join(spark, sf_dir):
     from ..streaming.ingest import stream_stream_view_purchase_join
 
     return stream_stream_view_purchase_join(spark, sf_dir)
+
+
+@register(
+    "doc_levenshtein_verify",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    nt AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+      FROM documents)
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(ta.ntext, tb.ntext) AS BIGINT) AS edit_dist
+    FROM pairs p
+    JOIN nt ta ON p.id_a = ta.doc_id
+    JOIN nt tb ON p.id_b = tb.doc_id
+    WHERE levenshtein(ta.ntext, tb.ntext) * 10
+          <= greatest(length(ta.ntext), length(tb.ntext)) * 3
+    """,
+    description=(
+        "edit-distance verification of LSH candidates: exact "
+        "levenshtein runs ONLY on the candidate set (|candidates| "
+        "pairs, never the O(n^2) corpus), confirming near-dups at "
+        "<=30% relative distance — the verify stage a production "
+        "dedup pipeline runs between LSH recall and merge. Texts join "
+        "in by id (two hash joins); comparison is integer-exact "
+        "(dist*10 <= maxlen*3, no division)"
+    ),
+    tags=("documents", "dedup"),
+)
+def doc_levenshtein_verify(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    nt = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "ntext"
+        ),
+    )
+    ta = nt.select(F.col("doc_id").alias("id_a"), F.col("ntext").alias("ta"))
+    tb = nt.select(F.col("doc_id").alias("id_b"), F.col("ntext").alias("tb"))
+    out = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("bigint"))
+        .filter(
+            F.col("edit_dist") * 10
+            <= F.greatest(F.length("ta"), F.length("tb")) * 3
+        )
+    )
+    return out.select("id_a", "id_b", "edit_dist")
