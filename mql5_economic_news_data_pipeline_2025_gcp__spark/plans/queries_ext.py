@@ -33,7 +33,7 @@ from ..operators.textops import (
     stopword_ratio,
     token_count,
 )
-from .common import fan_out, t
+from .common import fan_out, keyed_events, t
 from .registry import register
 
 #: DuckDB fragment: distinct (doc_id, 3-token shingle) pairs.
@@ -1201,3 +1201,31 @@ def doc_levenshtein_verify(spark, sf_dir):
         )
     )
     return out.select("id_a", "id_b", "edit_dist")
+
+
+@register(
+    "evt_sketch_profile",
+    oracle=None,  # HLL / KLL sketch outputs are engine-specific by design;
+    # tests/test_operators.py::test_sketch_profile_tolerance bounds them
+    # against the exact answers instead
+    description=(
+        "sketch-based profiling, the 100 TB substitute for exact "
+        "distinct/percentile: approx_count_distinct (HyperLogLog++, "
+        "rsd 1%) and approx_percentile (accuracy 10k) per event_type. "
+        "Sketches are mergeable -> map-side partials shuffle k fixed-"
+        "size registers instead of |distinct values| rows; exact "
+        "countDistinct would shuffle every distinct (type, user) pair. "
+        "Rows-only driver check; the pytest tolerance gate asserts "
+        "HLL within 2% of exact and KLL quantiles within 1 rank-%"
+    ),
+    tags=("events", "sketch", "aggregate"),
+)
+def evt_sketch_profile(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.expr(
+            "approx_percentile(value_c, array(0.5, 0.99), 10000)"
+        ).alias("value_c_p50_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

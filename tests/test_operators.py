@@ -391,3 +391,47 @@ def test_returned_topk_pushes_filters_into_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_sketch_profile_tolerance(spark):
+    """Sketch outputs aren't oracle-checkable across engines; bound them
+    against the exact answers computed in the same engine instead."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["evt_sketch_profile"].spark_fn(spark, sf).collect()
+    }
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    ev = keyed_events(spark, sf)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr(
+                "percentile_cont(0.5) WITHIN GROUP (ORDER BY value_c)"
+            ).alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.02 * e["users"]), et
+        # approx_percentile returns an actual data value; the true median
+        # of the sorted values must sit within 1% rank distance
+        vals = sorted(
+            x["value_c"]
+            for x in ev.filter(F.col("event_type") == et).select("value_c").collect()
+        )
+        import bisect
+
+        approx_rank = bisect.bisect_left(vals, a["value_c_p50_p99"][0]) / len(vals)
+        assert abs(approx_rank - 0.5) <= 0.01, (et, approx_rank)
+        assert a["n"] == e["n"]
