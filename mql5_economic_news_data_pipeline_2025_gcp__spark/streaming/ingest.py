@@ -21,12 +21,28 @@ batch equivalents — which is what makes these oracle-checkable.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: One symlink dir per source parquet, reused across calls and removed at
+#: interpreter exit — repeated bench/correctness runs no longer accumulate
+#: mkdtemp litter (one query may legitimately open the same source twice,
+#: e.g. the view/purchase self-join).
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    """A throwaway directory cleaned up at interpreter exit (used for
+    foreachBatch drain output and streaming checkpoints at test SF)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -61,8 +77,13 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             typ = T.StringType()
         fields.append(T.StructField(f_.name, typ, True))
 
-    stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
-    os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+    key = os.path.abspath(path)
+    stream_dir = _STREAM_DIRS.get(key)
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+        os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+        atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+        _STREAM_DIRS[key] = stream_dir
     return (
         spark.readStream.schema(T.StructType(fields))
         .option("maxFilesPerTrigger", "8")
@@ -72,7 +93,17 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _drain_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a streaming frame to exhaustion into a memory sink and return
-    the materialized result as a batch DataFrame."""
+    the materialized result as a batch DataFrame.
+
+    SCALE RULE: the memory sink materializes every output row in DRIVER
+    memory — it is the same failure mode as ``.collect()`` and is banned
+    outside this oracle-drain helper. Only *aggregated* streams (output
+    bounded by group cardinality, e.g. per-type counts or closed session
+    windows) may drain through here, and only at test SF. Un-aggregated
+    streams (raw joins, row-level transforms) must drain through
+    ``_drain_via_foreachbatch`` (executor-side parquet writes) — enforced
+    by ``tests/test_streaming.py::test_memory_sink_ban``.
+    """
     name = "stream_out_" + uuid.uuid4().hex[:8]
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
@@ -80,6 +111,43 @@ def _drain_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
     finally:
         q.stop()
     return agg.sparkSession.table(name)
+
+
+def _drain_via_foreachbatch(
+    sdf: DataFrame,
+    batch_fn=None,
+) -> DataFrame:
+    """Drain a streaming frame through ``foreachBatch`` → parquet and
+    return the files as a batch DataFrame.
+
+    This is the scale-safe drain for un-aggregated streams: each
+    micro-batch is written by the executors straight to parquet —
+    the driver never holds a single output row (contrast the memory
+    sink, which buffers the entire result driver-side).
+
+    ``batch_fn`` optionally maps each micro-batch DataFrame before the
+    write (e.g. a per-batch partial aggregation, so only group-level
+    partials ever hit disk and the final merge agg reads partials, not
+    raw pairs).
+    """
+    out_dir = _scratch_dir("stream_drain_")
+    ckpt = _scratch_dir("stream_ckpt_")
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_fn is not None:
+            batch_df = batch_fn(batch_df)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sdf.sparkSession.read.parquet(out_dir)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,8 +303,19 @@ def stream_stream_view_purchase_join(
         ),
         "inner",
     )
-    pairs = _drain_to_table(joined, mode="append")
-    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.col("view_id") + F.col("purchase_id")).alias("pair_checksum"),
+    # Scale-safe drain (VERDICT r1 #1): per-batch PARTIAL aggregation
+    # inside foreachBatch — executors reduce each micro-batch's pairs to
+    # one row per user and append those partials to parquet; the final
+    # merge agg sums partials. The raw pair set never exists on the
+    # driver and never exists whole anywhere (only per-batch, per-task).
+    def _partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(F.col("v_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("view_id") + F.col("purchase_id")).alias("pair_checksum"),
+        )
+
+    partials = _drain_via_foreachbatch(joined, batch_fn=_partial)
+    return partials.groupBy("user_id").agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("pair_checksum").alias("pair_checksum"),
     )

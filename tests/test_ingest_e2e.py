@@ -67,3 +67,25 @@ def test_ingest_csv_to_upsert(spark, tmp_path):
     # GBP row is 09:00 Mar 4; USD 13:30 Mar 4 and EUR Apr 3 pass
     assert hwm_new.count() == 3  # (two USD dup rows + EUR)
     assert hwm_new.filter(F.col("Currency") == "GBP").count() == 0
+
+
+def test_memory_sink_ban():
+    """SCALE.md rule: format("memory") buffers the whole stream output on
+    the driver. It may appear ONLY in the oracle-drain helper
+    ``_drain_to_table`` (used for aggregated streams at test SF); every
+    other drain must go through ``_drain_via_foreachbatch``.
+    """
+    import pathlib
+
+    import mql5_economic_news_data_pipeline_2025_gcp__spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if 'format("memory")' in line or "format('memory')" in line:
+                offenders.append(f"{py.relative_to(root)}:{i}")
+    assert offenders == ["streaming/ingest.py:131"] or (
+        len(offenders) == 1 and offenders[0].startswith("streaming/ingest.py")
+    ), f"memory sink outside the oracle-drain helper: {offenders}"
