@@ -149,12 +149,18 @@ def run_train(
     predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
     key=SERIES_KEY,
     order=("event_ts",),
+    exact_split: bool = True,
 ) -> PipelineResult:
     """POST /train analogue: features → split → routing → normalize →
-    predict → per-group metrics (TRAIN:272-586)."""
+    predict → per-group metrics (TRAIN:272-586).
+
+    ``exact_split=True`` is the reference floor-arithmetic parity form
+    (global window — small SF only); ``False`` selects the
+    approxQuantile-cutoff scale path (map-only labeling, no global
+    sort) — the form a 100 TB run must use."""
     params = params or merge_params(None, None)
     feats = build_features(events, key=key, order=order)
-    labeled = split_labels(feats, order=order, exact=True)
+    labeled = split_labels(feats, order=order, exact=exact_split)
     train_df = labeled.filter(F.col("split") == "train")
     routing = model_routing(train_df, key=key)
     train_df = with_model_type(train_df, routing, key=key)
@@ -175,11 +181,12 @@ def run_validate(
     predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
     key=SERIES_KEY,
     order=("event_ts",),
+    exact_split: bool = True,
 ) -> PipelineResult:
     """POST /validate analogue: re-derive features on the val split ONLY
     (leakage-aware, VAL:220-236), normalize with TRAINING params +
     fallback (VAL:258-287), score, per-group metrics."""
-    labeled = split_labels(events, order=order, exact=True)
+    labeled = split_labels(events, order=order, exact=exact_split)
     val = labeled.filter(F.col("split") == "val")
     feats = build_features(val, key=key, order=order, fill_direction="bfill_then_ffill")
     feats = with_min_max_normalized(
@@ -197,10 +204,11 @@ def run_test(
     predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
     key=SERIES_KEY,
     order=("event_ts",),
+    exact_split: bool = True,
 ) -> PipelineResult:
     """POST /test analogue: test-split metrics + live forecast = latest
     denormalized prediction per series (TEST:95-120)."""
-    labeled = split_labels(events, order=order, exact=True)
+    labeled = split_labels(events, order=order, exact=exact_split)
     test = labeled.filter(F.col("split") == "test")
     feats = build_features(test, key=key, order=order, fill_direction="bfill_then_ffill")
     feats = with_min_max_normalized(
@@ -226,13 +234,18 @@ def run_automate(
     skip_training: bool = False,
     key=SERIES_KEY,
     order=("event_ts",),
+    exact_split: bool = True,
 ) -> dict[str, PipelineResult]:
     """POST /automate analogue: sequential train → validate → test with
-    the skip-training short-circuit (API:318-373)."""
+    the skip-training short-circuit (API:318-373). ``exact_split=False``
+    runs the whole flow on the quantile-cutoff split (the scale path)."""
     out: dict[str, PipelineResult] = {}
-    train_res = run_train(events, params=params, predict_fn=predict_fn, key=key, order=order)
+    train_res = run_train(events, params=params, predict_fn=predict_fn, key=key,
+                          order=order, exact_split=exact_split)
     if not skip_training:
         out["train"] = train_res
-    out["validate"] = run_validate(events, train_res, predict_fn=predict_fn, key=key, order=order)
-    out["test"] = run_test(events, train_res, predict_fn=predict_fn, key=key, order=order)
+    out["validate"] = run_validate(events, train_res, predict_fn=predict_fn, key=key,
+                                   order=order, exact_split=exact_split)
+    out["test"] = run_test(events, train_res, predict_fn=predict_fn, key=key,
+                           order=order, exact_split=exact_split)
     return out

@@ -41,9 +41,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan to full parallelism before CPU-heavy
-    map work (md5/shingling/Python UDFs). A single small parquet file
-    arrives as ONE partition — without this, every narrow transform runs
-    on one core. The shuffle moves only the raw rows (cheap); the
-    expensive expressions then run on all cores. At 100 TB inputs span
-    many splits naturally and this becomes a no-op decision."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    map work (md5/shingling/Python UDFs) — but ONLY when the scan
+    actually arrives under-parallel. A single small parquet file arrives
+    as ONE partition; without the repartition every narrow transform
+    runs on one core. At 100 TB inputs span thousands of splits
+    naturally, and an unconditional repartition would re-shuffle raw
+    text/payload rows for nothing — so the decision is gated on the
+    scan's actual partition count and genuinely becomes a no-op at
+    scale (asserted by ``test_fan_out_noop_when_parallel``)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -2381,10 +2381,13 @@ def rel_late_sole_supplier(spark, sf_dir):
         "time-range rolling frame (W1 family, RANGE not ROWS): per "
         "series, sum/count of events in the trailing 1-hour window of "
         "each row. Spark's rangeBetween needs a numeric ordering key -> "
-        "epoch seconds; the [-3600, 0] frame is closed on both ends, "
-        "matching SQL RANGE INTERVAL semantics. One shuffle on the "
-        "series key; frame evaluation is a sliding two-pointer pass "
-        "per partition, no self-join"
+        "epoch MICROseconds (unix_timestamp would truncate to whole "
+        "seconds, silently widening the frame at the 1-second boundary "
+        "band and making same-second rows frame peers — the oracle's "
+        "RANGE INTERVAL is microsecond-exact); the [-3.6e9 us, 0] frame "
+        "is closed on both ends, matching SQL RANGE INTERVAL semantics. "
+        "One shuffle on the series key; frame evaluation is a sliding "
+        "two-pointer pass per partition, no self-join"
     ),
     tags=("events", "window"),
 )
@@ -2392,8 +2395,8 @@ def evt_rolling_window_stats(spark, sf_dir):
     ev = keyed_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id", "event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -389,7 +389,11 @@ def test_returned_topk_pushes_filters_into_scan(spark):
 
     df = REGISTRY["rel_returned_revenue_topk"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
+    # assert individual filter fragments, not the rendered list: the
+    # ordering/prefix of PushedFilters is not a stable cross-version
+    # contract, the pushed predicates themselves are
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "IsNotNull(l_returnflag)" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
 
 
@@ -435,3 +439,55 @@ def test_sketch_profile_tolerance(spark):
         approx_rank = bisect.bisect_left(vals, a["value_c_p50_p99"][0]) / len(vals)
         assert abs(approx_rank - 0.5) <= 0.01, (et, approx_rank)
         assert a["n"] == e["n"]
+
+
+def test_fan_out_noop_when_parallel(spark):
+    """fan_out must not re-shuffle input that already arrives with full
+    parallelism (at 100 TB every scan does) — and must still fan out the
+    single-file test fixture case."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import fan_out, t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    already = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert fan_out(spark, already) is already  # literal no-op, zero new Exchange
+
+    single = docs.coalesce(1)
+    fanned = fan_out(spark, single)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_run_automate_quantile_split_path(spark):
+    """run_automate(exact_split=False) exercises the full train/val/test
+    flow on the approxQuantile-cutoff split (the 100 TB path — no global
+    window anywhere); ratios hold within tolerance and every stage still
+    produces its outputs."""
+    import datetime as dt
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.split import (
+        split_labels,
+    )
+
+    rows = []
+    base = dt.datetime(2025, 1, 1)
+    for g, cur in enumerate(["USD", "EUR"]):
+        for i in range(200):
+            rows.append(
+                (base + dt.timedelta(hours=i), cur, "CPI", float(i % 7) + g, 1)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_ts timestamp, Currency string, Event string, value double, "
+        "ImpactOrdinal int",
+    )
+    labeled = split_labels(df, order=("event_ts",), exact=False)
+    counts = {r["split"]: r["count"] for r in labeled.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == df.count()
+    assert abs(counts["train"] / n - 0.70) < 0.05
+    assert abs(counts.get("val", 0) / n - 0.15) < 0.05
+
+    res = run_automate(df, exact_split=False)
+    assert set(res) == {"train", "validate", "test"}
+    assert len(res["train"].metrics.collect()) == 2
+    live = res["test"].extra["live_forecasts"].collect()
+    assert len(live) == 2 and all(r["ForecastValue"] is not None for r in live)
