@@ -1229,3 +1229,117 @@ def evt_sketch_profile(spark, sf_dir):
         ).alias("value_c_p50_p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "doc_dedup_pipeline",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    nt AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+      FROM documents),
+    vpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN nt ta ON c.id_a = ta.doc_id
+      JOIN nt tb ON c.id_b = tb.doc_id
+      WHERE levenshtein(ta.ntext, tb.ntext) * 10
+            <= greatest(length(ta.ntext), length(tb.ntext)) * 3),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vpairs
+      UNION SELECT id_b, id_a FROM vpairs),
+    cc AS (
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node, min(label) AS label FROM walk GROUP BY node),
+    {_SQL_QUALITY},
+    m AS (
+      SELECT CAST(cc.label AS BIGINT) AS cluster_id, q.doc_id, q.quality
+      FROM cc JOIN qscore q ON q.doc_id = cc.node),
+    r AS (
+      SELECT cluster_id, doc_id, quality,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM m)
+    SELECT cluster_id, doc_id AS kept_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+    description=(
+        "the full dedup chain composed end-to-end as ONE plan: map-side "
+        "MinHash signatures -> banded LSH candidates -> exact "
+        "levenshtein verification (candidates only, <=30% relative "
+        "distance) -> connected components over the VERIFIED edge set "
+        "-> keep the highest-quality member per cluster. The corpus is "
+        "scanned once; signatures/candidates/verification never "
+        "re-shuffle the raw text (ids + normalized text join in by "
+        "key), and CC runs on verified pairs only — LSH false "
+        "positives cannot glue unrelated clusters together, which is "
+        "the behavioral difference vs doc_dedup_keep_best (raw "
+        "candidate edges)"
+    ),
+    tags=("documents", "dedup", "iterative", "composite"),
+)
+def doc_dedup_pipeline(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    # stage 1: zero-shuffle signatures -> banded LSH self-join
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    # stage 2: exact edit-distance verify, candidate pairs only
+    nt = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "ntext"
+        ),
+    )
+    ta = nt.select(F.col("doc_id").alias("id_a"), F.col("ntext").alias("ta"))
+    tb = nt.select(F.col("doc_id").alias("id_b"), F.col("ntext").alias("tb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(
+            F.levenshtein("ta", "tb") * 10
+            <= F.greatest(F.length("ta"), F.length("tb")) * 3
+        )
+        .select("id_a", "id_b")
+    )
+    # stage 3: connected components over verified near-dup edges
+    clusters = dedup_clusters(verified, docs, id_col="doc_id")
+    # stage 4: representative selection by quality
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    j = clusters.join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    w = wc.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
