@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "emb_kmeans_assign",
     "evt_rolling_window_stats",
     "stream_view_purchase_join",
+    "doc_levenshtein_verify",
+    "rel_market_share",
+    "evt_funnel",
+    "evt_hash_sample",
+    "doc_dedup_pipeline",
 ]
 
 

@@ -203,18 +203,30 @@ def lsh_candidate_pairs(
 # ------------------------------------------------------ ngram jaccard
 
 
+#: All-pairs mode refuses to run when any shingle's posting list exceeds
+#: this (the self-join fan-out is sum over shingles of |postings|²; one
+#: boilerplate shingle shared by 10^5 docs would emit 10^10 pairs).
+MAX_POSTING_LIST = 10_000
+
+
 def jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     threshold: float = 0.0,
+    max_posting_list: int = MAX_POSTING_LIST,
 ) -> DataFrame:
     """n-gram Jaccard similarity per pair.
 
     With ``pairs`` given (candidate set, e.g. from LSH), verifies only
     those — the scale path. Without, all-pairs via shingle co-occurrence:
     join shingle lists on equality (inverted-index join, NOT a cross
-    join), count common shingles, |A∪B| = |A|+|B|-common.
+    join), count common shingles, |A∪B| = |A|+|B|-common. All-pairs mode
+    is oracle/small-corpus only and GUARDED: if any shingle occurs in
+    more than ``max_posting_list`` docs the join fan-out is quadratic in
+    that count, and this raises instead of melting the cluster — feed an
+    LSH candidate set via ``pairs`` instead (pass ``None`` to skip the
+    guard's extra aggregate when pairs are supplied: it already is).
 
     The join key is ``xxhash64(shingle)`` — equality classes are the
     same (64-bit, negligible collision odds) and the shuffle moves 8-byte
@@ -222,6 +234,20 @@ def jaccard_pairs(
     feeds the sizes aggregate and both join sides.
     """
     sh = sh.withColumn("_shash", F.xxhash64("shingle")).persist()
+    if pairs is None and max_posting_list is not None:
+        hot = (
+            sh.groupBy("_shash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .first()["mx"]
+        )
+        if hot is not None and hot > max_posting_list:
+            sh.unpersist()
+            raise ValueError(
+                f"all-pairs jaccard refused: a shingle occurs in {hot} docs "
+                f"(> {max_posting_list}); the self-join would fan out "
+                f"quadratically. Pass an LSH candidate set via pairs=."
+            )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("sa")
     b = sh.alias("sb")

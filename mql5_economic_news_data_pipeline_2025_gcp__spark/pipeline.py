@@ -52,16 +52,24 @@ def merge_params(
     file_params: dict | None,
     body_params: dict | None,
     merge: bool = True,
+    last_run_params: dict | None = None,
 ) -> dict:
-    """Reference param resolution (API:241-264): defaults ∪ file ∪ body;
-    body overrides file when ``merge`` — otherwise body alone overrides
-    defaults. Non-model keys pass through untouched."""
+    """Reference param resolution (API:241-264) plus the last-run
+    fallback (API:124-150, where MLflow's most recent run supplies
+    params when neither file nor body has them): precedence is
+    defaults < last_run < file < body when ``merge`` — otherwise the
+    single strongest present source (body, else file, else last_run)
+    overrides defaults alone. Non-model keys pass through untouched."""
     out = dict(DEFAULT_PARAMS)
     if merge:
+        out.update(last_run_params or {})
         out.update(file_params or {})
         out.update(body_params or {})
     else:
-        out.update(body_params if body_params is not None else (file_params or {}))
+        for src in (body_params, file_params, last_run_params):
+            if src is not None:
+                out.update(src)
+                break
     return out
 
 
@@ -70,6 +78,38 @@ def load_params_file(path: str) -> dict | None:
         return None
     with open(path) as fh:
         return json.load(fh)
+
+
+def record_run_params(history_path: str, params: dict, run_id: int | None = None) -> int:
+    """Append one run's params to the history log (the engine's MLflow-
+    tracking analogue — driver-side run metadata, one JSON line per run,
+    NOT data-plane state). Returns the run id."""
+    prev = load_params_history(history_path)
+    rid = run_id if run_id is not None else (max(prev) + 1 if prev else 1)
+    os.makedirs(os.path.dirname(history_path) or ".", exist_ok=True)
+    with open(history_path, "a") as fh:
+        fh.write(json.dumps({"run_id": rid, "params": params}) + "\n")
+    return rid
+
+
+def load_params_history(history_path: str) -> dict[int, dict]:
+    """run_id → params for every recorded run."""
+    if not os.path.exists(history_path):
+        return {}
+    out: dict[int, dict] = {}
+    with open(history_path) as fh:
+        for line in fh:
+            if line.strip():
+                rec = json.loads(line)
+                out[rec["run_id"]] = rec["params"]
+    return out
+
+
+def load_last_run_params(history_path: str) -> dict | None:
+    """The most recent run's params, or None with no history — the
+    fallback source ``merge_params`` consults (API:124-150 parity)."""
+    hist = load_params_history(history_path)
+    return hist[max(hist)] if hist else None
 
 
 @dataclass

@@ -222,7 +222,10 @@ def doc_minhash_lsh_candidates(spark, sf_dir):
 def doc_jaccard_near_dup(spark, sf_dir):
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sh = shingles(docs, n=3)
-    return jaccard_pairs(sh, threshold=0.08)
+    # all-pairs mode is oracle-only at test SF (documented); opt out of
+    # the posting-list guard's extra aggregate pass here — every other
+    # caller gets the guard by default (test_jaccard_all_pairs_posting_guard)
+    return jaccard_pairs(sh, threshold=0.08, max_posting_list=None)
 
 
 @register(
@@ -1342,4 +1345,181 @@ def doc_dedup_pipeline(spark, sf_dir):
             "quality",
             "n_members",
         )
+    )
+
+
+@register(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+    cs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id),
+    hit AS (SELECT cs.doc_id, count(*) AS n_hits
+            FROM cs JOIN ev USING (shingle) GROUP BY cs.doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    description=(
+        "benchmark decontamination: flag training docs sharing any "
+        "3-token shingle with the held-out eval set (doc_id%17=0 stands "
+        "in for the benchmark corpus). The eval shingle dictionary is "
+        "tiny -> broadcast as xxhash64 keys; the corpus side explodes "
+        "map-side and hits resolve in the broadcast hash join, so the "
+        "only corpus shuffle is the per-doc count agg. At 100 TB this "
+        "is THE shape: never shuffle the corpus on shingle, always "
+        "broadcast the benchmark dictionary"
+    ),
+    tags=("documents", "text", "decontamination"),
+)
+def doc_decontaminate(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    ev_sh = (
+        shingles(docs.filter(F.col("doc_id") % 17 == 0))
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    cs = shingles(docs.filter(F.col("doc_id") % 17 != 0)).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    tot = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        cs.join(F.broadcast(ev_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t, CAST(u.s AS INT) AS start
+      FROM toks, unnest(range(0, len(t), 20)) AS u(s)
+      WHERE len(t) > 0 AND t != ['']),
+    chunks AS (
+      SELECT doc_id, start,
+             list_slice(t, start + 1, least(start + 40, len(t))) AS c
+      FROM starts)
+    SELECT doc_id,
+           CAST(start / 20 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(len(c) AS INT) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM chunks
+    """,
+    description=(
+        "token-window chunking for training sequences: overlapping "
+        "40-token windows at stride 20 per document — the standard "
+        "context-window builder. Entirely map-side: sequence() builds "
+        "the start offsets, transform+slice cuts the windows, one "
+        "explode fans out (no shuffle, no Python); output size is the "
+        "only cost and it's the point"
+    ),
+    tags=("documents", "text", "chunking"),
+)
+def doc_chunk_windows(spark, sf_dir, chunk: int = 40, stride: int = 20):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(
+        (F.size("t") > 0) & ~((F.size("t") == 1) & (F.element_at("t", 1) == ""))
+    )
+    starts = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    c = F.slice(
+        F.col("t"),
+        F.col("start") + 1,
+        F.least(F.lit(chunk), F.size("t") - F.col("start")),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.size(c).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", c).alias("chunk_text"),
+    )
+
+
+@register(
+    "doc_repetition_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    stats AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             count(DISTINCT bg) AS n_distinct
+      FROM big GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round((n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE), 6)
+             AS rep_ratio,
+           (n_bigrams - n_distinct) * 5 > n_bigrams AS repetitive
+    FROM stats
+    """,
+    description=(
+        "Gopher-style within-document repetition filter: fraction of "
+        "duplicate 2-grams per doc; docs with >20%% duplicate bigrams "
+        "flagged (integer-compare form: dup*5 > total, no float "
+        "threshold). Map-only — bigram totals and distinct counts both "
+        "come from array expressions on the row, zero shuffles"
+    ),
+    tags=("documents", "text", "quality"),
+)
+def doc_repetition_filter(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)))
+    st = d.select(
+        "doc_id",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct"),
+    )
+    return st.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.round(
+            (F.col("n_bigrams") - F.col("n_distinct"))
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("rep_ratio"),
+        ((F.col("n_bigrams") - F.col("n_distinct")) * 5 > F.col("n_bigrams")).alias(
+            "repetitive"
+        ),
     )

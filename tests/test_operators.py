@@ -534,3 +534,51 @@ def test_ann_recall_at_k(spark):
     # the quality knobs actually buy recall
     assert r_mp1 > r_mp0, (r_mp0, r_mp1)
     assert r_ivf4 > r_ivf2, (r_ivf2, r_ivf4)
+
+
+def test_merge_params_last_run_fallback(tmp_path):
+    """Precedence chain incl. the MLflow-style last-run fallback
+    (VERDICT r1 #8): defaults < last_run < file < body."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.pipeline import (
+        load_last_run_params,
+        merge_params,
+        record_run_params,
+    )
+
+    hist = str(tmp_path / "runs" / "history.jsonl")
+    assert load_last_run_params(hist) is None
+    record_run_params(hist, {"SEQ_LENGTH": 11, "HIDDEN_SIZE": 128})
+    record_run_params(hist, {"SEQ_LENGTH": 13})
+    last = load_last_run_params(hist)
+    assert last == {"SEQ_LENGTH": 13}  # newest run wins
+
+    # fallback fills when file+body absent
+    assert merge_params(None, None, last_run_params=last)["SEQ_LENGTH"] == 13
+    # file beats fallback, body beats file
+    assert merge_params({"SEQ_LENGTH": 5}, None, last_run_params=last)["SEQ_LENGTH"] == 5
+    assert merge_params({"SEQ_LENGTH": 5}, {"SEQ_LENGTH": 7}, last_run_params=last)["SEQ_LENGTH"] == 7
+    # defaults still supply everything the sources don't
+    assert merge_params(None, None, last_run_params=last)["EPOCHS"] == 1
+    # merge=False: strongest single source only
+    assert merge_params(None, None, merge=False, last_run_params=last)["SEQ_LENGTH"] == 13
+    assert merge_params({"SEQ_LENGTH": 5}, None, merge=False, last_run_params=last)["SEQ_LENGTH"] == 5
+
+
+def test_jaccard_all_pairs_posting_guard(spark):
+    """All-pairs jaccard must refuse boilerplate-heavy inputs (quadratic
+    join fan-out) and point the caller at the candidate-fed path."""
+    import pytest
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    # 50 docs all sharing one shingle -> posting list of 50 > limit 10
+    sh = spark.createDataFrame(
+        [(i, "the same boilerplate") for i in range(50)], "doc_id long, shingle string"
+    )
+    with pytest.raises(ValueError, match="all-pairs jaccard refused"):
+        jaccard_pairs(sh, max_posting_list=10)
+    # candidate-fed path is exempt from the guard
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    assert jaccard_pairs(sh, pairs=pairs, max_posting_list=10).count() == 1
