@@ -77,4 +77,8 @@ def stream_series_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain_to_table(out, mode="update")
+    # full session parallelism here, unlike the pure-JVM drains: this
+    # operator's cost is per-group PYTHON compute (one pandas worker per
+    # state partition), not state-store commit overhead — 8 partitions
+    # would cap it at 8 parallel workers (measured 3.7 s vs 2.9 s at 32)
+    return _drain_to_table(out, mode="update", state_partitions=None)
