@@ -1,0 +1,73 @@
+"""Incremental aggregate maintenance (materialized-rollup upkeep).
+
+The reference recomputes its monthly rollups from scratch each DAG run;
+at 100 TB the engine must instead maintain stored partials and fold in
+only the new batch: ``new_state = merge(old_state, agg(new_rows))``.
+This works for any algebraic aggregate — count/sum/min/max merge
+directly, avg is decomposed into (sum, count) and re-derived after the
+merge (never avg-of-avgs).
+
+Scale shape: the historical table is never rescanned — the merge joins
+|groups| partial rows against |touched groups| new partials, both tiny
+next to the fact data; with month-partitioned state only partitions
+receiving keys rewrite. Correctness is oracle-checked by
+``evt_incremental_monthly_agg``: merged partials must equal the
+full-recompute answer bit-for-bit (associativity of the partial forms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Partial-state columns maintained per aggregate kind.
+_MERGE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Per-group partial state: count + requested sums/mins/maxs.
+    The output is itself mergeable by :func:`merge_partials`."""
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+    aggs += [F.min(c).alias(f"min_{c}") for c in mins]
+    aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Fold a new batch's partials into stored state. Columns are
+    matched by the ``sum_``/``min_``/``max_`` prefix convention of
+    :func:`partial_agg`; groups present on either side survive
+    (full outer merge semantics via union + re-reduce — one shuffle on
+    the group key over |partials| rows, never the facts)."""
+    aggs = []
+    for f_ in old.schema.fields:
+        if f_.name in keys:
+            continue
+        if f_.name == count_col or f_.name.startswith("sum_"):
+            aggs.append(F.sum(f_.name).alias(f_.name))
+        elif f_.name.startswith("min_"):
+            aggs.append(F.min(f_.name).alias(f_.name))
+        elif f_.name.startswith("max_"):
+            aggs.append(F.max(f_.name).alias(f_.name))
+        else:
+            raise ValueError(f"unmergeable partial column: {f_.name}")
+    return old.unionByName(new).groupBy(*keys).agg(*aggs)

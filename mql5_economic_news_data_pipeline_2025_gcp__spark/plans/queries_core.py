@@ -2643,3 +2643,143 @@ def rel_unpivot_returnflag_measures(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value_c",
     )
+
+
+@register(
+    "rel_scd2_priority_dim",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM orders),
+    flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             sum(brk) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged),
+    dim AS (
+      SELECT o_custkey, CAST(version AS BIGINT) AS version,
+             o_orderpriority AS priority,
+             min(o_orderdate) AS effective_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY o_custkey, version, o_orderpriority)
+    SELECT o_custkey, version, priority, effective_from,
+           lead(effective_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS effective_to,
+           n_orders
+    FROM dim
+    """,
+    description=(
+        "SCD type-2 dimension build: per customer, consecutive orders "
+        "with the same priority collapse into one versioned row with "
+        "[effective_from, effective_to) validity (NULL to = current). "
+        "Run-length encoding via lag-change flag + running sum, then "
+        "lead() stitches validity ranges. ONE shuffle on custkey "
+        "services every window and the group-by (same partitioning); "
+        "this is the standard CDC/warehouse versioning shape"
+    ),
+    tags=("relational", "window", "scd2"),
+)
+def rel_scd2_priority_dim(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("o_orderpriority").over(wo).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = runs.groupBy(
+        "o_custkey",
+        F.col("version").cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return dim.select(
+        "o_custkey",
+        "version",
+        "priority",
+        "effective_from",
+        F.lead("effective_from").over(wv).alias("effective_to"),
+        "n_orders",
+    )
+
+
+@register(
+    "evt_incremental_monthly_agg",
+    oracle="""
+    SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_sum,
+           CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_min,
+           CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description=(
+        "incremental materialized-rollup maintenance: the engine path "
+        "splits events at a cutoff into 'stored history' and 'new "
+        "batch', computes per-(month,type) PARTIALS for each side, and "
+        "MERGES them (count/sum/min/max fold; never avg-of-avgs) — the "
+        "oracle is the full recompute, so the differential proves the "
+        "partial forms are associative bit-for-bit. At 100 TB the "
+        "history partials are |groups| rows and the fact table is "
+        "never rescanned; only key-receiving month partitions rewrite"
+    ),
+    tags=("events", "aggregate", "incremental"),
+)
+def evt_incremental_monthly_agg(spark, sf_dir):
+    from ..operators.incremental import merge_partials, partial_agg
+
+    ev = keyed_events(spark, sf_dir).select(
+        F.date_trunc("month", "ts").alias("month"), "event_type", "value_c", "ts"
+    )
+    # cutoff mid-fixture: everything before is "stored state", the rest
+    # is the arriving batch (any constant works — the merge must equal
+    # the full recompute regardless of where history was cut)
+    cutoff = F.lit("2024-03-15").cast("timestamp")
+    keys = ["month", "event_type"]
+    old = partial_agg(
+        ev.filter(F.col("ts") < cutoff),
+        keys,
+        sums=["value_c"],
+        mins=["value_c"],
+        maxs=["value_c"],
+    )
+    new = partial_agg(
+        ev.filter(F.col("ts") >= cutoff),
+        keys,
+        sums=["value_c"],
+        mins=["value_c"],
+        maxs=["value_c"],
+    )
+    merged = merge_partials(old, new, keys)
+    return merged.select(
+        "month",
+        "event_type",
+        "n",
+        F.col("sum_value_c").alias("value_c_sum"),
+        F.col("min_value_c").alias("value_c_min"),
+        F.col("max_value_c").alias("value_c_max"),
+    )

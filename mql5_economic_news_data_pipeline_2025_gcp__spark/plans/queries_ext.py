@@ -1523,3 +1523,103 @@ def doc_repetition_filter(spark, sf_dir):
             "repetitive"
         ),
     )
+
+
+@register(
+    "doc_mix_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substring(source, 4) AS INT) < 5  THEN 100
+                  WHEN CAST(substring(source, 4) AS INT) < 10 THEN 50
+                  ELSE 25 END AS rate_pct,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS u
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN u * 100 < 65536 * rate_pct THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(max(rate_pct) AS BIGINT) AS rate_pct
+    FROM rated GROUP BY source
+    """,
+    description=(
+        "corpus mixing / stratified downsampling: per-source target "
+        "rates (100/50/25%% here standing in for domain weights) applied "
+        "via deterministic md5-uniform acceptance (u*100 < 65536*rate, "
+        "integer compare — no float RNG, rerun-stable, join-free). "
+        "Map-only over the corpus + one tiny per-source agg; at 100 TB "
+        "the accept test runs inside the scan stage and rejected rows "
+        "never shuffle anywhere"
+    ),
+    tags=("documents", "sampling", "mixing"),
+)
+def doc_mix_sample(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    src_n = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_n < 5, 100).when(src_n < 10, 50).otherwise(25)
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    rated = docs.select(
+        "doc_id", "source", rate.alias("rate_pct"), u.alias("u")
+    )
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("u") * 100 < 65536 * F.col("rate_pct"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.max("rate_pct").cast("bigint").alias("rate_pct"),
+    )
+
+
+@register(
+    "doc_train_shuffle",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents)
+    SELECT doc_id,
+           CAST(bucket AS INT) AS bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY ord_key, doc_id)
+                AS BIGINT) AS rank_in_bucket
+    FROM b
+    """,
+    description=(
+        "deterministic distributed training-data shuffle: docs hash "
+        "into 16 buckets (salted md5) and get a stable pseudo-random "
+        "rank WITHIN each bucket — the exported layout a trainer reads "
+        "bucket-by-bucket for epoch randomization. This is the scale "
+        "substitute for a global ORDER BY rand(): one hash shuffle on "
+        "bucket + partition-local sort (repartition + "
+        "sortWithinPartitions in the write path), no global sort, "
+        "rerun-identical"
+    ),
+    tags=("documents", "sampling", "shuffle"),
+)
+def doc_train_shuffle(spark, sf_dir, n_buckets: int = 16):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sid = F.col("doc_id").cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    b = docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.md5(sid).alias("ord_key"),
+    )
+    w = Window.partitionBy("bucket").orderBy("ord_key", "doc_id")
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).cast("bigint").alias("rank_in_bucket"),
+    )

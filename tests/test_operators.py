@@ -582,3 +582,32 @@ def test_jaccard_all_pairs_posting_guard(spark):
     # candidate-fed path is exempt from the guard
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     assert jaccard_pairs(sh, pairs=pairs, max_posting_list=10).count() == 1
+
+
+def test_merge_partials_outer_semantics(spark):
+    """Groups only in history, only in the batch, and in both must all
+    survive the merge with correctly folded state."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.incremental import (
+        merge_partials,
+        partial_agg,
+    )
+
+    old_rows = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 10)], "k string, v long"
+    )
+    new_rows = spark.createDataFrame(
+        [("a", 5), ("c", 7)], "k string, v long"
+    )
+    old = partial_agg(old_rows, ["k"], sums=["v"], mins=["v"], maxs=["v"])
+    new = partial_agg(new_rows, ["k"], sums=["v"], mins=["v"], maxs=["v"])
+    m = {r["k"]: r for r in merge_partials(old, new, ["k"]).collect()}
+    assert m["a"]["n"] == 3 and m["a"]["sum_v"] == 9
+    assert m["a"]["min_v"] == 1 and m["a"]["max_v"] == 5
+    assert m["b"]["n"] == 1 and m["b"]["sum_v"] == 10  # history-only survives
+    assert m["c"]["n"] == 1 and m["c"]["sum_v"] == 7   # batch-only survives
+
+    import pytest
+
+    bad = old.withColumnRenamed("sum_v", "avg_v")
+    with pytest.raises(ValueError, match="unmergeable"):
+        merge_partials(bad, bad, ["k"])
