@@ -93,3 +93,21 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", predict_lang(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def corpus_verdict(
+    text_col: Column | str = "text", lang_col: Column | str = "lang"
+) -> Column:
+    """C4-style keep/drop verdict (first matching rule wins) — shared by
+    the batch corpus filter and its streaming twin; a pure Column
+    expression, so the identical logic runs in both execution modes."""
+    lang = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    n_tok = token_count(text_col)
+    return (
+        F.when(lang != "en", "non_english")
+        .when(n_tok < 15, "too_short")
+        .when(n_tok > 90, "too_long")
+        .when(stopword_ratio(text_col) < 0.02, "low_stopword")
+        .when(quality_score(text_col) < 0.75, "low_quality")
+        .otherwise("kept")
+    )

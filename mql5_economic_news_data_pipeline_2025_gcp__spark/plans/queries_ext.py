@@ -884,17 +884,10 @@ def doc_dedup_keep_best(spark, sf_dir):
     tags=("documents", "text", "quality", "filter"),
 )
 def doc_corpus_filter(spark, sf_dir):
+    from ..operators.textops import corpus_verdict
+
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    n_tok = token_count("text")
-    verdict = (
-        F.when(F.col("lang") != "en", "non_english")
-        .when(n_tok < 15, "too_short")
-        .when(n_tok > 90, "too_long")
-        .when(stopword_ratio("text") < 0.02, "low_stopword")
-        .when(quality_score("text") < 0.75, "low_quality")
-        .otherwise("kept")
-    )
-    return docs.groupBy("source", verdict.alias("verdict")).agg(
+    return docs.groupBy("source", corpus_verdict().alias("verdict")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
 
@@ -1622,4 +1615,49 @@ def doc_train_shuffle(spark, sf_dir, n_buckets: int = 16):
         "doc_id",
         "bucket",
         F.row_number().over(w).cast("bigint").alias("rank_in_bucket"),
+    )
+
+
+@register(
+    "stream_corpus_filter",
+    oracle=f"""
+    WITH {_SQL_QUALITY},
+    verdicts AS (
+      SELECT source,
+             CASE WHEN lang != 'en'        THEN 'non_english'
+                  WHEN n_tok < 15          THEN 'too_short'
+                  WHEN n_tok > 90          THEN 'too_long'
+                  WHEN stop_ratio < 0.02   THEN 'low_stopword'
+                  WHEN quality < 0.75      THEN 'low_quality'
+                  ELSE 'kept' END AS verdict
+      FROM qscore)
+    SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+    FROM verdicts GROUP BY source, verdict
+    """,
+    description=(
+        "streaming twin of the C4-style corpus filter: documents arrive "
+        "as a file stream, the IDENTICAL corpus_verdict Column "
+        "expression scores each row (unified batch/stream logic — the "
+        "Spark execution-mode promise made concrete), and the row-level "
+        "stream drains through foreachBatch with per-batch partial "
+        "counts — the scale-safe drain; no row ever reaches the driver. "
+        "Oracle = the batch filter over the same corpus"
+    ),
+    tags=("streaming", "documents", "quality"),
+)
+def stream_corpus_filter(spark, sf_dir):
+    from ..operators.textops import corpus_verdict
+    from ..streaming.ingest import _drain_via_foreachbatch, _stream_source
+
+    docs = _stream_source(spark, sf_dir, "documents")
+    flagged = docs.select("source", corpus_verdict().alias("verdict"))
+
+    def _partial(b):
+        return b.groupBy("source", "verdict").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    partials = _drain_via_foreachbatch(flagged, batch_fn=_partial)
+    return partials.groupBy("source", "verdict").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
     )
