@@ -64,6 +64,14 @@ BENCH_QUERIES = [
     "evt_funnel",
     "evt_hash_sample",
     "doc_dedup_pipeline",
+    "rel_scd2_priority_dim",
+    "evt_incremental_monthly_agg",
+    "doc_decontaminate",
+    "doc_chunk_windows",
+    "doc_repetition_filter",
+    "doc_mix_sample",
+    "doc_train_shuffle",
+    "stream_corpus_filter",
 ]
 
 

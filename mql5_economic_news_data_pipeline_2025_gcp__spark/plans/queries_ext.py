@@ -1286,10 +1286,10 @@ def evt_sketch_profile(spark, sf_dir):
         "MinHash signatures -> banded LSH candidates -> exact "
         "levenshtein verification (candidates only, <=30% relative "
         "distance) -> connected components over the VERIFIED edge set "
-        "-> keep the highest-quality member per cluster. The corpus is "
-        "scanned once; signatures/candidates/verification never "
-        "re-shuffle the raw text (ids + normalized text join in by "
-        "key), and CC runs on verified pairs only — LSH false "
+        "-> keep the highest-quality member per cluster. Stages hand "
+        "off ids, not documents: raw text never re-shuffles between "
+        "stages (each stage's column-pruned (doc_id,text) scan joins "
+        "in by key), and CC runs on verified pairs only — LSH false "
         "positives cannot glue unrelated clusters together, which is "
         "the behavioral difference vs doc_dedup_keep_best (raw "
         "candidate edges)"

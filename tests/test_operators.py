@@ -611,3 +611,16 @@ def test_merge_partials_outer_semantics(spark):
     bad = old.withColumnRenamed("sum_v", "avg_v")
     with pytest.raises(ValueError, match="unmergeable"):
         merge_partials(bad, bad, ["k"])
+
+
+def test_decontaminate_broadcasts_dictionary(spark):
+    """The eval-set shingle dictionary must reach the corpus side as a
+    broadcast hash join — a shuffle of the corpus on shingle would be
+    the 100 TB failure mode."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["doc_decontaminate"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
