@@ -250,12 +250,15 @@ def near_dup_pairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: list[int] | None = None,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
     Candidate generation via the sign-LSH bucket (equi-join, not cross);
-    exact cosine verification on candidates only.
-    """
+    exact cosine verification on candidates only. The similarity is
+    rounded BEFORE the threshold compare (determinism contract: both
+    engines sum doubles in unspecified order, so an unrounded boundary
+    compare could flip a pair between engines)."""
     dims = dims or [0, 1, 2, 3]
     v = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
@@ -268,7 +271,10 @@ def near_dup_pairs_cosine(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cosine_sim", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -275,11 +275,23 @@ def run_automate(
     key=SERIES_KEY,
     order=("event_ts",),
     exact_split: bool = True,
+    history_path: str | None = None,
 ) -> dict[str, PipelineResult]:
     """POST /automate analogue: sequential train → validate → test with
     the skip-training short-circuit (API:318-373). ``exact_split=False``
-    runs the whole flow on the quantile-cutoff split (the scale path)."""
+    runs the whole flow on the quantile-cutoff split (the scale path).
+
+    With ``history_path`` set, the run consults the params history when
+    ``params`` is absent (the reference's MLflow last-run fallback,
+    API:124-150) and records the resolved params after — so a second
+    parameterless run reproduces the first's configuration."""
     out: dict[str, PipelineResult] = {}
+    if history_path is not None:
+        if params is None:
+            params = merge_params(
+                None, None, last_run_params=load_last_run_params(history_path)
+            )
+        record_run_params(history_path, params)
     train_res = run_train(events, params=params, predict_fn=predict_fn, key=key,
                           order=order, exact_split=exact_split)
     if not skip_training:

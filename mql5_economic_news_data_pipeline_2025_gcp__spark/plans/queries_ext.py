@@ -1661,3 +1661,57 @@ def stream_corpus_filter(spark, sf_dir):
     return partials.groupBy("source", "verdict").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+@register(
+    "emb_dedup_clusters",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node, min(label) AS label FROM walk GROUP BY node),
+    sized AS (
+      SELECT CAST(label AS BIGINT) AS cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM cc GROUP BY label)
+    SELECT cluster_id, n_members FROM sized WHERE n_members > 1
+    """,
+    description=(
+        "semantic (embedding-space) dedup clustering: sign-LSH bucket "
+        "candidates -> exact cosine verify (>=0.3) -> connected "
+        "components -> multi-member cluster census. The embedding twin "
+        "of the text dedup chain: same CC operator, candidate "
+        "generation swaps shingle bands for hyperplane buckets — "
+        "operators compose across modalities"
+    ),
+    tags=("embeddings", "dedup", "iterative"),
+)
+def emb_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import near_dup_pairs_cosine
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    pairs = near_dup_pairs_cosine(
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs, emb, id_col="vec_id")
+    sized = clusters.groupBy(
+        F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).agg(F.count(F.lit(1)).alias("n_members"))
+    return sized.filter(F.col("n_members") > 1)

@@ -624,3 +624,35 @@ def test_decontaminate_broadcasts_dictionary(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_run_automate_history_roundtrip(spark, tmp_path):
+    """A parameterless run after a parameterized one reproduces the
+    recorded configuration via the history fallback (API last-run
+    parity wired into orchestration)."""
+    import datetime as dt
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.pipeline import (
+        load_params_history,
+    )
+
+    rows = []
+    base = dt.datetime(2025, 1, 1)
+    for g, cur in enumerate(["USD", "EUR"]):
+        for i in range(40):
+            rows.append(
+                (base + dt.timedelta(hours=i), cur, "CPI", float(i % 7) + g, 1)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_ts timestamp, Currency string, Event string, value double, "
+        "ImpactOrdinal int",
+    )
+    hist = str(tmp_path / "history.jsonl")
+    r1 = run_automate(df, params={"SEQ_LENGTH": 9}, history_path=hist)
+    assert r1["train"].extra["params"]["SEQ_LENGTH"] == 9
+
+    r2 = run_automate(df, history_path=hist)  # no params: fall back
+    assert r2["train"].extra["params"]["SEQ_LENGTH"] == 9
+    # both runs recorded
+    assert len(load_params_history(hist)) == 2
