@@ -1,0 +1,38 @@
+"""Engine-wide physical-plan invariants over the ENTIRE query registry.
+
+Two bans that hold for every registered query, enforced structurally so
+no future operator can regress them silently:
+
+- ``CartesianProduct``: an unbroadcast cross join is quadratic shuffle
+  I/O at scale. Intentional small-side cross joins must be
+  ``crossJoin(F.broadcast(...))`` which compiles to
+  BroadcastNestedLoopJoin instead.
+- ``BatchEvalPython``: a row-at-a-time Python UDF in a plan means some
+  expression silently fell off the JVM fast path. Python is allowed
+  ONLY at Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas /
+  MapInPandas / FlatMapGroupsInPandasWithState).
+
+Streaming queries are excluded: building their frame runs the drain
+(they materialize eagerly), and their batch-side plans are covered by
+the oracle gate + targeted streaming tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+_BATCH = sorted(
+    name for name, spec in REGISTRY.items() if "streaming" not in spec.tags
+)
+
+
+@pytest.mark.parametrize("name", _BATCH)
+def test_no_cartesian_no_rowwise_python(spark, name):
+    df = REGISTRY[name].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
