@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "doc_mix_sample",
     "doc_train_shuffle",
     "stream_corpus_filter",
+    "evt_anomaly_zscore",
+    "rel_cohort_retention",
+    "doc_unk_mask",
+    "emb_dedup_clusters",
 ]
 
 

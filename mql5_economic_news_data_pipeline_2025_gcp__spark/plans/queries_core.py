@@ -2783,3 +2783,122 @@ def evt_incremental_monthly_agg(spark, sf_dir):
         F.col("min_value_c").alias("value_c_min"),
         F.col("max_value_c").alias("value_c_max"),
     )
+
+
+@register(
+    "evt_anomaly_zscore",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events),
+    stats AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value_c) AS s,
+             sum(value_c * value_c) AS ss
+      FROM k GROUP BY user_id, event_type),
+    scored AS (
+      SELECT k.event_id, k.user_id, k.event_type, k.value_c,
+             round(
+               (k.value_c - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(ss AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+               6) AS z
+      FROM k JOIN stats USING (user_id, event_type)
+      WHERE n >= 2 AND ss * n > s * s)
+    SELECT event_id, user_id, event_type, value_c, z,
+           abs(z) > 3.0 AS is_anomaly
+    FROM scored
+    """,
+    description=(
+        "per-series z-score anomaly flags: population mean/std from "
+        "exact integer sums (sum, sum-of-squares — single agg pass, "
+        "never two-pass), joined back to rows; |z|>3 flags outliers. "
+        "Degenerate series (n<2 or zero variance, integer-compare "
+        "ss*n>s*s) excluded in both engines. The stats join is "
+        "agg-to-fact on the series key: one shuffle each side, "
+        "identical division/sqrt trees, round-6 determinism"
+    ),
+    tags=("events", "aggregate", "quality"),
+)
+def evt_anomaly_zscore(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value_c"
+    )
+    stats = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("s"),
+        F.sum(F.col("value_c") * F.col("value_c")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    scored = (
+        ev.join(stats, ["user_id", "event_type"])
+        .filter((F.col("n") >= 2) & (F.col("ss") * F.col("n") > F.col("s") * F.col("s")))
+        .withColumn("z", F.round((F.col("value_c") - mean) / F.sqrt(var), 6))
+    )
+    return scored.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value_c",
+        "z",
+        (F.abs(F.col("z")) > 3.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "rel_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort_month,
+             datediff('month', f.cohort_month,
+                      date_trunc('month', o.o_orderdate)) AS month_offset
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(month_offset AS INT) AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE month_offset <= 6
+    GROUP BY cohort_month, month_offset
+    """,
+    description=(
+        "cohort retention matrix: customers grouped by first-order "
+        "month, counted active per month offset (0..6). Two shuffles "
+        "on custkey (first-order agg, then the distinct) — the "
+        "agg-back-join reuses the custkey partitioning; the matrix "
+        "itself is |cohorts|x7 rows. The standard growth-analytics "
+        "shape, expressed without any window over the full fact table"
+    ),
+    tags=("relational", "aggregate", "cohort"),
+)
+def rel_cohort_retention(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("om").alias("cohort_month"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                (F.year("om") - F.year("cohort_month")) * 12
+                + (F.month("om") - F.month("cohort_month"))
+            ).alias("month_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("month_offset") <= 6)
+        .groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -1715,3 +1715,66 @@ def emb_dedup_clusters(spark, sf_dir):
         F.col("cluster_id").cast("bigint").alias("cluster_id")
     ).agg(F.count(F.lit(1)).alias("n_members"))
     return sized.filter(F.col("n_members") > 1)
+
+
+@register(
+    "doc_unk_mask",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    cnt AS (SELECT term, count(*) AS c FROM tf GROUP BY term),
+    total AS (SELECT count(*) AS n FROM tf),
+    vocab AS (
+      SELECT term FROM cnt CROSS JOIN total WHERE c * 100 >= n),
+    flagged AS (
+      SELECT tf.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS unk
+      FROM tf LEFT JOIN vocab v ON tf.term = v.term)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(unk) AS BIGINT) AS n_unk,
+           round(sum(unk) / CAST(count(*) AS DOUBLE), 6) AS unk_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+    description=(
+        "vocabulary pruning / OOV masking (tokenizer prep): terms with "
+        "corpus frequency under 1%% of total tokens mask to <unk>; "
+        "per-doc token and unk counts come back. The vocab is tiny by "
+        "construction (frequency-thresholded) -> broadcast to the "
+        "exploded token stream, so the corpus never shuffles on term; "
+        "the relative threshold (c*100 >= n, integer compare) keeps "
+        "semantics scale-proportional instead of hard-coding counts"
+    ),
+    tags=("documents", "text", "vocab"),
+)
+def doc_unk_mask(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    tf = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    cnt = tf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.count(F.lit(1)).alias("n"))
+    vocab = cnt.crossJoin(F.broadcast(total)).filter(
+        F.col("c") * 100 >= F.col("n")
+    ).select("term")
+    flagged = tf.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "term", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.round(
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("unk_ratio"),
+    )
