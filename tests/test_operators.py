@@ -656,3 +656,30 @@ def test_run_automate_history_roundtrip(spark, tmp_path):
     assert r2["train"].extra["params"]["SEQ_LENGTH"] == 9
     # both runs recorded
     assert len(load_params_history(hist)) == 2
+
+
+def test_partition_pruning_on_month_layout(spark, tmp_path):
+    """SCALE.md claims month-partitioned layouts let the HWM predicate
+    prune whole partitions — prove it: a month-partitioned write, a
+    filtered read, and a plan whose scan lists only the matching
+    partition."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        save_partitioned,
+    )
+
+    ev = keyed_events(spark, "/root/testdata/sf0.001").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    path = str(tmp_path / "events_by_month")
+    save_partitioned(ev, path, partition_cols=("month",))
+
+    target = ev.agg(F.max("month")).first()[0]
+    back = spark.read.parquet(path).filter(F.col("month") == target)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and target in plan, plan
+    # the pruned count equals the partition's true row count
+    expected = ev.filter(F.col("month") == target).count()
+    assert back.count() == expected and expected > 0
