@@ -1778,3 +1778,26 @@ def doc_unk_mask(spark, sf_dir):
             6,
         ).alias("unk_ratio"),
     )
+
+
+@register(
+    "evt_series_dtw",
+    oracle=None,  # a DP loop with loop-carried dependencies has no SQL
+    # form; tests/test_operators.py::test_dtw_matches_reference verifies
+    # the distances against a pure-Python reference implementation
+    description=(
+        "per-series dynamic-time-warping distance to a reference "
+        "pattern (banded Sakoe-Chiba DP): the canonical "
+        "custom-grouped-operator case — a loop-carried dynamic program "
+        "that DataFrame algebra cannot express, so it earns the "
+        "applyInPandas seam. One shuffle on the series key (reusing "
+        "the standard series partitioning), then embarrassingly "
+        "parallel per-group NumPy; rows-only driver check by design"
+    ),
+    tags=("events", "pandas-udf", "similarity"),
+)
+def evt_series_dtw(spark, sf_dir):
+    from ..operators.dtw import series_dtw
+
+    ev = keyed_events(spark, sf_dir)
+    return series_dtw(ev)

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "mql5_econ_news_spark", cpus: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # answer unfiltered MIN/MAX/COUNT from parquet footer statistics
+        # (high-water-mark scalar, catalog count probes) — a stats-only
+        # scan instead of a data scan; Catalyst falls back automatically
+        # when a query shape doesn't qualify
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

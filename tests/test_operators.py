@@ -683,3 +683,40 @@ def test_partition_pruning_on_month_layout(spark, tmp_path):
     # the pruned count equals the partition's true row count
     expected = ev.filter(F.col("month") == target).count()
     assert back.count() == expected and expected > 0
+
+
+def test_dtw_matches_reference(spark):
+    """Spark DTW distances must equal a pure-Python reference DP run
+    driver-side on the same (sorted, normalized) series."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dtw import (
+        DEFAULT_PATTERN,
+        dtw_band,
+        series_dtw,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+    import numpy as np
+
+    ev = keyed_events(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["user_id"], r["event_type"]): r
+        for r in series_dtw(ev).collect()
+    }
+    rows = ev.select("user_id", "event_type", "ts", "value_c").collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["ts"], r["value_c"])
+        )
+    pat = np.asarray(DEFAULT_PATTERN)
+    checked = 0
+    for k, pts in sorted(series.items())[:10]:
+        v = np.array([p[1] for p in sorted(pts)], dtype=np.float64)
+        lo, hi = v.min(), v.max()
+        norm = np.zeros_like(v) if hi == lo else (v - lo) / (hi - lo) * 2 - 1
+        expect = round(dtw_band(norm, pat, 3), 6)
+        assert got[k]["dtw_dist"] == expect, (k, got[k]["dtw_dist"], expect)
+        assert got[k]["n"] == len(v)
+        checked += 1
+    assert checked == 10
