@@ -1,0 +1,104 @@
+"""Multi-batch streaming semantics the single-drain oracle queries
+cannot exercise: watermark advancement across micro-batches and the
+append-mode emission contract.
+
+The registry's streaming queries are oracle-checkable precisely because
+one file => one micro-batch => nothing is ever late. Here a two-file
+source processed one file per trigger makes the watermark move between
+batches, and we assert the contracts Spark actually guarantees:
+
+- the watermark advances monotonically from each batch's max event time
+  minus the delay (1970 → 11:50 → 11:55 in this fixture);
+- append mode emits a window ONLY once the watermark passes its end
+  (closed windows emitted, the still-open latest window withheld) —
+  which is exactly the state-eviction bound that keeps memory finite on
+  unbounded streams.
+
+(Deliberately NOT asserted: that a late row below the watermark is
+dropped. Spark's late-record filtering is best-effort — observed here:
+a late row opening a fresh window in batch 2 is still accepted — and
+the hard guarantee is only about emission/eviction, so that is what we
+pin.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(path, rows):
+    # a plain single parquet FILE (not a Spark output directory): the
+    # file stream source lists files, exactly like the test fixtures
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "v": [r[2] for r in rows],
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_watermark_advance_and_append_emission(spark, tmp_path):
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    _write_batch(
+        str(src / "b1.parquet"),
+        [("u", base - dt.timedelta(hours=3), 1), ("u", base, 1)],
+    )
+    time.sleep(1.1)  # distinct mtimes fix the batch order
+    _write_batch(
+        str(src / "b2.parquet"),
+        [("u", base + dt.timedelta(minutes=5), 1)],
+    )
+
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "user", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_semantics")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        marks = [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p["eventTime"].get("watermark")
+        ]
+    finally:
+        q.stop()
+
+    # watermark advanced across batches: 1970 epoch start, then
+    # max(batch ts) - 10 min after each data batch
+    assert "2025-01-01T11:50:00.000Z" in marks, marks
+    assert "2025-01-01T11:55:00.000Z" in marks, marks
+    assert marks == sorted(marks), f"watermark must be monotone: {marks}"
+
+    out = {
+        (r["ws"], r["user"]): r["n"]
+        for r in spark.table("wm_semantics").collect()
+    }
+    # the 09:00 window closed (end 10:00 < final watermark 11:55) -> emitted
+    assert out == {(dt.datetime(2025, 1, 1, 9), "u"): 1}, out
+    # the 12:00 window (2 rows) is still open -> withheld, its state the
+    # only state retained
