@@ -2902,3 +2902,97 @@ def rel_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "evt_gap_fill",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE user_id < 5),
+    daily AS (
+      SELECT user_id, event_type, day, value_c FROM (
+        SELECT user_id, event_type, day, value_c,
+               row_number() OVER (PARTITION BY user_id, event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM k) WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+      FROM k GROUP BY user_id, event_type),
+    grid AS (
+      SELECT user_id, event_type, CAST(u.d AS DATE) AS day
+      FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+    joined AS (
+      SELECT g.user_id, g.event_type, g.day, d.value_c
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.event_type = d.event_type
+       AND g.day = d.day),
+    grp AS (
+      SELECT user_id, event_type, day, value_c,
+             count(value_c) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS fg
+      FROM joined)
+    SELECT user_id, event_type, day,
+           CAST(max(value_c) OVER (PARTITION BY user_id, event_type, fg)
+                AS BIGINT) AS value_c_filled,
+           value_c IS NULL AS is_gap
+    FROM grp
+    """,
+    description=(
+        "calendar densification + forward fill (pandas resample().ffill "
+        "parity): per series, a daily grid from first to last "
+        "observation, last-observation-per-day joined on, gaps carried "
+        "forward via the fill-group trick (running non-null count -> "
+        "max per group) — identical window trees in both engines, no "
+        "IGNORE NULLS dialect dependence. Grid generation is "
+        "sequence()+explode per series (map-side; output volume is the "
+        "cost); every window shares the series-key shuffle. Restricted "
+        "to user_id<5 to keep the differential fixture-sized"
+    ),
+    tags=("events", "window", "resample"),
+)
+def evt_gap_fill(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("user_id") < 5).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.to_date("ts").alias("day"),
+        "value_c",
+    )
+    wd = Window.partitionBy("user_id", "event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "day", "value_c")
+    )
+    bounds = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "event_type", "day"], "left")
+    ws = Window.partitionBy("user_id", "event_type").orderBy("day")
+    grp = joined.withColumn(
+        "fg",
+        F.count("value_c").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wg = Window.partitionBy("user_id", "event_type", "fg")
+    return grp.select(
+        "user_id",
+        "event_type",
+        "day",
+        F.max("value_c").over(wg).cast("bigint").alias("value_c_filled"),
+        F.col("value_c").isNull().alias("is_gap"),
+    )
