@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "rel_cohort_retention",
     "doc_unk_mask",
     "emb_dedup_clusters",
+    "evt_gap_fill",
+    "evt_series_dtw",
 ]
 
 

@@ -2996,3 +2996,89 @@ def evt_gap_fill(spark, sf_dir):
         F.max("value_c").over(wg).cast("bigint").alias("value_c_filled"),
         F.col("value_c").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "evt_spearman_view_purchase",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    daily AS (
+      SELECT user_id, event_type, day, sum(value_c) AS v
+      FROM k GROUP BY user_id, event_type, day),
+    paired AS (
+      SELECT a.user_id, a.day, a.v AS v_view, b.v AS v_purch
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type = 'view' AND b.event_type = 'purchase'),
+    ranked AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY v_view ASC, day ASC) AS rv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY v_purch ASC, day ASC) AS rp
+      FROM paired),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rv - rp) * (rv - rp)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY user_id)
+    SELECT user_id, n, sum_d2,
+           round(1.0 - 6.0 * sum_d2 / (n * (CAST(n AS DOUBLE) * n - 1)), 6)
+             AS spearman
+    FROM agg WHERE n >= 3
+    """,
+    description=(
+        "cross-series rank correlation: per user, Spearman rho between "
+        "daily view value and daily purchase value on days having "
+        "both. Ranks are row_number with a day tie-break (a true "
+        "permutation, engine-identical), so sum(d^2) is EXACT integer "
+        "arithmetic and rho = 1 - 6*sum_d2/(n(n^2-1)) is one rounded "
+        "division — no float-sum-order sensitivity, unlike a naive "
+        "corr() aggregate. Shape: daily rollup + self-join on the "
+        "user/day key + two rank windows sharing the user partition"
+    ),
+    tags=("events", "window", "statistics"),
+)
+def evt_spearman_view_purchase(spark, sf_dir):
+    k = keyed_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", "event_type", F.to_date("ts").alias("day"), "value_c")
+    daily = k.groupBy("user_id", "event_type", "day").agg(
+        F.sum("value_c").alias("v")
+    )
+    a = daily.filter(F.col("event_type") == "view").select(
+        "user_id", "day", F.col("v").alias("v_view")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        "user_id", "day", F.col("v").alias("v_purch")
+    )
+    paired = a.join(b, ["user_id", "day"])
+    wv = Window.partitionBy("user_id").orderBy(F.col("v_view").asc(), F.col("day").asc())
+    wp = Window.partitionBy("user_id").orderBy(F.col("v_purch").asc(), F.col("day").asc())
+    ranked = paired.select(
+        "user_id",
+        F.row_number().over(wv).alias("rv"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rv") - F.col("rp")) * (F.col("rv") - F.col("rp")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return agg.filter(F.col("n") >= 3).select(
+        "user_id",
+        "n",
+        "sum_d2",
+        F.round(
+            1.0
+            - 6.0
+            * F.col("sum_d2")
+            / (F.col("n") * (F.col("n").cast("double") * F.col("n") - 1)),
+            6,
+        ).alias("spearman"),
+    )
