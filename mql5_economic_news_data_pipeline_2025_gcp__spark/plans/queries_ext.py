@@ -1703,14 +1703,18 @@ def stream_corpus_filter(spark, sf_dir):
     tags=("embeddings", "dedup", "iterative"),
 )
 def emb_dedup_clusters(spark, sf_dir):
-    from ..operators.dedup import dedup_clusters
+    # star CC, not min-propagation: bucket subgraphs here are tree-like
+    # chains (long diameter), where propagation needs O(diameter)
+    # rounds (measured 10) and the large/small-star form needs O(log n)
+    # (measured 4)
+    from ..operators.dedup import dedup_clusters_star
     from ..operators.similarity import near_dup_pairs_cosine
 
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     pairs = near_dup_pairs_cosine(
         emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
     ).select("id_a", "id_b")
-    clusters = dedup_clusters(pairs, emb, id_col="vec_id")
+    clusters = dedup_clusters_star(pairs, emb, id_col="vec_id")
     sized = clusters.groupBy(
         F.col("cluster_id").cast("bigint").alias("cluster_id")
     ).agg(F.count(F.lit(1)).alias("n_members"))

@@ -720,3 +720,59 @@ def test_dtw_matches_reference(spark):
         assert got[k]["n"] == len(v)
         checked += 1
     assert checked == 10
+
+
+def test_star_cc_matches_union_find(spark):
+    """dedup_clusters_star must produce identical components to a
+    driver-side union-find on randomized graphs (chains, stars, cliques,
+    singletons) — and to the min-propagation operator."""
+    import random
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = []
+        # long chain (the O(diameter) worst case)
+        chain = rng.sample(range(n), 20)
+        edges += list(zip(chain, chain[1:]))
+        # a clique and a star
+        cl = rng.sample(range(n), 5)
+        edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1:]]
+        hub = rng.randrange(n)
+        edges += [(hub, rng.randrange(n)) for _ in range(5)]
+
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in range(n)}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+        )
+        nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+        got_star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters_star(pairs, nodes).collect()
+        }
+        assert got_star == expected, f"trial {trial}: star CC mismatch"
+        got_prop = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, nodes).collect()
+        }
+        assert got_prop == expected, f"trial {trial}: propagation CC mismatch"
