@@ -3082,3 +3082,83 @@ def evt_spearman_view_purchase(spark, sf_dir):
             6,
         ).alias("spearman"),
     )
+
+
+@register(
+    "evt_data_quality_audit",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             props
+      FROM events),
+    dup AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dup_ids FROM (
+        SELECT event_id FROM k GROUP BY event_id HAVING count(*) > 1))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_type,
+           CAST(sum(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_value,
+           CAST(sum(CASE WHEN value_c < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative_value,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                           OR ts > TIMESTAMP '2030-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_out_of_range,
+           CAST(sum(CASE WHEN props IS NULL
+                           OR json_valid(props) = false
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json,
+           (SELECT n_dup_ids FROM dup) AS n_dup_ids
+    FROM k
+    """,
+    description=(
+        "declarative data-quality audit (expectations-style): one pass "
+        "computes every expectation counter — null rates, range "
+        "violations, malformed JSON, out-of-window timestamps — as "
+        "conditional sums in a single hash aggregate (no per-check "
+        "scans), plus a duplicate-natural-key count from one groupBy. "
+        "The shape a 100 TB nightly audit needs: two jobs total, "
+        "both with map-side partial aggregation"
+    ),
+    tags=("events", "aggregate", "quality"),
+)
+def evt_data_quality_audit(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    dup = (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_ids"))
+    )
+    audit = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_type"),
+        F.sum(F.when(F.col("value_c").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_value"),
+        F.sum(F.when(F.col("value_c") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative_value"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_ts_out_of_range"),
+        F.sum(
+            F.when(
+                F.col("props").isNull()
+                | F.try_parse_json(F.col("props")).isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad_json"),
+    )
+    return audit.crossJoin(F.broadcast(dup))

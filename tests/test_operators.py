@@ -776,3 +776,32 @@ def test_star_cc_matches_union_find(spark):
             for r in dedup_clusters(pairs, nodes).collect()
         }
         assert got_prop == expected, f"trial {trial}: propagation CC mismatch"
+
+
+def test_dtw_fast_matches_grouped(spark):
+    """The batch-carry mapInPandas DTW must equal the per-group form on
+    every series at sf0.001 — including groups that straddle Arrow
+    batch boundaries (forced tiny batches)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dtw import (
+        series_dtw,
+        series_dtw_fast,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    ev = keyed_events(spark, "/root/testdata/sf0.001")
+    slow = {
+        (r["user_id"], r["event_type"]): (r["n"], r["dtw_dist"])
+        for r in series_dtw(ev).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        fast = {
+            (r["user_id"], r["event_type"]): (r["n"], r["dtw_dist"])
+            for r in series_dtw_fast(ev).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert fast == slow
