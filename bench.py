@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "emb_dedup_clusters",
     "evt_gap_fill",
     "evt_series_dtw",
+    "evt_spearman_view_purchase",
+    "stream_static_enrich",
+    "evt_data_quality_audit",
 ]
 
 
