@@ -805,3 +805,78 @@ def test_dtw_fast_matches_grouped(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert fast == slow
+
+
+def test_lsh_selfjoin_reuses_exchange(spark):
+    """lsh_candidate_pairs claims the signature lineage materializes in
+    ONE exchange reused by both self-join sides — assert ReusedExchange
+    is actually in the plan (the minhash computation must not run
+    twice)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["doc_minhash_lsh_candidates"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan, plan
+
+
+def test_scd2_single_exchange(spark):
+    """rel_scd2_priority_dim claims one custkey shuffle services both
+    windows and the group-by — assert exactly one hash exchange."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_scd2_priority_dim"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_monthly_catchup_ingest(spark, tmp_path):
+    """Cadence + HWM + upsert composed: a runner that was down for two
+    fires catches up via fires_between, ingesting each month's
+    increment through the high-water-mark filter; the final table
+    equals a single full ingest."""
+    import datetime as dt
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cleaning import (
+        high_water_mark_filter,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import (
+        upsert,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.schedule import (
+        fires_between,
+    )
+
+    rows = []
+    for m in (1, 2, 3):
+        for d in (3, 12, 21):
+            rows.append(
+                (dt.datetime(2025, m, d, 9), dt.date(2025, m, d), "09:00",
+                 "USD", f"EV{m}", "high", str(m * d), "2", "3")
+            )
+    landing = spark.createDataFrame(
+        rows,
+        "event_ts timestamp, Date date, Time string, Currency string, "
+        "Event string, Impact string, Actual string, Forecast string, "
+        "Previous string",
+    )
+
+    table = None
+    fires = fires_between(dt.datetime(2025, 1, 1), dt.datetime(2025, 4, 1))
+    assert len(fires) == 3  # Feb 1, Mar 1, Apr 1
+    for fire in fires:
+        arrived = landing.filter(F.col("event_ts") < F.lit(fire))
+        fresh = high_water_mark_filter(arrived, table)
+        table = upsert(table, fresh) if table is not None else fresh
+        # checkpoint materializes the monthly state like a real sink
+        table = spark.createDataFrame(table.collect(), table.schema)
+
+    assert table.count() == landing.count()
+    got = {(r["Event"], r["Date"]) for r in table.collect()}
+    expect = {(r["Event"], r["Date"]) for r in landing.collect()}
+    assert got == expect
