@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "evt_spearman_view_purchase",
     "stream_static_enrich",
     "evt_data_quality_audit",
+    "evt_tree_scoring_sql",
 ]
 
 

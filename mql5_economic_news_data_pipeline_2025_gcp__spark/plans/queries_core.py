@@ -3162,3 +3162,67 @@ def evt_data_quality_audit(spark, sf_dir):
         .alias("n_bad_json"),
     )
     return audit.crossJoin(F.broadcast(dup))
+
+
+def _tree_oracle_sql() -> str:
+    from ..operators.treecompile import STUB_TREES, ensemble_to_sql
+
+    score_expr = ensemble_to_sql(STUB_TREES, learning_rate=0.5, base_score=100.0)
+    return f"""
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events),
+    feat AS (
+      SELECT event_id,
+             lag(value_c) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS lag1_c,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'signup' THEN 1
+                             WHEN 'purchase' THEN 2 ELSE 3 END AS impact_ord
+      FROM k)
+    SELECT event_id, CAST(lag1_c AS BIGINT) AS lag1_c,
+           CAST(impact_ord AS INT) AS impact_ord,
+           round({score_expr}, 6) AS score
+    FROM feat
+    """
+
+
+@register(
+    "evt_tree_scoring_sql",
+    oracle=_tree_oracle_sql(),
+    description=(
+        "tree-ensemble scoring COMPILED to column expressions "
+        "(operators/treecompile.py): the fitted model is data, so a "
+        "small GBT lowers into nested CASE WHEN — whole-stage-codegen, "
+        "zero Python workers, and the identical CASE text runs as the "
+        "oracle (model-to-SQL portability). NULL lag features follow "
+        "the default-right convention in both engines. At 100 TB "
+        "scoring fuses into the scan as a free map stage — the "
+        "counterpart strategy to the pandas_udf inference islands"
+    ),
+    tags=("events", "inference", "codegen"),
+)
+def evt_tree_scoring_sql(spark, sf_dir):
+    from ..operators.treecompile import STUB_TREES, compile_ensemble
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    feat = ev.select(
+        "event_id",
+        F.lag("value_c").over(w).alias("lag1_c"),
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("impact_ord"),
+    )
+    return feat.select(
+        "event_id",
+        "lag1_c",
+        "impact_ord",
+        F.round(
+            compile_ensemble(STUB_TREES, learning_rate=0.5, base_score=100.0), 6
+        ).alias("score"),
+    )

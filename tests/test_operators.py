@@ -880,3 +880,35 @@ def test_monthly_catchup_ingest(spark, tmp_path):
     got = {(r["Event"], r["Date"]) for r in table.collect()}
     expect = {(r["Event"], r["Date"]) for r in landing.collect()}
     assert got == expect
+
+
+def test_tree_compile_null_and_leaf_semantics(spark):
+    """Compiled trees must follow default-right on NULL features and
+    evaluate leaves exactly; the SQL text form must agree with the
+    Column form on the same rows."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.treecompile import (
+        STUB_TREES,
+        compile_ensemble,
+        ensemble_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 4000, 0), (2, 6000, 2), (3, None, 3), (4, 20000, 2)],
+        "id long, lag1_c long, impact_ord int",
+    )
+    scored = df.withColumn(
+        "score", compile_ensemble(STUB_TREES, learning_rate=0.5, base_score=100.0)
+    )
+    got = {r["id"]: r["score"] for r in scored.collect()}
+    # id=1: t1 lte -> -25; t2 lte (ord 0<=1) -> -10 => 100 + .5*(-35) = 82.5
+    assert got[1] == 82.5
+    # id=2: t1 gt -> 40; t2 gt+lte -> 5 => 100 + .5*45 = 122.5
+    assert got[2] == 122.5
+    # id=3: NULL lag -> default-right both trees: 40; ord 3 -> gt, lag NULL -> gt: 30
+    assert got[3] == 100 + 0.5 * (40 + 30)
+    # id=4: 20000 > 5000 -> 40; ord 2 -> gt, 20000 > 15000 -> 30
+    assert got[4] == 135.0
+
+    sql = ensemble_to_sql(STUB_TREES, learning_rate=0.5, base_score=100.0)
+    via_sql = {r["id"]: r["s"] for r in df.selectExpr("id", f"{sql} AS s").collect()}
+    assert via_sql == got
