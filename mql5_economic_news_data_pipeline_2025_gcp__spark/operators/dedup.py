@@ -292,15 +292,18 @@ def dedup_clusters(
     step LSH/Jaccard feed into: pairs only say "these two are similar";
     clustering turns that into dedup groups.
 
-    Iterative min-label propagation WITH pointer jumping: each round
-    every node takes the min label among itself and its neighbors
-    (one equi-join + min-agg), then labels are path-compressed —
-    ``label = label(label)`` via a self-join — which is valid because
-    labels only ever decrease, so ``label(label(x)) ≤ label(x)`` is
-    always a label of the same component. Plain propagation needs
-    O(component diameter) rounds and measured 8+ rounds / 4.6 s on the
-    long-chain embedding graph at sf0.1; compression makes chain
-    lengths halve per round → O(log diameter), measured 3 rounds.
+    Iterative min-label propagation WITH one pointer-jump per round:
+    each round every node takes the min label among itself and its
+    neighbors (one equi-join + min-agg), then labels are compressed one
+    hop — ``label = label(label)`` via a self-join — valid because
+    labels only ever decrease, so ``label(label(x)) ≤ label(x)`` stays
+    inside the component. The single jump is a constant-factor round
+    reduction (labels move ~3 hops/round on chains instead of 1), NOT
+    asymptotic: long-diameter graphs still need O(diameter/3) rounds
+    (measured: 10 rounds on the chain-like embedding graph at sf0.1).
+    Use this for the shallow star/clique graphs text near-dup
+    produces; use :func:`dedup_clusters_star` (O(log n) rounds,
+    measured 4 on the same graph) when components can be long chains.
 
     Scale shape per round: two equi-joins + one min-agg, all shuffling
     on node id, AQE-coalesced. Labels are checkpointed every round

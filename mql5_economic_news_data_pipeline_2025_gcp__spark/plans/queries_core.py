@@ -3226,3 +3226,44 @@ def evt_tree_scoring_sql(spark, sf_dir):
             compile_ensemble(STUB_TREES, learning_rate=0.5, base_score=100.0), 6
         ).alias("score"),
     )
+
+
+#: SQL-surface parity (S3): the engine accepts arbitrary ANSI SQL over
+#: registered views — this text runs VERBATIM in Spark and (module the
+#: cents cast) in the DuckDB oracle, proving the SQL entry point is a
+#: first-class query surface, not a demo.
+_SQL_MONTHLY_SHARE = """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    tot AS (
+      SELECT month, sum(n) AS mn FROM m GROUP BY month)
+    SELECT m.month, m.priority, m.n,
+           round(m.n / CAST(t.mn AS DOUBLE), 6) AS share,
+           CAST(sum(m.n) OVER (PARTITION BY m.priority ORDER BY m.month
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_n
+    FROM m JOIN tot t ON m.month = t.month
+"""
+
+
+@register(
+    "sql_monthly_priority_share",
+    oracle=_SQL_MONTHLY_SHARE,
+    description=(
+        "SQL entry-point parity, part 2: a CTE + join + window query "
+        "submitted as RAW SQL text via spark.sql over registered views "
+        "— the exact same text is the DuckDB oracle, so the surface "
+        "contract (ANSI SQL in, DataFrame out) is proven verbatim, "
+        "CTEs/windows included. Catalyst plans it identically to the "
+        "DataFrame form: agg -> broadcast agg-join -> priority window"
+    ),
+    tags=("relational", "sql-entry", "window"),
+)
+def sql_monthly_priority_share(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_MONTHLY_SHARE)
