@@ -1859,3 +1859,110 @@ def stream_static_enrich(spark, sf_dir):
         F.sum("n").cast("bigint").alias("n"),
         F.sum("value_c_sum").cast("bigint").alias("value_c_sum"),
     )
+
+
+@register(
+    "doc_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+    utot AS (SELECT sum(c) AS n FROM ucnt),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    bcnt AS (SELECT w1, w2, count(*) AS c2 FROM big
+             WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+    btot AS (SELECT sum(c2) AS n2 FROM bcnt),
+    scored AS (
+      SELECT b.w1, b.w2, CAST(b.c2 AS BIGINT) AS n_pair,
+             round(
+               ln((CAST(b.c2 AS DOUBLE) / t2.n2)
+                  / ((CAST(a1.c AS DOUBLE) / t1.n)
+                     * (CAST(a2.c AS DOUBLE) / t1.n))), 6) AS pmi
+      FROM bcnt b
+      JOIN ucnt a1 ON b.w1 = a1.w
+      JOIN ucnt a2 ON b.w2 = a2.w
+      CROSS JOIN utot t1 CROSS JOIN btot t2
+      WHERE b.c2 >= 5)
+    SELECT w1, w2, n_pair, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+                AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY rnk LIMIT 20
+    """,
+    description=(
+        "PMI collocation mining (phrase extraction for tokenizer/vocab "
+        "prep): pointwise mutual information of adjacent token pairs — "
+        "ln(p(ab)/(p(a)p(b))) with identical division/log trees in both "
+        "engines, min support 5, round-6 + lexicographic tie-break. "
+        "Shape: map-side bigram explode, two tiny count aggs, the "
+        "unigram dictionary joined TWICE (both joins on word, "
+        "broadcast-size), scalar totals via broadcast cross join; the "
+        "top-20 rank is over the thresholded pair set only"
+    ),
+    tags=("documents", "text", "collocation"),
+)
+def doc_pmi_collocations(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", toks.alias("t"))
+    uni = d.select(F.explode("t").alias("w")).filter(F.col("w") != "")
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("n"))
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    pairs = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    btot = bcnt.agg(F.sum("c2").alias("n2"))
+    a1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_1"))
+    a2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_2"))
+    scored = (
+        bcnt.filter(F.col("c2") >= 5)
+        .join(F.broadcast(a1), "w1")
+        .join(F.broadcast(a2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("c_1").cast("double") / F.col("n"))
+                        * (F.col("c_2").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
