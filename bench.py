@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "stream_static_enrich",
     "evt_data_quality_audit",
     "evt_tree_scoring_sql",
+    "doc_pmi_collocations",
+    "sql_monthly_priority_share",
 ]
 
 
