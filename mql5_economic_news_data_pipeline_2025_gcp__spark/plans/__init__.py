@@ -7,5 +7,6 @@ from .registry import REGISTRY, QuerySpec, oracle_sql, queries
 # importing the query modules populates REGISTRY
 from . import queries_core  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
+from . import queries_r3  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
