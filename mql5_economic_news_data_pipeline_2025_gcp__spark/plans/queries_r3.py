@@ -262,3 +262,413 @@ def rel_priority_with_returns(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+# =====================================================================
+# Corpus curation: duplicated-n-gram audit, LM quality scoring, BM25
+# =====================================================================
+
+#: DuckDB fragment: distinct (doc_id, 5-token shingle) pairs.
+_SQL_SHINGLES5 = r"""
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+4), ' ') AS shingle
+  FROM toks, unnest(range(1, len(t)-3)) AS u(i)
+  WHERE len(t) >= 5)
+"""
+
+
+@register(
+    "doc_dup_ngram_fraction",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    freq AS (
+      SELECT shingle, count(*) AS ndocs FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM sh JOIN freq f ON sh.shingle = f.shingle
+      GROUP BY sh.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           round(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_frac
+    FROM per_doc
+    WHERE n_dup * 5 > n_shingles
+    """,
+    description=(
+        "duplicated-n-gram audit (RefinedWeb/Dolma-style corpus "
+        "hygiene): per document, the fraction of its distinct 5-gram "
+        "shingles that also occur in at least one OTHER document; "
+        "emits docs above 20%% duplication (integer cross-multiplied "
+        "threshold, exact). Shape: map-side shingling (array_distinct "
+        "per doc, no dedup shuffle), one inverted-index count agg on "
+        "shingle, join back on shingle (same key → the exchange is "
+        "reused), one per-doc agg. Posting lists, not all-pairs — the "
+        "same scale contract as the Jaccard operator"
+    ),
+    tags=("documents", "dedup", "quality"),
+)
+def doc_dup_ngram_fraction(spark, sf_dir):
+    from ..operators.dedup import shingles
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sh = shingles(docs, n=5)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.filter(F.col("n_dup") * 5 > F.col("n_shingles")).select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
+            "dup_frac"
+        ),
+    )
+
+
+#: DuckDB fragment: one row per (doc_id, token), empty tokens dropped.
+_SQL_TOKENS = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+tok AS (SELECT doc_id, w FROM toks WHERE w <> '')
+"""
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH {_SQL_TOKENS},
+    ucnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM ucnt),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(round(ln(CAST(u.c AS DOUBLE) / t.n) * 1000000)
+                  AS BIGINT) AS lp_u
+      FROM tok JOIN ucnt u ON tok.w = u.w CROSS JOIN tot t)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(lp_u) AS BIGINT) AS logprob_sum_u,
+           round((CAST(sum(lp_u) AS DOUBLE) / count(*)) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    description=(
+        "unigram language-model quality score (the classic 'perplexity "
+        "filter' seam in web-corpus pipelines, with the LM trained on "
+        "the corpus itself): per-token ln p(w) quantized to integer "
+        "micro-nats BEFORE summation, so the per-doc sum is an exact "
+        "integer in any aggregation order — the determinism contract's "
+        "answer to order-dependent double sums. Shape: token explode, "
+        "one vocab count agg (zipf-bounded ≪ corpus), vocab joined "
+        "back broadcast, scalar total via broadcast cross join, one "
+        "per-doc agg"
+    ),
+    tags=("documents", "text", "quality"),
+)
+def doc_unigram_logprob(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    ucnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = ucnt.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(ucnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("n")) * 1000000
+            )
+            .cast("bigint")
+            .alias("lp_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.sum("lp_u").cast("bigint").alias("logprob_sum_u"),
+        F.round(
+            (F.sum("lp_u").cast("double") / F.count(F.lit(1))) / F.lit(1000000.0), 6
+        ).alias("avg_logprob"),
+    )
+
+
+#: BM25 constants (k1, b are the textbook defaults; micro-int quantized
+#: per-term so the cross-term sum is exact integer arithmetic).
+_BM25_TERMS = ("merge", "window", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH {_SQL_TOKENS},
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ('merge', 'window', 'stream')
+      GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (CAST(l.dl AS DOUBLE)
+                                 / (CAST(s.tot_len AS DOUBLE) / s.n_docs))))
+               * 1000000) AS BIGINT) AS score_u
+      FROM tf
+      JOIN df d ON tf.w = d.w
+      JOIN dl l ON tf.doc_id = l.doc_id
+      CROSS JOIN stats s),
+    ranked AS (
+      SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS bm25_u
+      FROM per_term GROUP BY doc_id)
+    SELECT doc_id, bm25_u,
+           CAST(row_number() OVER (ORDER BY bm25_u DESC, doc_id ASC)
+                AS BIGINT) AS rnk
+    FROM ranked
+    ORDER BY rnk LIMIT 20
+    """,
+    description=(
+        "BM25 ranked retrieval for a fixed 3-term query (the relevance "
+        "scorer behind corpus search / hard-negative mining): textbook "
+        "k1=1.2 b=0.75 with per-(doc,term) scores quantized to integer "
+        "micro-units before the cross-term sum — identical ln/division "
+        "trees both engines, deterministic top-20 with doc_id "
+        "tie-break. Shape: the IN-list prunes the token stream before "
+        "any shuffle, df/doclen/global stats are all broadcast-size, "
+        "and the rank window runs over ≤ matched-docs rows, never the "
+        "corpus"
+    ),
+    tags=("documents", "text", "search"),
+)
+def doc_bm25_search(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (F.col("dl").cast("double") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm * 1000000).cast("bigint").alias("score_u"),
+        )
+    )
+    ranked = per_term.groupBy("doc_id").agg(
+        F.sum("score_u").cast("bigint").alias("bm25_u")
+    )
+    w = Window.orderBy(F.col("bm25_u").desc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+# =====================================================================
+# Distribution operators: winsorization, histograms, k-fold assignment
+# =====================================================================
+
+
+@register(
+    "evt_winsorize",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value*100) AS BIGINT),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    cuts AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n*5 + 99) // 100 THEN value_c END) AS p05_c,
+             min(CASE WHEN rn = (n*95 + 99) // 100 THEN value_c END) AS p95_c
+      FROM v GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v.value_c < c.p05_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN v.value_c > c.p95_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(sum(least(greatest(v.value_c, c.p05_c), c.p95_c)) AS BIGINT)
+             AS winsorized_sum_c
+    FROM v JOIN cuts c ON v.event_type = c.event_type
+    GROUP BY v.event_type
+    """,
+    description=(
+        "per-group winsorization at exact nearest-rank p05/p95 (outlier "
+        "clipping before normalization — the robust-scaling step the "
+        "reference's min-max normalizer lacks): cut ranks computed with "
+        "pure integer ceil-division ((n*5+99) div 100), clip via "
+        "least/greatest, report clip counts + exact clipped sum. Shape: "
+        "ONE shuffle on event_type feeds the rank window, the cuts agg, "
+        "and the final agg (same key throughout); the cuts table is "
+        "|event_type| rows, broadcast back"
+    ),
+    tags=("events", "distribution", "window"),
+)
+def evt_winsorize(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy("value_c", "event_id")
+    w_all = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        "value_c",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cuts = v.groupBy(F.col("event_type").alias("cut_type")).agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n*5 + 99) div 100"), F.col("value_c"))
+        ).alias("p05_c"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n*95 + 99) div 100"), F.col("value_c"))
+        ).alias("p95_c"),
+    )
+    clipped = v.join(
+        F.broadcast(cuts), v.event_type == cuts.cut_type
+    ).select(
+        "event_type",
+        "value_c",
+        "p05_c",
+        "p95_c",
+        F.least(F.greatest(F.col("value_c"), F.col("p05_c")), F.col("p95_c")).alias(
+            "wz_c"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value_c") < F.col("p05_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value_c") > F.col("p95_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum("wz_c").cast("bigint").alias("winsorized_sum_c"),
+    )
+
+
+@register(
+    "evt_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    rng AS (
+      SELECT event_type AS rng_type, min(value_c) AS min_c, max(value_c) AS max_c
+      FROM v GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(least((v.value_c - r.min_c) * 10
+                      // (r.max_c - r.min_c + 1), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM v JOIN rng r ON v.event_type = r.rng_type
+    GROUP BY v.event_type, bucket
+    """,
+    description=(
+        "per-group equi-width 10-bin histogram (distribution profiling "
+        "for feature QA): bucket index by pure integer arithmetic "
+        "((v-min)*10 div (max-min+1), capped at 9) so bin edges are "
+        "engine-exact — no double width, no width_bucket portability "
+        "trap. Shape: one tiny min/max agg per group broadcast back, "
+        "then a map-side bucket expression and one (group,bucket) agg; "
+        "two passes over events, zero windows"
+    ),
+    tags=("events", "distribution", "aggregate"),
+)
+def evt_histogram(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select("event_type", "value_c")
+    rng = v.groupBy(F.col("event_type").alias("rng_type")).agg(
+        F.min("value_c").alias("min_c"), F.max("value_c").alias("max_c")
+    )
+    bucket = F.least(
+        F.expr("(value_c - min_c) * 10 div (max_c - min_c + 1)"), F.lit(9)
+    ).cast("bigint")
+    return (
+        v.join(F.broadcast(rng), v.event_type == rng.rng_type)
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+@register(
+    "emb_kfold_assign",
+    oracle="""
+    SELECT CAST(CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 5 AS BIGINT) AS fold,
+           label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings
+    GROUP BY fold, label
+    """,
+    description=(
+        "deterministic k-fold assignment (k=5) by md5(vec_id) — the "
+        "reproducible cross-validation split a training pipeline needs "
+        "(same engine-portable digest trick as evt_hash_sample), with "
+        "per-(fold,label) counts as the stratification audit. Pure "
+        "map-side fold expression + one small agg; no shuffle of the "
+        "embedding payload itself (only the two id/label columns move)"
+    ),
+    tags=("embeddings", "sampling"),
+)
+def emb_kfold_assign(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("bigint")
+    return (
+        emb.select(fold.alias("fold"), "label")
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
