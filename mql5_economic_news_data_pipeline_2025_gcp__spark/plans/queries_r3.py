@@ -672,3 +672,73 @@ def emb_kfold_assign(spark, sf_dir):
         .groupBy("fold", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# =====================================================================
+# Streaming round-3: bounded-state dedup, stream-stream semi join
+# =====================================================================
+
+
+@register(
+    "stream_dedup_ttl_counts",
+    # single-drain run: every duplicate pair arrives in one micro-batch,
+    # well inside the watermark delay, so the dedup is exact and the
+    # result equals batch counts over the ORIGINAL (un-doubled) events
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_sum
+    FROM events GROUP BY event_type
+    """,
+    description=(
+        "streaming exactly-once repair with BOUNDED state: the event "
+        "stream unioned with itself (a redelivering queue's shape) "
+        "deduped by dropDuplicatesWithinWatermark(event_id) — state "
+        "for an id is EVICTED once the watermark passes its event "
+        "time + delay, unlike plain dropDuplicates whose state grows "
+        "with every id ever seen (the unbounded-state killer on a "
+        "unique-id firehose). Per-type counts + exact cents over the "
+        "doubled input equal the clean batch numbers"
+    ),
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_ttl_counts(spark, sf_dir):
+    from ..streaming.ingest import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "stream_converted_views",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_converted_views,
+           CAST(sum(v.event_id) AS BIGINT) AS view_id_checksum
+    FROM v
+    WHERE EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.ts >= v.ts
+        AND p.ts <= v.ts + INTERVAL 2 DAY)
+    GROUP BY v.user_id
+    """,
+    description=(
+        "stream-stream LEFT SEMI interval join: views that converted "
+        "to a purchase by the same user within 2 days — the semi join "
+        "emits each buffered view ONCE on first match (no per-match "
+        "duplication, no final-watermark-flush dependence, unlike "
+        "left outer), the time-range condition gives buffered views a "
+        "derived state TTL, and the row-level output drains through "
+        "foreachBatch partials (memory sink banned for un-aggregated "
+        "streams). Oracle: EXISTS semi-join"
+    ),
+    tags=("streaming", "join", "semi-join"),
+)
+def stream_converted_views(spark, sf_dir):
+    from ..streaming.ingest import stream_view_purchase_semi
+
+    return stream_view_purchase_semi(spark, sf_dir)

@@ -297,6 +297,100 @@ def stream_upsert_foreachbatch(
     return spark.read.parquet(target_dir)
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → exactly-once repair with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` on the event id over a
+    deliberately duplicated stream (the source unioned with itself —
+    the shape a redelivering queue produces).
+
+    Contrast with plain ``dropDuplicates``: that keeps every seen key
+    in the state store FOREVER (unbounded growth on an id that never
+    repeats after delivery settles); the WithinWatermark variant evicts
+    a key once the watermark passes its event time + delay, which is
+    the only viable semantics for a 100 TB/day firehose where ids are
+    unique-per-record and duplicates only arrive within the
+    redelivery horizon. Counts per type are then exact despite the
+    doubled input.
+    """
+    dup = _events_stream(spark, sf_dir).unionAll(_events_stream(spark, sf_dir))
+    deduped = dup.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c_sum"),
+    )
+    return _drain_to_table(agg)
+
+
+def stream_view_purchase_semi(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    horizon_days: int = 2,
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: views that converted —
+    i.e. were followed by a purchase from the same user within
+    ``horizon_days``. Semi joins emit a buffered left row as soon as
+    the first match arrives (and never duplicate it per match), so
+    unlike the left-OUTER variant there is no dependence on a
+    final watermark flush — which keeps the single-drain run
+    deterministic and oracle-checkable (EXISTS in SQL).
+
+    State bounds are the inner-join mechanics: the time-range
+    condition gives every buffered view a TTL of
+    horizon + watermark-delay; purchase rows are droppable once the
+    view-side watermark passes them.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    converted = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_days} DAYS")
+        ),
+        "left_semi",
+    )
+
+    # row-level (un-aggregated) stream → foreachBatch partials, never the
+    # memory sink (SCALE rule); partials merge to per-user counts
+    def _partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(F.col("v_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_converted_views"),
+            F.sum("view_id").alias("view_id_checksum"),
+        )
+
+    partials = _drain_via_foreachbatch(converted, batch_fn=_partial)
+    return partials.groupBy("user_id").agg(
+        F.sum("n_converted_views").cast("bigint").alias("n_converted_views"),
+        F.sum("view_id_checksum").cast("bigint").alias("view_id_checksum"),
+    )
+
+
 def stream_stream_view_purchase_join(
     spark: SparkSession,
     sf_dir: str,
