@@ -84,6 +84,19 @@ BENCH_QUERIES = [
     "evt_tree_scoring_sql",
     "doc_pmi_collocations",
     "sql_monthly_priority_share",
+    "rel_min_cost_supplier",
+    "rel_part_value_share",
+    "rel_supplier_census",
+    "rel_dominant_suppliers",
+    "rel_priority_with_returns",
+    "doc_dup_ngram_fraction",
+    "doc_unigram_logprob",
+    "doc_bm25_search",
+    "evt_winsorize",
+    "evt_histogram",
+    "emb_kfold_assign",
+    "stream_dedup_ttl_counts",
+    "stream_converted_views",
 ]
 
 

@@ -49,13 +49,14 @@ from .registry import register
     description=(
         "TPC-H Q2 analogue (correlated-min subquery): cheapest supplier "
         "per part — per-(part,supplier) min price, per-part min over "
-        "suppliers, join back on the achieving rows with a min-suppkey "
-        "tie-break. Shape: the Q2 correlated subquery decorrelated into "
-        "agg + join-back (what a modern optimizer does); supplier and "
-        "nation broadcast; p_size predicate pushed into the part scan. "
-        "The part join shuffles on partkey only AFTER lineitem is "
-        "reduced to one row per (part,supplier) — at 100 TB the "
-        "pre-aggregation is what keeps the join input bounded"
+        "suppliers, min-suppkey tie-break. Shape: the correlated "
+        "subquery decorrelated into a WINDOW over the first aggregate "
+        "(the per-part min partitions on a subset of the agg's hash "
+        "key, so no second lineitem pass and no self-join); supplier "
+        "and nation broadcast; p_size predicate pushed into the part "
+        "scan. Lineitem is reduced to one row per (part,supplier) "
+        "before anything else touches it — at 100 TB the "
+        "pre-aggregation is what keeps every downstream input bounded"
     ),
     tags=("relational", "join", "correlated"),
 )
@@ -64,14 +65,14 @@ def rel_min_cost_supplier(spark, sf_dir):
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(cents("l_extendedprice")).alias("price_c")
     )
-    m = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("price_c").alias("best_c")
-    )
+    # per-part min as a window over the (part,supplier) aggregate: the
+    # window's l_partkey partitioning is a subset of the agg's hash
+    # partitioning, so no second lineitem pass and no self-join — one
+    # sort within partitions instead (plan: 2 hash exchanges total)
+    w_part = Window.partitionBy("l_partkey")
     pick = (
-        ps.join(
-            m,
-            (ps.l_partkey == m.m_partkey) & (ps.price_c == m.best_c),
-        )
+        ps.withColumn("best_c", F.min("price_c").over(w_part))
+        .filter(F.col("price_c") == F.col("best_c"))
         .groupBy("l_partkey", "best_c")
         .agg(F.min("l_suppkey").alias("s_key"))
     )
@@ -198,10 +199,10 @@ def rel_supplier_census(spark, sf_dir):
         "suppliers who shipped a majority (>50%) of some part's 1995 "
         "volume, with how many parts they dominate. Shape: the "
         "correlated 'half of total quantity' subquery decorrelated "
-        "into a per-(part,supplier) agg joined to its per-part rollup "
-        "(same shuffle key, partkey → ReusedExchange-friendly), exact "
-        "integer 2·sq>tq majority test, then broadcast supplier/nation "
-        "lookups. Date range pushed into the scan"
+        "into a per-(part,supplier) agg with the per-part rollup as a "
+        "window over it (no second aggregation pass, no self-join), "
+        "exact integer 2·sq>tq majority test, then broadcast "
+        "supplier/nation lookups. Date range pushed into the scan"
     ),
     tags=("relational", "join", "nested-agg"),
 )
@@ -211,11 +212,13 @@ def rel_dominant_suppliers(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
     pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(cents("l_quantity")).alias("sq"))
-    pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    # per-part total as a window over the (part,supplier) aggregate —
+    # no second lineitem aggregation, no self-join (see Q2 analogue)
+    pt_w = Window.partitionBy("l_partkey")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     return (
-        pq.join(pt, "l_partkey")
+        pq.withColumn("tq", F.sum("sq").over(pt_w))
         .filter(F.col("sq") * 2 > F.col("tq"))
         .join(F.broadcast(s), pq.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
