@@ -912,3 +912,66 @@ def test_tree_compile_null_and_leaf_semantics(spark):
     sql = ensemble_to_sql(STUB_TREES, learning_rate=0.5, base_score=100.0)
     via_sql = {r["id"]: r["s"] for r in df.selectExpr("id", f"{sql} AS s").collect()}
     assert via_sql == got
+
+
+def test_q2_q20_single_lineitem_scan(spark):
+    """The correlated-min/nested-agg rollups (Q2/Q20 analogues) must be
+    window-form over the first aggregate — ONE lineitem scan, no
+    self-join of the aggregate with itself."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    for name, n_dims in [("rel_min_cost_supplier", 3), ("rel_dominant_suppliers", 2)]:
+        df = REGISTRY[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        # one fact scan + the dimension scans, nothing scanned twice
+        assert plan.count("Scan parquet") == 1 + n_dims, f"{name}: {plan}"
+        assert "SortMergeJoin" not in plan, f"{name}: {plan}"
+
+
+def test_bm25_inlist_prunes_before_shuffle(spark):
+    """BM25's query-term IN-list must reach the scan side (StringContains
+    / In pushdown) so the token stream is pruned map-side; and the
+    rank window input is only matched docs, far smaller than the corpus."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["doc_bm25_search"].spark_fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    # deterministic rank contract: strictly increasing, tie-broken
+    rnks = [r["rnk"] for r in rows]
+    assert rnks == sorted(rnks) and len(set(rnks)) == len(rnks)
+
+
+def test_winsorize_single_series_shuffle(spark):
+    """evt_winsorize services rank window + cuts agg + final agg from
+    the event_type partitioning: at most 2 hash exchanges end-to-end
+    (scan-side + the broadcast-join result re-agg); cuts ride a
+    broadcast."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["evt_winsorize"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("BroadcastExchange") >= 1, plan
+
+
+def test_kfold_folds_are_balanced(spark):
+    """md5-based fold assignment must be uniform enough to use as CV
+    folds (each fold within 25% of perfect balance at sf0.001)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["emb_kfold_assign"].spark_fn(spark, "/root/testdata/sf0.001")
+    import collections
+
+    per_fold = collections.Counter()
+    total = 0
+    for r in df.collect():
+        per_fold[r["fold"]] += r["n"]
+        total += r["n"]
+    assert set(per_fold) == {0, 1, 2, 3, 4}
+    ideal = total / 5
+    for fold, n in per_fold.items():
+        assert abs(n - ideal) < 0.25 * ideal, (fold, n, ideal)
