@@ -745,3 +745,262 @@ def stream_converted_views(spark, sf_dir):
     from ..streaming.ingest import stream_view_purchase_semi
 
     return stream_view_purchase_semi(spark, sf_dir)
+
+
+# =====================================================================
+# Time-series finance ops: OHLC bars, truncated EWMA
+# =====================================================================
+
+
+@register(
+    "evt_ohlc_bars",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type,
+             date_trunc('hour', ts) AS bar_hour,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_type, bar_hour,
+           min(CASE WHEN rn_a = 1 THEN value_c END) AS open_c,
+           max(value_c) AS high_c,
+           min(value_c) AS low_c,
+           min(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM v GROUP BY user_id, event_type, bar_hour
+    """,
+    description=(
+        "hourly OHLC bar resampling per series (the financial "
+        "downsampling staple for the reference's tick-shaped data): "
+        "open/close picked by forward/reverse row_number with "
+        "(ts,event_id) tie-breaks — deterministic even with same-second "
+        "ticks — high/low/volume as plain aggregates. Shape: ONE "
+        "shuffle on (series,hour) services both windows and the final "
+        "agg (identical partitioning); bar count is bounded by "
+        "series × hours, so output is a pure rollup of the input"
+    ),
+    tags=("events", "window", "resample"),
+)
+def evt_ohlc_bars(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    v = ev.select("user_id", "event_type", bar, "ts", "event_id", "value_c")
+    keys = ["user_id", "event_type", "bar_hour"]
+    w_a = Window.partitionBy(*keys).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_d = Window.partitionBy(*keys).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    v = v.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return v.groupBy(*keys).agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value_c"))).alias("open_c"),
+        F.max("value_c").alias("high_c"),
+        F.min("value_c").alias("low_c"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value_c"))).alias("close_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+
+
+#: Truncated-EWMA lag depth and dyadic weights 2^(DEPTH-1-j): with a
+#: power-of-two decay every weighted term is an exact integer, so the
+#: smoothing is bit-identical in any engine — no pow(double) drift.
+_EWMA_DEPTH = 10
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(lag(value_c, {j}) OVER w * {1 << (_EWMA_DEPTH - 1 - j)}, 0)"
+    for j in range(_EWMA_DEPTH)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN lag(value_c, {j}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_DEPTH - 1 - j)} ELSE 0 END"
+    for j in range(_EWMA_DEPTH)
+)
+
+
+@register(
+    "evt_ewma",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    sm AS (
+      SELECT user_id, event_type, event_id,
+             CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+             CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den
+      FROM v
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY event_id ASC))
+    SELECT user_id, event_type, event_id, ewma_num, ewma_den,
+           round((CAST(ewma_num AS DOUBLE) / ewma_den) / 100.0, 6) AS ewma
+    FROM sm
+    """,
+    description=(
+        "truncated exponentially-weighted moving average per series "
+        "(the reference's smoothing counterpart to lag features): "
+        "half-life decay over the last 10 observations with DYADIC "
+        "weights 2^9..2^0 — every weighted term is an exact integer, "
+        "so numerator/denominator are engine-exact in any aggregation "
+        "order and only the final division is floating point "
+        "(identical trees both sides). Ragged series starts handled by "
+        "presence-weighted denominators. Shape: one shuffle on the "
+        "series key, 10 stacked lags over the SAME window spec — "
+        "Catalyst collapses them into a single window operator"
+    ),
+    tags=("events", "window", "timeseries"),
+)
+def evt_ewma(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").asc())
+    num = None
+    den = None
+    for j in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - j)
+        lagged = F.lag("value_c", j).over(w)
+        term = F.coalesce(lagged * wt, F.lit(0))
+        present = F.when(lagged.isNotNull(), wt).otherwise(0)
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    sm = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
+    return sm.withColumn(
+        "ewma",
+        F.round(
+            (F.col("ewma_num").cast("double") / F.col("ewma_den")) / F.lit(100.0), 6
+        ),
+    )
+
+
+@register(
+    "rel_rfm_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice*100) AS BIGINT)) AS monetary_c
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, frequency,
+             CAST(monetary_c AS BIGINT) AS monetary_c,
+             ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_c ASC, o_custkey ASC) AS m_score
+      FROM base)
+    SELECT CAST(r_score*100 + f_score*10 + m_score AS BIGINT) AS rfm,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS BIGINT) AS monetary_c_sum
+    FROM scored GROUP BY rfm
+    """,
+    description=(
+        "RFM (recency/frequency/monetary) customer quintile scoring — "
+        "the classic segmentation rollup: per-customer aggregates, "
+        "three ntile(5) rankings with custkey tie-breaks, combined "
+        "into a 3-digit RFM cell with cohort sizes. The ntile global "
+        "windows run over the CUSTOMER aggregate (|customers| rows, "
+        "3-4 orders of magnitude below the fact table); the 100 TB "
+        "form swaps them for approxQuantile cutoffs exactly like the "
+        "chrono-split scale path — same seam, documented not duplicated"
+    ),
+    tags=("relational", "window", "segmentation"),
+)
+def rel_rfm_scores(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_c"),
+    )
+    w_r = Window.orderBy(F.col("last_order").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary_c").asc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "o_custkey",
+        "monetary_c",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.select(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .cast("bigint")
+            .alias("rfm"),
+            "monetary_c",
+        )
+        .groupBy("rfm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary_c").cast("bigint").alias("monetary_c_sum"),
+        )
+    )
+
+
+@register(
+    "doc_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT cm.id_a, cm.id_b,
+           CAST(cm.c AS BIGINT) AS n_common,
+           round(CAST(cm.c AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.id_a
+    JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.c * 2 >= least(sa.sz, sb.sz)
+    """,
+    description=(
+        "max-containment near-subset detection (quotation / "
+        "sub-document dedup — catches A⊂B pairs whose symmetric "
+        "Jaccard stays low because |B|≫|A|): C = |A∩B| / min(|A|,|B|) "
+        "over 5-gram shingles, emitted at ≥50% via the exact integer "
+        "cross-multiplied test. Shape: same posting-list inverted "
+        "index as Jaccard (co-occurrence counts via shingle self-join, "
+        "never all-pairs documents), sizes joined back by doc id; at "
+        "scale the pair source is LSH candidates exactly like the "
+        "Jaccard verify stage"
+    ),
+    tags=("documents", "dedup", "containment"),
+)
+def doc_containment(spark, sf_dir):
+    from ..operators.dedup import shingles
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sh = shingles(docs, n=5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("c") * 2 >= F.least("sz_a", "sz_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("c").cast("double") / F.least("sz_a", "sz_b"), 6
+            ).alias("containment"),
+        )
+    )
