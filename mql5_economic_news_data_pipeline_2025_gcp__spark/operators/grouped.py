@@ -149,3 +149,57 @@ def series_trend_fast(
                 yield pd.DataFrame([row], columns=[*key, "slope", "intercept", "n"])
 
     return parts.mapInPandas(_reduce, schema=out_schema)
+
+
+# ---------------------------------------------------------------- UDAF
+# Grouped-aggregate pandas UDFs (SURVEY §2.10's UDAF seam): one scalar
+# per group, evaluated by AggregateInPandas — multiple UDAFs in one
+# agg() share a single shuffle + Arrow pass. Nearest-rank definitions
+# keep them integer-exact (no interpolation → engine-portable).
+
+
+def nearest_rank_median_udaf():
+    """GROUPED_AGG pandas_udf: lower nearest-rank median of an int64
+    column — sorted[(n-1)//2], an actual element, never interpolated."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _med(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy(dtype="int64"))
+        return int(a[(len(a) - 1) // 2])
+
+    return _med
+
+
+def nearest_rank_mad_udaf():
+    """GROUPED_AGG pandas_udf: median absolute deviation with both
+    medians nearest-rank — the robust dispersion the z-score anomaly
+    flagger should use when outliers poison mean/stddev."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _mad(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy(dtype="int64"))
+        med = a[(len(a) - 1) // 2]
+        d = np.sort(np.abs(a - med))
+        return int(d[(len(d) - 1) // 2])
+
+    return _mad
+
+
+def count_udaf():
+    """GROUPED_AGG pandas_udf count — exists because Spark disallows
+    mixing pandas UDAFs with JVM aggregates in one agg()
+    (INVALID_PANDAS_UDF_PLACEMENT); this lets n ride the same Arrow
+    pass as the robust stats."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    return _n

@@ -1004,3 +1004,162 @@ def doc_containment(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH {_SQL_TOKENS},
+    tfd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    dn AS (SELECT doc_id, sum(c) AS n FROM tfd GROUP BY doc_id),
+    terms AS (
+      SELECT tfd.doc_id,
+             CAST(round(-(CAST(tfd.c AS DOUBLE) / dn.n)
+                        * ln(CAST(tfd.c AS DOUBLE) / dn.n)
+                        * 1000000) AS BIGINT) AS h_u
+      FROM tfd JOIN dn ON tfd.doc_id = dn.doc_id)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(h_u) AS BIGINT) AS entropy_sum_u,
+           round(CAST(sum(h_u) AS DOUBLE) / 1000000.0, 6) AS entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+    description=(
+        "per-document unigram Shannon entropy (the low-entropy filter "
+        "that catches keyword-stuffed / boilerplate docs which pass "
+        "length and stopword checks): -Σ p·ln p over the doc's own "
+        "term distribution, each term's contribution quantized to "
+        "integer micro-nats before summing (order-independent exact "
+        "sum, same contract as the LM score). Shape: one (doc,term) "
+        "count agg, per-doc totals as a same-key rollup, map-side "
+        "entropy terms, one final per-doc agg — everything keys on "
+        "doc_id after the first agg, so one logical shuffle chain"
+    ),
+    tags=("documents", "text", "quality"),
+)
+def doc_token_entropy(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tfd = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dn = tfd.groupBy(F.col("doc_id").alias("dn_doc")).agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tfd.join(dn, tfd.doc_id == dn.dn_doc).select(
+        "doc_id",
+        F.round(-p * F.log(p) * 1000000).cast("bigint").alias("h_u"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("h_u").cast("bigint").alias("entropy_sum_u"),
+        F.round(F.sum("h_u").cast("double") / F.lit(1000000.0), 6).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    # each event lands in exactly 2 overlapping (1 day, 12 h slide)
+    # windows; the oracle enumerates both window starts arithmetically
+    # (epoch-aligned 12 h grid, same alignment Spark's window() uses)
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                               - k * 43200) AS TIMESTAMP) AS window_start,
+             ts
+      FROM events, unnest([0, 1]) AS u(k))
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_c) AS BIGINT) AS value_c_sum
+    FROM starts
+    WHERE ts < window_start + INTERVAL 1 DAY AND ts >= window_start
+    GROUP BY window_start, event_type
+    """,
+    description=(
+        "watermarked SLIDING-window aggregation (1-day windows sliding "
+        "every 12 h): each event contributes to window/slide = 2 "
+        "overlapping windows — the smoothed-trend view tumbling "
+        "windows can't give. State cost is overlap× the tumbling "
+        "equivalent, eviction unchanged (drop when watermark passes "
+        "window end). Oracle enumerates both epoch-aligned starts per "
+        "event arithmetically — same grid alignment as Spark's "
+        "window()"
+    ),
+    tags=("streaming", "window"),
+)
+def stream_sliding_counts(spark, sf_dir):
+    from ..streaming.ingest import stream_windowed_counts as _swc
+
+    return _swc(spark, sf_dir, slide="12 hours")
+
+
+@register(
+    "evt_series_mad",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, event_type, value_c,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value_c, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM v),
+    med AS (
+      SELECT user_id, event_type,
+             min(CASE WHEN rn = (n+1) // 2 THEN value_c END) AS med_c,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r GROUP BY user_id, event_type),
+    dev AS (
+      SELECT v.user_id, v.event_type,
+             abs(v.value_c - m.med_c) AS d,
+             row_number() OVER (PARTITION BY v.user_id, v.event_type
+                                ORDER BY abs(v.value_c - m.med_c)) AS rn,
+             count(*) OVER (PARTITION BY v.user_id, v.event_type) AS nn
+      FROM v JOIN med m ON v.user_id = m.user_id
+                       AND v.event_type = m.event_type)
+    SELECT d.user_id, d.event_type, m.n,
+           CAST(m.med_c AS BIGINT) AS med_c,
+           CAST(min(CASE WHEN d.rn = (d.nn+1) // 2 THEN d.d END) AS BIGINT)
+             AS mad_c
+    FROM dev d JOIN med m ON d.user_id = m.user_id
+                         AND d.event_type = m.event_type
+    GROUP BY d.user_id, d.event_type, m.n, m.med_c
+    """,
+    description=(
+        "per-series robust statistics via GROUPED_AGG pandas UDAFs "
+        "(§2.10's UDAF seam, previously uncovered): nearest-rank "
+        "median and median-absolute-deviation — actual elements, never "
+        "interpolated, so integer-exact and engine-portable. Both "
+        "UDAFs evaluate in ONE AggregateInPandas pass over one series "
+        "shuffle (multiple pandas UDAFs in a single agg() share the "
+        "Arrow transfer). The oracle recomputes them relationally "
+        "(double rank windows); the UDAF form is O(group) numpy — the "
+        "seam to use when the closed relational form gets unwieldy"
+    ),
+    tags=("events", "pandas-udf", "robust-stats"),
+)
+def evt_series_mad(spark, sf_dir):
+    from ..operators.grouped import (
+        count_udaf,
+        nearest_rank_mad_udaf,
+        nearest_rank_median_udaf,
+    )
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    med = nearest_rank_median_udaf()
+    mad = nearest_rank_mad_udaf()
+    n = count_udaf()
+    return ev.groupBy("user_id", "event_type").agg(
+        n(F.col("value_c")).alias("n"),
+        med(F.col("value_c")).alias("med_c"),
+        mad(F.col("value_c")).alias("mad_c"),
+    )

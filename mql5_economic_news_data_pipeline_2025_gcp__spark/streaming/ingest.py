@@ -219,16 +219,24 @@ def stream_windowed_counts(
     sf_dir: str,
     window: str = "1 day",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over event time: rows and
     exact value cents per (window, event_type). The windowed-agg state
     store is the scale mechanism: state is dropped once the watermark
     passes a window's end, so unbounded streams run in bounded memory.
+
+    ``slide`` turns the windows SLIDING: each event lands in
+    window/slide overlapping windows (state cost multiplies by the
+    overlap factor; eviction mechanics unchanged).
     """
     events = _events_stream(spark, sf_dir)
+    w_col = (
+        F.window("ts", window, slide) if slide is not None else F.window("ts", window)
+    )
     agg = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w_col.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c_sum"),
