@@ -97,6 +97,13 @@ BENCH_QUERIES = [
     "emb_kfold_assign",
     "stream_dedup_ttl_counts",
     "stream_converted_views",
+    "evt_ohlc_bars",
+    "evt_ewma",
+    "rel_rfm_scores",
+    "doc_containment",
+    "doc_token_entropy",
+    "stream_sliding_counts",
+    "evt_series_mad",
 ]
 
 
