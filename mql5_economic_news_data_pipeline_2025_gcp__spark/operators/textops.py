@@ -111,3 +111,38 @@ def corpus_verdict(
         .when(quality_score(text_col) < 0.75, "low_quality")
         .otherwise("kept")
     )
+
+
+def top_terms_udtf():
+    """Python UDTF (SURVEY §2.10's table-function seam): per input row,
+    emit the row's top-3 terms as (term, n, rnk) rows — used via
+    ``df.lateralJoin(TopTerms(F.col("text").outer()))`` or SQL
+    ``LATERAL top_terms(text)``.
+
+    PERF CONTRACT: UDTFs are row-at-a-time Python — the SLOW path. This
+    exists for API-surface parity (a user porting a table function needs
+    the seam); the equivalent set-oriented plan (explode → count →
+    rank, see ``doc_tfidf_top_terms``) is the form to use in hot paths.
+    The tie-break (count desc, term asc) matches the relational oracle
+    exactly, keeping even the slow path differential-checkable.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, n bigint, rnk bigint")
+    class TopTerms:
+        def eval(self, text):
+            import re
+            from collections import Counter
+
+            if text is None:
+                return
+            toks = [
+                w
+                for w in re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+                if w
+            ]
+            best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for i, (w, c) in enumerate(best):
+                yield (w, int(c), i + 1)
+
+    return TopTerms

@@ -1163,3 +1163,39 @@ def evt_series_mad(spark, sf_dir):
         med(F.col("value_c")).alias("med_c"),
         mad(F.col("value_c")).alias("mad_c"),
     )
+
+
+@register(
+    "doc_top_terms_udtf",
+    oracle=f"""
+    WITH {_SQL_TOKENS},
+    tfd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    r AS (
+      SELECT doc_id, w AS term, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, w ASC) AS rnk
+      FROM tfd)
+    SELECT doc_id, term, CAST(c AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    description=(
+        "Python UDTF via lateral join (completes §2.10's "
+        "UDF/UDAF/UDTF trio): per-document top-3 terms emitted as "
+        "rows by a table function — deterministic (count desc, term "
+        "asc) so even the slow path is oracle-checkable. The UDTF is "
+        "row-at-a-time Python and deliberately documented as the "
+        "SLOW path: the set-oriented equivalent (explode → count → "
+        "rank, `doc_tfidf_top_terms`) is the hot-path form; this "
+        "seam exists for porting table functions that have no "
+        "relational decomposition"
+    ),
+    tags=("documents", "udtf", "text"),
+)
+def doc_top_terms_udtf(spark, sf_dir):
+    from ..operators.textops import top_terms_udtf
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    tt = top_terms_udtf()
+    return docs.lateralJoin(tt(F.col("text").outer())).select(
+        "doc_id", "term", "n", "rnk"
+    )

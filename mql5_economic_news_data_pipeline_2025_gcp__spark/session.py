@@ -47,6 +47,14 @@ def get_spark(app_name: str = "mql5_econ_news_spark", cpus: int | None = None) -
         # scan instead of a data scan; Catalyst falls back automatically
         # when a query shape doesn't qualify
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # runtime row-level bloom filters: when a selective dimension
+        # filter feeds a shuffle join, inject might_contain() on the
+        # fact side so non-joining rows drop at the SCAN, not at the
+        # join. Size thresholds (creation ≤ bloomFilter.creationSideThreshold,
+        # application ≥ 10 GB scan) mean it only fires at real scale —
+        # test SF proves the mechanism via lowered thresholds
+        # (test_bloom_filter_runtime_injection), production gets it free
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -975,3 +975,38 @@ def test_kfold_folds_are_balanced(spark):
     ideal = total / 5
     for fold, n in per_fold.items():
         assert abs(n - ideal) < 0.25 * ideal, (fold, n, ideal)
+
+
+def test_bloom_filter_runtime_injection(spark):
+    """Session posture enables runtime row-level bloom filters; prove
+    the mechanism fires: a selective dim filter into a shuffle join
+    injects might_contain() on the fact scan side. Size thresholds are
+    lowered here because they are met naturally only at real scale."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import t
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        o = t(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = t(spark, "/root/testdata/sf0.001", "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
