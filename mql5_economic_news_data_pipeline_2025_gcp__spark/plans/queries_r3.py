@@ -1199,3 +1199,49 @@ def doc_top_terms_udtf(spark, sf_dir):
     return docs.lateralJoin(tt(F.col("text").outer())).select(
         "doc_id", "term", "n", "rnk"
     )
+
+
+@register(
+    "doc_importance_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+             CAST(least(n_chars, 400) AS DOUBLE) / 400.0 AS p
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_accepted,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM w WHERE u < p
+    GROUP BY source
+    """,
+    description=(
+        "deterministic importance (rejection) sampling weighted by "
+        "document quality proxy: accept doc iff md5-uniform(doc_id) < "
+        "p(doc), with p = min(n_chars,400)/400 — longer docs kept "
+        "proportionally more often, the weighted counterpart of the "
+        "uniform evt_hash_sample and source-stratified doc_mix_sample. "
+        "Reproducible across engines/runs/retries because BOTH the "
+        "uniform draw and the acceptance probability are identical "
+        "expression trees (md5 → first 8 hex → /2^32); a pure map-side "
+        "filter, prunes before the only aggregate"
+    ),
+    tags=("documents", "sampling"),
+)
+def doc_importance_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(F.col("n_chars"), F.lit(400)).cast("double") / F.lit(400.0)
+    return (
+        docs.filter(u < p)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accepted"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )

@@ -84,3 +84,43 @@ def persist_splits(splits: dict[str, DataFrame], base_dir: str) -> dict[str, str
 def load_splits(spark: SparkSession, base_dir: str, names=("train", "val", "test")) -> dict[str, DataFrame]:
     """S12 read side: reload persisted splits."""
     return {n: spark.read.parquet(os.path.join(base_dir, n)) for n in names}
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each and return the new file count.
+
+    The operational staple every long-running ingest needs: streaming
+    micro-batches, per-trigger appends, and over-parallel writers leave
+    thousands of KB-scale files; at 100 TB the resulting footer reads +
+    task-per-file scheduling dominate scan time long before I/O does.
+
+    Sizing is derived from the CURRENT on-disk byte size (compressed),
+    not a row count guess, so the result holds for any schema. The
+    rewrite is a coalesce when shrinking (no shuffle — partition
+    concatenation is what compaction wants) and stages through a
+    sibling directory + atomic rename, so a concurrent reader sees old
+    or new files, never a half-written mix.
+    """
+    import shutil
+
+    size_b = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
+        staging
+    )
+    backup = path.rstrip("/") + ".precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_files

@@ -89,3 +89,31 @@ def test_memory_sink_ban():
     assert offenders == ["streaming/ingest.py:131"] or (
         len(offenders) == 1 and offenders[0].startswith("streaming/ingest.py")
     ), f"memory sink outside the oracle-drain helper: {offenders}"
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction folds a many-small-file table into the computed file
+    count without changing a single row (exact content equality)."""
+    import glob
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    target = str(tmp_path / "shards")
+    spark.range(0, 20000).selectExpr("id", "id * 2 AS v").repartition(
+        64
+    ).write.parquet(target)
+    before = glob.glob(target + "/*.parquet")
+    assert len(before) == 64
+    before_sum = spark.read.parquet(target).selectExpr(
+        "sum(id) AS a", "sum(v) AS b", "count(*) AS n"
+    ).collect()[0]
+
+    n_files = compact_parquet(spark, target, target_file_mb=128)
+    after = glob.glob(target + "/*.parquet")
+    assert len(after) == n_files < len(before)
+    after_sum = spark.read.parquet(target).selectExpr(
+        "sum(id) AS a", "sum(v) AS b", "count(*) AS n"
+    ).collect()[0]
+    assert before_sum == after_sum
