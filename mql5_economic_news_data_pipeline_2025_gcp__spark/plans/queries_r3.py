@@ -390,25 +390,33 @@ def doc_unigram_logprob(spark, sf_dir):
         docs.select("doc_id", F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
     )
-    ucnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = ucnt.agg(F.sum("c").alias("n"))
+    # aggregate tokens to (doc, term, count) FIRST: the dictionary join
+    # and everything after it runs over |doc-term pairs|, not |tokens|
+    # (zipf: ~5-20× fewer rows); per-type lp_u × c equals the sum of
+    # identical per-token terms exactly, so the oracle (token-level
+    # formula) is unchanged. Measured 5.4 s → aggregated form at sf0.1
+    tfd = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = tfd.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = ucnt.agg(F.sum("cw").alias("n"))
     scored = (
-        tok.join(F.broadcast(ucnt), "w")
+        tfd.join(F.broadcast(ucnt), "w")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.round(
-                F.log(F.col("c").cast("double") / F.col("n")) * 1000000
-            )
-            .cast("bigint")
-            .alias("lp_u"),
+            "c",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(F.col("cw").cast("double") / F.col("n")) * 1000000
+                ).cast("bigint")
+            ).alias("lp_c_u"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-        F.sum("lp_u").cast("bigint").alias("logprob_sum_u"),
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.sum("lp_c_u").cast("bigint").alias("logprob_sum_u"),
         F.round(
-            (F.sum("lp_u").cast("double") / F.count(F.lit(1))) / F.lit(1000000.0), 6
+            (F.sum("lp_c_u").cast("double") / F.sum("c")) / F.lit(1000000.0), 6
         ).alias("avg_logprob"),
     )
 
@@ -459,30 +467,55 @@ _BM25_B = 0.75
         "k1=1.2 b=0.75 with per-(doc,term) scores quantized to integer "
         "micro-units before the cross-term sum — identical ln/division "
         "trees both engines, deterministic top-20 with doc_id "
-        "tie-break. Shape: the IN-list prunes the token stream before "
-        "any shuffle, df/doclen/global stats are all broadcast-size, "
-        "and the rank window runs over ≤ matched-docs rows, never the "
-        "corpus"
+        "tie-break. Shape: the corpus is NEVER exploded — doc length "
+        "and per-term tfs are map-side array size(filter()) "
+        "expressions, so corpus-width rows carry 1+|terms| ints; "
+        "df/global stats are broadcast-size and the rank window runs "
+        "over matched docs only (measured 7.5 s → explode-free form "
+        "at sf0.1)"
     ),
     tags=("documents", "text", "search"),
 )
 def doc_bm25_search(spark, sf_dir):
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "),
+        lambda w: w != "",
     )
-    tok = (
-        docs.select("doc_id", F.explode(toks).alias("w"))
-        .filter(F.col("w") != "")
+    # per-doc term frequencies as ARRAY expressions — size(filter(t, =term))
+    # per query term — so the corpus is NEVER exploded: doc length and all
+    # tfs are map-side; the only corpus-width rows carry 1+|terms| ints
+    def _eq(term):
+        # a closure, NOT a default-arg lambda: a second parameter would
+        # make Spark bind it as the (element, index) two-arg lambda form
+        return lambda w: w == F.lit(term)
+
+    d = docs.select(F.col("doc_id"), toks.alias("t")).select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[
+            F.size(F.filter("t", _eq(tm))).alias(f"tf_{i}")
+            for i, tm in enumerate(_BM25_TERMS)
+        ],
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
-    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len"))
     tf = (
-        tok.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        d.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tm).alias("w"), F.col(f"tf_{i}").alias("tf")
+                        )
+                        for i, tm in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "dl", "p.w", "p.tf")
+        .filter(F.col("tf") > 0)
     )
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
@@ -495,7 +528,6 @@ def doc_bm25_search(spark, sf_dir):
     )
     per_term = (
         tf.join(F.broadcast(df_), "w")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1244,4 +1276,142 @@ def doc_importance_sample(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_accepted"),
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
         )
+    )
+
+
+@register(
+    "evt_psi_drift",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    base AS (SELECT * FROM v WHERE ts <  TIMESTAMP '2024-01-16 00:00:00'),
+    cur  AS (SELECT * FROM v WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+    rng AS (
+      SELECT event_type AS rt, min(value_c) AS min_c, max(value_c) AS max_c
+      FROM base GROUP BY event_type),
+    bb AS (
+      SELECT b.event_type,
+             (least(greatest(b.value_c, r.min_c), r.max_c) - r.min_c) * 10
+               // (r.max_c - r.min_c + 1) AS bucket,
+             count(*) AS c
+      FROM base b JOIN rng r ON b.event_type = r.rt
+      GROUP BY 1, 2),
+    cb AS (
+      SELECT b.event_type,
+             (least(greatest(b.value_c, r.min_c), r.max_c) - r.min_c) * 10
+               // (r.max_c - r.min_c + 1) AS bucket,
+             count(*) AS c
+      FROM cur b JOIN rng r ON b.event_type = r.rt
+      GROUP BY 1, 2),
+    nb AS (SELECT event_type, sum(c) AS n FROM bb GROUP BY event_type),
+    nc AS (SELECT event_type, sum(c) AS n FROM cb GROUP BY event_type),
+    grid AS (
+      SELECT r.rt AS event_type, u.b AS bucket
+      FROM rng r, unnest(range(0, 10)) AS u(b)),
+    j AS (
+      SELECT g.event_type, g.bucket,
+             greatest(CAST(COALESCE(bb.c, 0) AS DOUBLE) / nb.n, 0.000001) AS p,
+             greatest(CAST(COALESCE(cb.c, 0) AS DOUBLE) / nc.n, 0.000001) AS q
+      FROM grid g
+      LEFT JOIN bb ON g.event_type = bb.event_type AND g.bucket = bb.bucket
+      LEFT JOIN cb ON g.event_type = cb.event_type AND g.bucket = cb.bucket
+      JOIN nb ON g.event_type = nb.event_type
+      JOIN nc ON g.event_type = nc.event_type),
+    terms AS (
+      SELECT event_type,
+             CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS t_u
+      FROM j)
+    SELECT event_type,
+           CAST(sum(t_u) AS BIGINT) AS psi_u,
+           round(CAST(sum(t_u) AS DOUBLE) / 1000000.0, 6) AS psi,
+           CAST(CASE WHEN sum(t_u) > 100000 THEN 1 ELSE 0 END AS BIGINT)
+             AS drifted
+    FROM terms GROUP BY event_type
+    """,
+    description=(
+        "population-stability-index drift detection per series (the "
+        "monitor a monthly-ingest forecasting pipeline needs before "
+        "trusting a stale model): value distribution of the current "
+        "half-window vs the baseline half over 10 equal-width bins "
+        "computed FROM THE BASELINE (current values clamped into "
+        "baseline range BEFORE bucketing — also sidesteps the "
+        "floor-vs-truncate integer-division divergence on negatives), "
+        "PSI terms epsilon-floored and quantized to integer "
+        "micro-units before summing; drifted = psi > 0.1. Shape: two "
+        "filtered passes bucketed map-side against a broadcast "
+        "per-type range, dense 10-bucket grid via a tiny cross join, "
+        "everything after the two histogram aggs is |types|×10 rows"
+    ),
+    tags=("events", "distribution", "monitoring"),
+)
+def evt_psi_drift(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    v = ev.select("event_type", "ts", "value_c")
+    base = v.filter(F.col("ts") < cut)
+    cur = v.filter(F.col("ts") >= cut)
+    rng = base.groupBy(F.col("event_type").alias("rt")).agg(
+        F.min("value_c").alias("min_c"), F.max("value_c").alias("max_c")
+    )
+
+    def hist(side):
+        # integer `div` (not `/` + cast): double division can round a
+        # knife-edge quotient up across an integer boundary, diverging
+        # from the oracle's exact integer floor-division
+        bucket = F.expr(
+            "((least(greatest(value_c, min_c), max_c) - min_c) * 10)"
+            " div (max_c - min_c + 1)"
+        )
+        return (
+            side.join(F.broadcast(rng), side.event_type == rng.rt)
+            .select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bb = hist(base)
+    cb = hist(cur)
+    nb = bb.groupBy(F.col("event_type").alias("nb_t")).agg(F.sum("c").alias("n_b"))
+    nc = cb.groupBy(F.col("event_type").alias("nc_t")).agg(F.sum("c").alias("n_c"))
+    grid = rng.select("rt").crossJoin(
+        spark.range(10).select(F.col("id").alias("bucket"))
+    )
+    bb_j = bb.select(
+        F.col("event_type").alias("bb_t"), F.col("bucket").alias("bb_b"), "c"
+    )
+    cb_j = cb.select(
+        F.col("event_type").alias("cb_t"),
+        F.col("bucket").alias("cb_b"),
+        F.col("c").alias("c2"),
+    )
+    j = (
+        grid.join(
+            bb_j, (grid.rt == bb_j.bb_t) & (grid.bucket == bb_j.bb_b), "left"
+        )
+        .join(cb_j, (grid.rt == cb_j.cb_t) & (grid.bucket == cb_j.cb_b), "left")
+        .join(nb, grid.rt == nb.nb_t)
+        .join(nc, grid.rt == nc.nc_t)
+        .select(
+            F.col("rt").alias("event_type"),
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n_b"),
+                F.lit(0.000001),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("n_c"),
+                F.lit(0.000001),
+            ).alias("q"),
+        )
+    )
+    terms = j.select(
+        "event_type",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1000000)
+        .cast("bigint")
+        .alias("t_u"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("t_u").cast("bigint").alias("psi_u"),
+        F.round(F.sum("t_u").cast("double") / F.lit(1000000.0), 6).alias("psi"),
+        F.when(F.sum("t_u") > 100000, 1).otherwise(0).cast("bigint").alias("drifted"),
     )
