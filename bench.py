@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "doc_token_entropy",
     "stream_sliding_counts",
     "evt_series_mad",
+    "doc_importance_sample",
+    "evt_psi_drift",
 ]
 
 
