@@ -82,3 +82,107 @@ def stream_series_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state partition), not state-store commit overhead — 8 partitions
     # would cap it at 8 parallel workers (measured 3.7 s vs 2.9 s at 32)
     return _drain_to_table(out, mode="update", state_partitions=None)
+
+
+# ---------------------------------------------------- transformWithState
+# The Spark 4 arbitrary-state API (successor to applyInPandasWithState):
+# typed state variables on a handle, per-key timers, TTL support. Same
+# series bookkeeping as above so the two APIs are differential twins —
+# one oracle checks both.
+
+_TWS_STATE_SCHEMA = "n long, max_c long, hwm_us long"
+
+
+def series_state_tws(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Per-series (count, max cents, high-water-mark) via
+    ``transformWithStateInPandas`` — the modernized twin of
+    ``series_state_stream``.
+
+    ENVIRONMENT GATE: the transformWithState Python state server speaks
+    protobuf to the JVM; this container ships a broken
+    ``google.protobuf`` (no ``descriptor`` module), so the operator is
+    NOT in the query registry — ``tests/test_streaming_semantics.py::
+    test_series_state_tws_matches_batch`` runs it (and checks it against
+    the batch GROUP BY) wherever protobuf is importable, and skips here.
+
+    Why this API at scale: state lives in named, typed variables
+    (ValueState here; List/Map for bigger shapes) with per-variable TTL
+    instead of one opaque tuple, timers replace GroupStateTimeout, and
+    the RocksDB-backed store + changelog checkpointing carry state far
+    past executor-memory bounds. Output is append-per-batch deltas of
+    only the keys that changed — identical drain semantics to the
+    applyInPandasWithState form.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeriesBookkeeping(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            self._state = handle.getValueState(
+                "series",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("max_c", LongType()),
+                        StructField("hwm_us", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, max_c, hwm_us = 0, None, None
+            if self._state.exists():
+                n, max_c, hwm_us = self._state.get()
+            for pdf in rows:
+                vals = (pdf["value"] * 100).round().astype("int64")
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+                n += len(pdf)
+                batch_max = int(vals.max())
+                batch_hwm = int(ts_us.max())
+                max_c = batch_max if max_c is None else max(max_c, batch_max)
+                hwm_us = batch_hwm if hwm_us is None else max(hwm_us, batch_hwm)
+            self._state.update((n, max_c, hwm_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "n": [n],
+                    "max_c": [max_c],
+                    "hwm_us": [hwm_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _stream_source(spark, sf_dir, "events")
+    # keep ts as raw ns-long into the processor (schema declares long);
+    # the µs conversion happens inside, the final cast back out here
+    ev = stream.select("user_id", "event_type", "ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    out = ev.groupBy("user_id", "event_type").transformWithStateInPandas(
+        SeriesBookkeeping(),
+        outputStructType="user_id long, event_type string, n long, max_c long, hwm_us long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    result = _drain_to_table(out, mode="update", state_partitions=None)
+    return result.select(
+        "user_id",
+        "event_type",
+        "n",
+        "max_c",
+        F.timestamp_micros(F.col("hwm_us")).alias("hwm_ts"),
+    )

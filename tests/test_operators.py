@@ -1010,3 +1010,16 @@ def test_bloom_filter_runtime_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ewma_collapses_to_one_window(spark):
+    """The 10 stacked lag() calls share one window spec — Catalyst must
+    plan them as a SINGLE Window operator over a single series shuffle,
+    not 10 passes."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["evt_ewma"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

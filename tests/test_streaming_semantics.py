@@ -102,3 +102,45 @@ def test_watermark_advance_and_append_emission(spark, tmp_path):
     assert out == {(dt.datetime(2025, 1, 1, 9), "u"): 1}, out
     # the 12:00 window (2 rows) is still open -> withheld, its state the
     # only state retained
+
+
+def test_series_state_tws_matches_batch(spark):
+    """transformWithStateInPandas twin of the series bookkeeping: full
+    single-drain run equals the batch GROUP BY. Requires working
+    protobuf bindings (the TWS Python state server's wire protocol) —
+    skipped where the environment ships a broken google.protobuf."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot start in this environment")
+
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.stateful import (
+        series_state_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_type"]): (r["n"], r["max_c"], r["hwm_ts"])
+        for r in series_state_tws(spark, sf).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["max_c"], r["hwm_ts"])
+        for r in load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias("max_c"),
+            F.max("ts").alias("hwm_ts"),
+        )
+        .collect()
+    }
+    assert got == want
