@@ -1208,6 +1208,36 @@ def evt_series_mad(spark, sf_dir):
 
 
 @register(
+    "emb_lloyd_kmeans",
+    oracle=None,  # iterative algorithm: no SQL form; verified against a
+    # numpy Lloyd reference with identical init/quantization/tie-breaks
+    # by tests/test_operators.py::test_lloyd_kmeans_matches_numpy
+    description=(
+        "full Lloyd k-means to convergence (k=8, integer-exact): the "
+        "iterative-numeric operator class beyond single-step assign — "
+        "per round, map-only assignment against LITERAL centroid "
+        "arrays (no corpus join or shuffle), one narrow (cluster,dim, "
+        "micro-int) aggregate whose integer coordinate sums are exact "
+        "in any order, convergence by integer equality of consecutive "
+        "centroids in micro-space (no epsilon), lineage re-planned "
+        "from literals each round so plans don't grow with iterations. "
+        "Driver traffic per round is k·d doubles — the same legitimate "
+        "scalar class as CC's convergence sum"
+    ),
+    tags=("embeddings", "clustering", "iterative"),
+)
+def emb_lloyd_kmeans(spark, sf_dir):
+    from ..operators.kmeans import lloyd_kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_kmeans(emb, k=8)
+    return assigned.groupBy("cluster", "n_iters").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("vec_id").cast("bigint").alias("min_member_id"),
+    )
+
+
+@register(
     "doc_top_terms_udtf",
     oracle=f"""
     WITH {_SQL_TOKENS},

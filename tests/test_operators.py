@@ -1023,3 +1023,68 @@ def test_ewma_collapses_to_one_window(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lloyd_kmeans_matches_numpy(spark):
+    """Full Lloyd iterations vs a numpy reference with IDENTICAL init
+    (k smallest ids), quantization (micro-int coordinate sums), cosine
+    rounding, tie-breaks, and convergence rule — assignments and
+    iteration count must agree exactly."""
+    import numpy as np
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import t
+
+    k, sf = 8, "/root/testdata/sf0.001"
+    emb = t(spark, sf, "embeddings")
+    assigned, n_iters = lloyd_kmeans(emb, k=k)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype="float64"))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([e for _, e in rows])
+
+    def assign(C):
+        out = []
+        for x in X:
+            best = None
+            for j, c in enumerate(C):
+                cs = round(
+                    float(np.dot(x, c) / (np.linalg.norm(x) * np.linalg.norm(c))),
+                    6,
+                )
+                cand = (cs, -j)
+                if best is None or cand > best:
+                    best = cand
+            out.append(-best[1])
+        return np.array(out)
+
+    def micro(C):
+        return [tuple(round(x * 1_000_000) for x in c) for c in C]
+
+    C = [X[ids.index(j)].tolist() for j in range(k)]
+    ref_iters = 0
+    for _ in range(10):
+        ref_iters += 1
+        a = assign(C)
+        Xi = np.round(X * 1_000_000).astype("int64")
+        newC = []
+        for j in range(k):
+            m = a == j
+            if m.any():
+                newC.append(((Xi[m].sum(axis=0) / m.sum()) / 1_000_000.0).tolist())
+            else:
+                newC.append(C[j])
+        if micro(newC) == micro(C):
+            C = newC
+            break
+        C = newC
+    ref = dict(zip(ids, assign(C)))
+
+    assert n_iters == ref_iters
+    assert got == ref
