@@ -117,3 +117,44 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
         "sum(id) AS a", "sum(v) AS b", "count(*) AS n"
     ).collect()[0]
     assert before_sum == after_sum
+
+
+def test_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """save_sorted must concentrate each key into few row groups: for a
+    point predicate, the count of row groups whose [min,max] stats
+    contain the key (= what a reader must scan) drops from ~all row
+    groups on the unsorted layout to ~1 on the sorted one."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        save_sorted,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    unsorted_dir, sorted_dir = str(tmp_path / "plain"), str(tmp_path / "sorted")
+    ev.repartition(8).write.parquet(unsorted_dir)
+    save_sorted(ev, sorted_dir, ["user_id"], num_files=8)
+
+    def groups_containing(d, key):
+        spans, total = 0, 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("user_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= key <= st.max:
+                    spans += 1
+        return spans, total
+
+    probe_keys = [5, 75, 140]
+    for key in probe_keys:
+        s_spans, s_total = groups_containing(sorted_dir, key)
+        u_spans, u_total = groups_containing(unsorted_dir, key)
+        assert s_spans <= 2, (key, s_spans, s_total)
+        assert u_spans >= u_total * 0.9, (key, u_spans, u_total)
