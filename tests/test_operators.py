@@ -1088,3 +1088,68 @@ def test_lloyd_kmeans_matches_numpy(spark):
 
     assert n_iters == ref_iters
     assert got == ref
+
+
+def test_incremental_join_equals_full(spark):
+    """Appending per-batch delta joins must equal re-joining the full
+    fact table, batch after batch (the join analogue of the
+    merge_partials associativity gate)."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.incremental import (
+        incremental_join_append,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import t
+
+    sf = "/root/testdata/sf0.001"
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = t(spark, sf, "customer").select("c_custkey", "c_mktsegment").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    batches = [
+        o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    m = None
+    for b in batches:
+        m = incremental_join_append(m, b, dim)
+    full = o.join(F.broadcast(dim), "o_custkey")
+
+    def key_set(df):
+        return {
+            (r["o_orderkey"], r["o_custkey"], r["c_mktsegment"])
+            for r in df.collect()
+        }
+
+    assert key_set(m) == key_set(full)
+    assert m.count() == full.count()
+
+
+def test_lsh_candidate_recall_on_high_jaccard(spark):
+    """LSH banding completeness gate: every pair with TRUE 3-gram
+    Jaccard >= 0.4 must appear in the banded candidate set (at 2-row
+    bands over 8 minhashes, P[miss] = (1-J^2)^4 is < 3% at J=0.4 and
+    the fixture's high-J pairs are near-identical — a miss means the
+    banding broke, not bad luck)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+        shingles,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import fan_out, t
+
+    docs = fan_out(spark, t(spark, "/root/testdata/sf0.001", "documents"))
+    sh = shingles(docs, n=3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(sh, threshold=0.4, max_posting_list=None).collect()
+    }
+    assert exact, "fixture lost its high-jaccard near-dup pairs"
+    sig = minhash_signatures_mapside(docs)
+    cand = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig).collect()
+    }
+    missed = exact - cand
+    assert not missed, f"LSH candidates miss high-J pairs: {missed}"
