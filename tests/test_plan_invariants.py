@@ -30,9 +30,21 @@ _BATCH = sorted(
 )
 
 
+#: Queries EXEMPT from the row-wise-Python ban: each must be a
+#: deliberate, documented slow-path surface demo whose description
+#: names the set-oriented hot-path alternative.
+_ROWWISE_EXEMPT = {
+    # Python UDTF seam (§2.10 trio): docstring routes hot paths to the
+    # explode→count→rank form (doc_tfidf_top_terms)
+    "doc_top_terms_udtf",
+}
+
+
 @pytest.mark.parametrize("name", _BATCH)
 def test_no_cartesian_no_rowwise_python(spark, name):
     df = REGISTRY[name].spark_fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
-    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
+    if name not in _ROWWISE_EXEMPT:
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
+        assert "PythonUDTF" not in plan, f"{name}: row-wise Python UDTF\n{plan}"
