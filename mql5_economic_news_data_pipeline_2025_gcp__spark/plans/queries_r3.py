@@ -1208,6 +1208,106 @@ def evt_series_mad(spark, sf_dir):
 
 
 @register(
+    "rel_mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS rev_c
+      FROM orders o GROUP BY status, month),
+    g AS (
+      SELECT status, month, CAST(rev_c AS BIGINT) AS rev_c,
+             lag(rev_c) OVER (PARTITION BY status ORDER BY month) AS prev_c
+      FROM m)
+    SELECT status, month, rev_c,
+           CAST(prev_c AS BIGINT) AS prev_c,
+           CASE WHEN prev_c IS NULL THEN NULL
+                ELSE round((CAST(rev_c - prev_c AS DOUBLE) / prev_c) * 100, 6)
+           END AS growth_pct
+    FROM g
+    """,
+    description=(
+        "month-over-month revenue growth per order status (the "
+        "reporting staple: trend deltas over a calendar rollup): one "
+        "month-bucket aggregate, then a lag window OVER THE AGGREGATE "
+        "(|statuses × months| rows — thousands at any SF, so the "
+        "window is free), growth as an identical division tree with "
+        "NULL first months. The pattern to note at scale: window after "
+        "rollup, never a window over raw facts when the frame is "
+        "calendar-aligned"
+    ),
+    tags=("relational", "window", "timeseries"),
+)
+def rel_mom_revenue_growth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    w = Window.partitionBy("status").orderBy("month")
+    g = m.withColumn("prev_c", F.lag("rev_c").over(w))
+    return g.select(
+        "status",
+        "month",
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.col("prev_c").cast("bigint").alias("prev_c"),
+        F.when(
+            F.col("prev_c").isNotNull(),
+            F.round(
+                (F.col("rev_c") - F.col("prev_c")).cast("double")
+                / F.col("prev_c")
+                * 100,
+                6,
+            ),
+        ).alias("growth_pct"),
+    )
+
+
+@register(
+    "sql_grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    """,
+    description=(
+        "arbitrary GROUPING SETS (completes the ROLLUP/CUBE family): "
+        "four explicit grouping combinations in ONE pass with "
+        "grouping_id disambiguating the NULL-as-total rows from real "
+        "NULLs — the verbatim-SQL entry path (spark.sql over "
+        "registered views), same text semantics in both engines. "
+        "Spark plans one Expand + one hash aggregate: rows are "
+        "replicated per grouping set map-side and partially aggregated "
+        "before the single shuffle"
+    ),
+    tags=("relational", "aggregate", "sql-entry"),
+)
+def sql_grouping_sets_revenue(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+@register(
     "emb_lloyd_kmeans",
     oracle=None,  # iterative algorithm: no SQL form; verified against a
     # numpy Lloyd reference with identical init/quantization/tie-breaks
