@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "evt_series_mad",
     "doc_importance_sample",
     "evt_psi_drift",
+    "rel_mom_revenue_growth",
+    "sql_grouping_sets_revenue",
 ]
 
 

@@ -1153,3 +1153,30 @@ def test_lsh_candidate_recall_on_high_jaccard(spark):
     }
     missed = exact - cand
     assert not missed, f"LSH candidates miss high-J pairs: {missed}"
+
+
+def test_ohlc_single_series_shuffle(spark):
+    """OHLC bars: both row_number windows and the final aggregate all
+    key on (user_id, event_type, bar_hour) — ONE hash exchange total."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["evt_ohlc_bars"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mom_growth_windows_over_aggregate(spark):
+    """MoM growth: the lag window must run over the month AGGREGATE
+    (thousands of rows), never the raw orders — the aggregate exchange
+    plus at most one window re-partition."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_mom_revenue_growth"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # exactly one aggregate pair (partial+final) over orders, one Window
+    assert plan.count("Window") == 1, plan
