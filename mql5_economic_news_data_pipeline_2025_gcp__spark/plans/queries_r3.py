@@ -1308,6 +1308,126 @@ def sql_grouping_sets_revenue(spark, sf_dir):
 
 
 @register(
+    "emb_random_negatives",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS a_id, label AS a_label FROM embeddings
+      WHERE vec_id < 20),
+    cand AS (SELECT vec_id AS n_id, label AS n_label FROM embeddings),
+    scored AS (
+      SELECT a.a_id, c.n_id,
+             md5(CAST(a.a_id AS VARCHAR) || ':' || CAST(c.n_id AS VARCHAR))
+               AS h
+      FROM anchors a JOIN cand c ON c.n_label <> a.a_label),
+    r AS (
+      SELECT a_id, n_id,
+             row_number() OVER (PARTITION BY a_id ORDER BY h, n_id) AS rnk
+      FROM scored)
+    SELECT a_id, n_id, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 4
+    """,
+    description=(
+        "deterministic random negative sampling for contrastive "
+        "training: 4 negatives per anchor drawn by md5(anchor:cand) "
+        "order among different-label candidates — reproducible across "
+        "engines/runs/workers with zero RNG state, the property a "
+        "resumable training job needs. Shape: the anchor set is tiny "
+        "by construction → broadcast; candidates stream map-side into "
+        "the hash-rank; the rank window partitions per anchor "
+        "(|anchors| × |corpus| pairs only because anchors are few — "
+        "at scale anchors batch through this same plan)"
+    ),
+    tags=("embeddings", "sampling", "training"),
+)
+def emb_random_negatives(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label")
+    )
+    cand = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    scored = cand.join(
+        F.broadcast(anchors), F.col("n_label") != F.col("a_label")
+    ).select(
+        "a_id",
+        "n_id",
+        F.md5(
+            F.concat(
+                F.col("a_id").cast("string"), F.lit(":"), F.col("n_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("a_id").orderBy("h", "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 4)
+        .select("a_id", "n_id", "rnk")
+    )
+
+
+@register(
+    "emb_hard_negatives",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS a_id, label AS a_label, embedding::DOUBLE[] AS ae
+      FROM embeddings WHERE vec_id < 20),
+    cand AS (
+      SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS ne
+      FROM embeddings),
+    scored AS (
+      SELECT a.a_id, c.n_id,
+             round(list_cosine_similarity(a.ae, c.ne), 6) AS cs
+      FROM anchors a JOIN cand c ON c.n_label <> a.a_label),
+    r AS (
+      SELECT a_id, n_id, cs,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY cs DESC, n_id ASC) AS rnk
+      FROM scored)
+    SELECT a_id, n_id, cs, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    description=(
+        "hard-negative mining for contrastive training: per anchor, "
+        "the 3 MOST similar different-label vectors (rounded cosine, "
+        "id tie-break) — the negatives that actually move a contrastive "
+        "loss, vs the random sampler's easy ones. Shape: anchors "
+        "broadcast, corpus streams map-side through the cosine "
+        "(zip_with/aggregate JVM expressions), per-anchor top-3 via "
+        "rank window. At 100 TB the exact scan swaps for the "
+        "IVF/sign-LSH candidate generation (emb_ivf_topk) with this "
+        "same label-filtered rerank on the candidate set"
+    ),
+    tags=("embeddings", "similarity", "training"),
+)
+def emb_hard_negatives(spark, sf_dir):
+    from ..operators.similarity import _as_double, cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        _as_double(F.col("embedding")).alias("ae"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        _as_double(F.col("embedding")).alias("ne"),
+    )
+    scored = cand.join(
+        F.broadcast(anchors), F.col("n_label") != F.col("a_label")
+    ).select(
+        "a_id",
+        "n_id",
+        F.round(cosine(F.col("ae"), F.col("ne")), 6).alias("cs"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cs").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("a_id", "n_id", "cs", "rnk")
+    )
+
+
+@register(
     "emb_lloyd_kmeans",
     oracle=None,  # iterative algorithm: no SQL form; verified against a
     # numpy Lloyd reference with identical init/quantization/tie-breaks
