@@ -301,3 +301,69 @@ def run_automate(
     out["test"] = run_test(events, train_res, predict_fn=predict_fn, key=key,
                            order=order, exact_split=exact_split)
     return out
+
+
+def run_walk_forward(
+    events: DataFrame,
+    n_folds: int = 3,
+    params: dict | None = None,
+    predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
+    key=SERIES_KEY,
+    order=("event_ts",),
+    exact: bool = True,
+) -> list[PipelineResult]:
+    """Rolling-origin (walk-forward) cross-validation — the form of CV
+    that is VALID for chronological data (random k-fold would leak the
+    future into training; the md5 k-fold assigner `emb_kfold_assign` is
+    for i.i.d. corpora only).
+
+    Fold i trains on everything before cutoff c_i and evaluates on
+    [c_i, c_{i+1}), with cutoffs at fractions (i+1)/(n_folds+1) of the
+    time axis. Each fold mirrors the train→validate contract exactly:
+    routing and normalization parameters derive from the fold's TRAIN
+    slice only and are applied to its eval slice (leakage-aware,
+    VAL:258-287 semantics).
+
+    Scale: cutoffs come from ONE approxQuantile job over the order
+    column (``exact=True`` sets relativeError 0 — exact quantiles,
+    still no global sort); fold slicing is a map-side filter, so k
+    folds cost k filtered passes over the plan, never a shuffle of the
+    raw events.
+    """
+    col = order[0]
+    fracs = [(i + 1) / (n_folds + 1) for i in range(n_folds + 1)]
+    us = events.select(F.unix_micros(F.col(col)).alias("_us"))
+    cuts = us.approxQuantile("_us", fracs, 0.0 if exact else 0.01)
+
+    results: list[PipelineResult] = []
+    for i in range(n_folds):
+        train = events.filter(F.unix_micros(F.col(col)) < cuts[i])
+        ev = events.filter(
+            (F.unix_micros(F.col(col)) >= cuts[i])
+            & (F.unix_micros(F.col(col)) < cuts[i + 1])
+        )
+        feats = build_features(train, key=key, order=order)
+        routing = model_routing(feats, key=key)
+        feats = with_model_type(feats, routing, key=key)
+        feats = with_min_max_normalized(feats, ["value"], key=key)
+        norm_params = normalization_params(feats, ["value"], key=key)
+
+        efeats = build_features(
+            ev, key=key, order=order, fill_direction="bfill_then_ffill"
+        )
+        efeats = with_min_max_normalized(
+            efeats, ["value"], key=key, params=norm_params
+        )
+        efeats = with_model_type(efeats, routing, key=key)
+        scored = predict_fn(efeats)
+        metrics = group_metrics(
+            scored, actual_col="value", pred_col="prediction", key=key
+        )
+        results.append(
+            PipelineResult(
+                metrics=metrics,
+                summary=metrics_summary(metrics),
+                extra={"fold": i, "cutoff_us": cuts[i], "params": params or {}},
+            )
+        )
+    return results

@@ -1180,3 +1180,37 @@ def test_mom_growth_windows_over_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     # exactly one aggregate pair (partial+final) over orders, one Window
     assert plan.count("Window") == 1, plan
+
+
+def test_walk_forward_cv_folds(spark):
+    """Walk-forward CV: each fold trains strictly before its eval slice
+    (no future leakage), fold metrics exist for every series present in
+    the eval slice with enough samples, and fold cutoffs ascend."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.pipeline import (
+        run_walk_forward,
+    )
+
+    rows = []
+    base = TS(2025, 1, 1)
+    for g, cur in enumerate(["USD", "EUR"]):
+        for i in range(60):
+            rows.append(
+                (base + datetime.timedelta(hours=i), cur, "CPI", float(i % 7) + g, 1)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_ts timestamp, Currency string, Event string, value double, ImpactOrdinal int",
+    )
+    folds = run_walk_forward(df, n_folds=3)
+    assert len(folds) == 3
+    cutoffs = [f.extra["cutoff_us"] for f in folds]
+    assert cutoffs == sorted(cutoffs) and len(set(cutoffs)) == 3
+    for f in folds:
+        rows_m = f.metrics.collect()
+        # both series span the whole timeline, so every fold evaluates both
+        assert {(r["Currency"], r["Event"]) for r in rows_m} == {
+            ("USD", "CPI"),
+            ("EUR", "CPI"),
+        }
+        for r in rows_m:
+            assert r["Samples"] > 0
