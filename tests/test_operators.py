@@ -1214,3 +1214,38 @@ def test_walk_forward_cv_folds(spark):
         }
         for r in rows_m:
             assert r["Samples"] > 0
+
+
+def test_pq_recall_at_k(spark):
+    """PQ retrieval quality gate: symmetric-distance top-5 must recall
+    a usable fraction of the true L2 top-5 (same contract as the
+    sign-LSH and IVF gates). 8-byte codes on 64-dim vectors lose
+    information by design — the gate pins the floor so regressions in
+    codebook fit or scoring show up."""
+    import numpy as np
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pq import (
+        pq_topk_adc,
+        train_codebooks,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import t
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_codebooks(emb, m=16, k=32)
+    got = pq_topk_adc(emb, books, query_max_id=20, topk=5).collect()
+    pq_sets = {}
+    for r in got:
+        pq_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    recalls = []
+    for qi in sorted(pq_sets):
+        q = X[ids == qi][0]
+        d2 = ((X - q) ** 2).sum(axis=1)
+        d2[ids == qi] = np.inf
+        true5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        recalls.append(len(true5 & pq_sets[qi]) / 5)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"PQ recall@5 degraded: {mean_recall:.2f}"
