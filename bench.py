@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "evt_psi_drift",
     "rel_mom_revenue_growth",
     "sql_grouping_sets_revenue",
+    "emb_random_negatives",
+    "emb_hard_negatives",
 ]
 
 
