@@ -274,3 +274,109 @@ def pq_topk_adc(
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= topk)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: DataFrame,
+    query_max_id: int = 20,
+    topk: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector search shape — coarse IVF
+    cells bound WHICH candidates are scored, PQ codes bound WHAT scoring
+    costs. Search touches ~nprobe/|cells| of the corpus and pays m
+    integer lookups per surviving candidate; neither the raw vectors
+    nor a full-corpus scan appear anywhere in the query path.
+
+    Plan: corpus → (cell via broadcast-argmax ivf_assign, codes via
+    map-only pq_encode) — both map-side, computed once; queries probe
+    their nprobe nearest cells (broadcast centroids); candidates come
+    from the cell equi-join (cells are the parallelism unit, AQE splits
+    hot cells); ADC lookup rows ride the tiny query broadcast exactly
+    as in pq_topk_adc. Plain PQ on raw vectors (no residual encoding) —
+    the standard first-order IVF-PQ; residuals are a quality refinement
+    with an identical plan shape.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .similarity import ivf_assign
+
+    spark = emb.sparkSession
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cells = ivf_assign(v, centroids, id_col=id_col, vec_col="v")
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    corpus = cells.select(id_col, "cell").join(codes, id_col)
+
+    # per-query ADC lookup rows (driver-computed from real query floats)
+    q_rows = (
+        emb.filter(F.col(id_col) < query_max_id).select(id_col, vec_col).collect()
+    )
+    luts_rows = []
+    for r in q_rows:
+        qv = np.array(list(r[vec_col]), dtype="float64")
+        luts = []
+        for j in range(m):
+            C = np.array(codebooks[j], dtype="float64")
+            d2 = ((C - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+            luts.append([int(round(x * 1e6)) for x in d2])
+        luts_rows.append((r[id_col], luts))
+    q_luts = spark.createDataFrame(
+        luts_rows, "query_id long, luts array<array<bigint>>"
+    )
+
+    # probe the nprobe nearest cells per query
+    qv_df = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    from .similarity import cosine
+
+    probe_scores = qv_df.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("_sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scores.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("luts", j + 1), F.element_at("codes", j + 1) + 1
+        )
+        score = term if score is None else score + term
+    cand = (
+        corpus.join(probes, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(q_luts), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            score.cast("bigint").alias("adc_d2_micro"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= topk)
+    )

@@ -1459,6 +1459,37 @@ def emb_pq_topk(spark, sf_dir):
 
 
 @register(
+    "emb_ivfpq_topk",
+    oracle=None,  # iteratively-fit codebooks + IVF probing: no SQL
+    # form; retrieval quality gated by test_ivfpq_recall_at_k
+    description=(
+        "IVF-PQ composed search — THE billion-vector serving shape: "
+        "coarse IVF cells bound WHICH candidates are scored "
+        "(~nprobe/|cells| of the corpus via a cell equi-join, AQE "
+        "splits hot cells), PQ codes bound WHAT scoring costs (16 "
+        "integer lookups per candidate, exact integer ranking). Raw "
+        "vectors never appear in the query path: cell assignment and "
+        "code encoding are one-off map-only passes, queries carry "
+        "their ADC lookup rows on a tiny broadcast. Plain-PQ (no "
+        "residual encoding) — the standard first-order composition "
+        "with an identical plan shape to the residual refinement"
+    ),
+    tags=("embeddings", "similarity", "pq", "ivf"),
+)
+def emb_ivfpq_topk(spark, sf_dir):
+    from ..operators.pq import ivfpq_topk, train_codebooks
+    from ..operators.similarity import _as_double
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = train_codebooks(emb, m=16, k=32)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    return ivfpq_topk(emb, books, centroids)
+
+
+@register(
     "emb_lloyd_kmeans",
     oracle=None,  # iterative algorithm: no SQL form; verified against a
     # numpy Lloyd reference with identical init/quantization/tie-breaks

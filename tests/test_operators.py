@@ -1249,3 +1249,45 @@ def test_pq_recall_at_k(spark):
         recalls.append(len(true5 & pq_sets[qi]) / 5)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, f"PQ recall@5 degraded: {mean_recall:.2f}"
+
+
+def test_ivfpq_recall_at_k(spark):
+    """IVF-PQ composition gate: probing nprobe=3 of 8 cells must retain
+    most of plain-PQ's retrieval quality (cell filtering trades a
+    bounded recall loss for the ~nprobe/|cells| scan reduction)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pq import (
+        ivfpq_topk,
+        train_codebooks,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.similarity import (
+        _as_double,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import t
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_codebooks(emb, m=16, k=32)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    got = ivfpq_topk(emb, books, centroids, query_max_id=20, topk=5).collect()
+    sets = {}
+    for r in got:
+        sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    recalls = []
+    for qi in sorted(sets):
+        q = X[ids == qi][0]
+        d2 = ((X - q) ** 2).sum(axis=1)
+        d2[ids == qi] = np.inf
+        true5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        recalls.append(len(true5 & sets[qi]) / 5)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"IVF-PQ recall@5 degraded: {mean_recall:.2f}"
