@@ -1459,6 +1459,30 @@ def emb_pq_topk(spark, sf_dir):
 
 
 @register(
+    "evt_cusum_alarms",
+    oracle=None,  # loop-carried recursion (max(0, prev + d - slack)):
+    # no SQL form; bit-exactness vs the pure-Python reference scan is
+    # gated by tests/test_operators.py::test_cusum_matches_reference
+    description=(
+        "per-series two-sided CUSUM change detection (the SEQUENTIAL "
+        "drift monitor complementing the distributional PSI): "
+        "integer-cent tabular CUSUM with series-self calibration "
+        "(exact integer mean), max statistics and first alarm index "
+        "per series. A loop-carried recursion like DTW, so it earns "
+        "the Python seam — and uses the same batch-carry mapInPandas "
+        "contract: ONE series shuffle, contiguous groups, per-BATCH "
+        "(not per-group) Arrow overhead, integer state end to end"
+    ),
+    tags=("events", "pandas-udf", "monitoring"),
+)
+def evt_cusum_alarms(spark, sf_dir):
+    from ..operators.cusum import series_cusum
+
+    ev = keyed_events(spark, sf_dir)
+    return series_cusum(ev)
+
+
+@register(
     "emb_ivfpq_topk",
     oracle=None,  # iteratively-fit codebooks + IVF probing: no SQL
     # form; retrieval quality gated by test_ivfpq_recall_at_k

@@ -1291,3 +1291,42 @@ def test_ivfpq_recall_at_k(spark):
         recalls.append(len(true5 & sets[qi]) / 5)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.2, f"IVF-PQ recall@5 degraded: {mean_recall:.2f}"
+
+
+def test_cusum_matches_reference(spark):
+    """Batch-carry CUSUM must equal the pure-Python integer scan for
+    every series (bit-exact — integer state only), including series
+    split across Arrow batch boundaries (forced tiny batches)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cusum import (
+        cusum_scan,
+        series_cusum,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ev = keyed_events(spark, "/root/testdata/sf0.001")
+        got = {
+            (r["user_id"], r["event_type"]): (
+                r["n"], r["max_s_hi"], r["max_s_lo"], r["first_alarm_idx"]
+            )
+            for r in series_cusum(ev).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    rows = ev.filter("value is not null").select(
+        "user_id", "event_type", "event_id", "value_c"
+    ).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["event_type"], r["event_id"])):
+        series.setdefault((r["user_id"], r["event_type"]), []).append(int(r["value_c"]))
+    want = {}
+    for kv, vals in series.items():
+        mean_c = sum(vals) // len(vals)
+        hi, lo, alarm = cusum_scan(vals, mean_c, 50, 2000)
+        want[kv] = (len(vals), hi, lo, alarm)
+    assert got == want
