@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sql_grouping_sets_revenue",
     "emb_random_negatives",
     "emb_hard_negatives",
+    "evt_cusum_alarms",
 ]
 
 
