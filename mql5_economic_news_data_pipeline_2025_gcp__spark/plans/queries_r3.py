@@ -1459,6 +1459,45 @@ def emb_pq_topk(spark, sf_dir):
 
 
 @register(
+    "stream_incremental_rollup",
+    # a full drain's folded partials equal the batch rollup exactly
+    # (merge associativity — same gate as evt_incremental_monthly_agg)
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_value_c,
+           CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_value_c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, month
+    """,
+    description=(
+        "streaming materialized-view upkeep: per-micro-batch partials "
+        "folded into a stored parquet rollup via the SAME "
+        "merge_partials as the batch maintenance operator (one proof "
+        "of merge associativity covers both). State is an ordinary "
+        "table — queryable mid-stream, survives checkpoint loss, "
+        "upkeep cost per batch is |touched groups| partial rows, no "
+        "streaming state store involved"
+    ),
+    tags=("streaming", "incremental", "aggregate"),
+)
+def stream_incremental_rollup_q(spark, sf_dir):
+    from ..streaming.ingest import stream_incremental_rollup
+
+    out = stream_incremental_rollup(spark, sf_dir)
+    return out.select(
+        "event_type",
+        "month",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value_c").cast("bigint").alias("sum_value_c"),
+        F.col("min_value_c").cast("bigint").alias("min_value_c"),
+        F.col("max_value_c").cast("bigint").alias("max_value_c"),
+    )
+
+
+@register(
     "evt_cusum_alarms",
     oracle=None,  # loop-carried recursion (max(0, prev + d - slack)):
     # no SQL form; bit-exactness vs the pure-Python reference scan is

@@ -399,6 +399,66 @@ def stream_view_purchase_semi(
     )
 
 
+def stream_incremental_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Streaming materialized-view upkeep: each micro-batch's rows are
+    reduced to per-group PARTIALS (count/sum/min/max on exact cents)
+    executor-side and folded into a stored state table with
+    ``operators.incremental.merge_partials`` — the streaming twin of
+    the batch rollup-maintenance operator, sharing its merge (and its
+    proven merge == full-recompute associativity).
+
+    Why this over a stateful streaming aggregate: the state lives in an
+    ordinary PARQUET TABLE, not the streaming state store — queryable
+    mid-stream by any reader, survives checkpoint deletion, and the
+    upkeep cost per batch is |touched groups| partial rows. This is how
+    a monthly-cadence pipeline keeps year-to-date rollups current
+    without rescanning history (DAG cadence, SURVEY §3.1).
+    """
+    import os
+
+    from ..operators.incremental import merge_partials, partial_agg
+
+    state_dir = _scratch_dir("rollup_state_")
+    events = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    with_month = events.select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        new = partial_agg(
+            batch_df,
+            keys=("event_type", "month"),
+            sums=("value_c",),
+            mins=("value_c",),
+            maxs=("value_c",),
+        )
+        if os.listdir(state_dir):
+            old = spark.read.parquet(state_dir)
+            merged = merge_partials(old, new, keys=("event_type", "month"))
+        else:
+            merged = new
+        staging = state_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(state_dir)
+
+    with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            with_month.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", _scratch_dir("rollup_ckpt_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(state_dir)
+
+
 def stream_stream_view_purchase_join(
     spark: SparkSession,
     sf_dir: str,
