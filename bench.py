@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "emb_random_negatives",
     "emb_hard_negatives",
     "evt_cusum_alarms",
+    "stream_incremental_rollup",
 ]
 
 
