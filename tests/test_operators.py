@@ -1330,3 +1330,33 @@ def test_cusum_matches_reference(spark):
         hi, lo, alarm = cusum_scan(vals, mean_c, 50, 2000)
         want[kv] = (len(vals), hi, lo, alarm)
     assert got == want
+
+
+def test_supplier_census_broadcast_anti_join(spark):
+    """Q16 analogue plan: the bad-supplier exclusion must be a
+    BROADCAST anti-join (tiny build side), the size IN-list must reach
+    the part scan, and no sort-merge join appears."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_supplier_census"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "In(p_size" in plan, plan
+
+
+def test_priority_returns_semi_join_pushdown(spark):
+    """Q4 analogue plan: EXISTS must decorrelate to a LeftSemi join
+    with BOTH scan-side predicates pushed (date range on orders,
+    returnflag on lineitem)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    df = REGISTRY["rel_priority_with_returns"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
