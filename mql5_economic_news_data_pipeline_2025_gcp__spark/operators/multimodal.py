@@ -202,3 +202,68 @@ def sample_frames(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+#: Output schema of the audio-chunking stage (one row PER CHUNK).
+AUDIO_CHUNK_SCHEMA = (
+    "asset_id long, chunk_idx int, start_ms long, end_ms long, "
+    "chunk_checksum string"
+)
+
+#: Chunking policy: 5 s windows, 4 s hop (1 s overlap), capped per asset.
+AUDIO_CHUNK_WINDOW_MS = 5000
+AUDIO_CHUNK_HOP_MS = 4000
+AUDIO_CHUNK_MAX = 12
+
+
+def chunk_audio(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` audio chunking — the speech-pipeline one-to-many
+    stage (ASR/diarization consume overlapping fixed windows, not whole
+    files): each audio asset emits ceil-div windows of 5 s with a 4 s
+    hop, capped, with exact start/end bounds and per-chunk
+    fingerprints.
+
+    Real deployments decode with soundfile/ffmpeg and slice samples;
+    the stub derives duration from the byte content (same rule as the
+    decode stub) so the fan-out plumbing — batching, schema,
+    cardinality change, checksum determinism — is fully value-checked
+    against the oracle's arithmetic mirror. Non-audio assets emit no
+    rows.
+    """
+    import hashlib
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "chunk_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "chunk_checksum": [],
+            }
+            for aid, mt, p in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio":
+                    continue
+                payload = p if p is not None else b""
+                d = _decode_stub(payload, "audio")["duration_ms"]
+                if d <= AUDIO_CHUNK_WINDOW_MS:
+                    n_chunks = 1
+                else:
+                    n_chunks = 1 + -(-(d - AUDIO_CHUNK_WINDOW_MS) // AUDIO_CHUNK_HOP_MS)
+                n_chunks = min(n_chunks, AUDIO_CHUNK_MAX)
+                for i in range(int(n_chunks)):
+                    start = i * AUDIO_CHUNK_HOP_MS
+                    out["asset_id"].append(aid)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(min(start + AUDIO_CHUNK_WINDOW_MS, d))
+                    out["chunk_checksum"].append(
+                        hashlib.md5(
+                            payload + b":chunk:" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_chunk, schema=AUDIO_CHUNK_SCHEMA)

@@ -1498,6 +1498,46 @@ def stream_incremental_rollup_q(spark, sf_dir):
 
 
 @register(
+    "mm_audio_chunks",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS asset_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    durs AS (
+      SELECT asset_id, text, 1000 + n % 60000 AS d FROM media),
+    chunked AS (
+      SELECT asset_id, text, d,
+             least(CASE WHEN d <= 5000 THEN 1
+                        ELSE 1 + (d - 5000 + 3999) // 4000 END, 12) AS n_chunks
+      FROM durs)
+    SELECT asset_id,
+           CAST(u.i AS INT) AS chunk_idx,
+           CAST(u.i * 4000 AS BIGINT) AS start_ms,
+           CAST(least(u.i * 4000 + 5000, d) AS BIGINT) AS end_ms,
+           md5(text || ':chunk:' || CAST(u.i AS VARCHAR)) AS chunk_checksum
+    FROM chunked, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    description=(
+        "audio chunking for speech pipelines (ASR/diarization consume "
+        "overlapping fixed windows): 5 s windows at a 4 s hop with "
+        "exact start/end bounds, capped fan-out, per-chunk md5 "
+        "fingerprints — the audio counterpart of the video "
+        "frame-sample stage, completing the one-to-many mapInPandas "
+        "family across all three media branches. The stub decoder's "
+        "duration rule is mirrored arithmetically in the oracle, so "
+        "the cardinality-changing Arrow plumbing is value-checked"
+    ),
+    tags=("multimodal", "pandas-udf"),
+)
+def mm_audio_chunks(spark, sf_dir):
+    from ..operators.multimodal import chunk_audio, documents_as_media
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return chunk_audio(documents_as_media(docs))
+
+
+@register(
     "evt_cusum_alarms",
     oracle=None,  # loop-carried recursion (max(0, prev + d - slack)):
     # no SQL form; bit-exactness vs the pure-Python reference scan is
