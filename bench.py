@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "emb_hard_negatives",
     "evt_cusum_alarms",
     "stream_incremental_rollup",
+    "mm_audio_chunks",
 ]
 
 
