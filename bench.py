@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "evt_cusum_alarms",
     "stream_incremental_rollup",
     "mm_audio_chunks",
+    "rel_spend_percentiles",
 ]
 
 

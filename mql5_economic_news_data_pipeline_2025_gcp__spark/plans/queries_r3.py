@@ -1498,6 +1498,51 @@ def stream_incremental_rollup_q(spark, sf_dir):
 
 
 @register(
+    "rel_spend_percentiles",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS spend_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY segment, c.c_custkey)
+    SELECT segment, c_custkey, CAST(spend_c AS BIGINT) AS spend_c,
+           round(percent_rank() OVER (PARTITION BY segment
+                                      ORDER BY spend_c), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY segment
+                                   ORDER BY spend_c), 6) AS cume
+    FROM spend
+    """,
+    description=(
+        "distribution-position windows (percent_rank + cume_dist, the "
+        "§2.5 family members ntile/row_number don't cover): each "
+        "customer's spend position within their segment. Both "
+        "functions are tie-STABLE — equal spends share a value — so "
+        "no id tie-break is needed for determinism, only the rounded "
+        "division (identical (rank-1)/(n-1) and count≤/n trees in "
+        "both engines). Window runs over the customer AGGREGATE, not "
+        "orders"
+    ),
+    tags=("relational", "window", "distribution"),
+)
+def rel_spend_percentiles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("spend_c"))
+    )
+    w = Window.partitionBy("segment").orderBy("spend_c")
+    return spend.select(
+        "segment",
+        "c_custkey",
+        F.col("spend_c").cast("bigint").alias("spend_c"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "mm_audio_chunks",
     oracle="""
     WITH media AS (
