@@ -1497,6 +1497,153 @@ def stream_incremental_rollup_q(spark, sf_dir):
     )
 
 
+#: DuckDB fragment: 16-bit SimHash signatures (mirror of operators.dedup
+#: .simhash and the doc_simhash oracle).
+_SQL_SIMHASH = r"""
+toksh AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toksh),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range(0, 16)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "doc_simhash_near_dup",
+    oracle=f"""
+    WITH {_SQL_SIMHASH},
+    banded AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 4)) & 15 AS bkey
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.doc_id
+    JOIN sig sb ON c.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+    description=(
+        "SimHash near-dup PAIRS via the Hamming-band pigeonhole trick "
+        "(completes the simhash story — the signature query alone "
+        "finds nothing): any two 16-bit signatures within Hamming "
+        "distance 3 must agree on at least one of 4 disjoint 4-bit "
+        "bands, so candidates come from a band equi-join (never "
+        "all-pairs) and the exact bit_count(xor) verify runs on "
+        "candidates only. Scale note: 4-bit bands mean only 16 "
+        "buckets/band — fine for the fixture, but a production corpus "
+        "uses 64-bit simhash with 16-bit bands (65k buckets/band), "
+        "identical plan shape"
+    ),
+    tags=("documents", "dedup", "simhash"),
+)
+def doc_simhash_near_dup(spark, sf_dir):
+    from ..operators.dedup import simhash
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = simhash(docs, bits=16)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, CAST(band * 4 AS INT)) & 15").alias("bkey"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "band", "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        "band", "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= 3)
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+@register(
+    "rel_pareto_revenue",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(rev_c) AS tot_c FROM pv),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_c,
+             row_number() OVER (ORDER BY rev_c DESC, l_partkey ASC) AS rnk
+      FROM pv)
+    SELECT CAST(count(*) AS BIGINT) AS n_parts_for_80pct,
+           CAST(min(t.tot_c) AS BIGINT) AS total_rev_c
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.cum_c * 10 <= t.tot_c * 8
+       OR r.rnk = 1
+    """,
+    description=(
+        "Pareto concentration (how many parts carry 80% of revenue): "
+        "running-total window over the part AGGREGATE ordered by "
+        "revenue with partkey tie-break, integer cross-multiplied 80% "
+        "test (cum·10 ≤ tot·8), OR rnk=1 so a single dominant part "
+        "still counts. The ordered window runs over |parts| aggregate "
+        "rows — the global sort is over the rollup, not the fact "
+        "table, the one place SCALE.md permits it"
+    ),
+    tags=("relational", "window", "distribution"),
+)
+def rel_pareto_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    tot = pv.agg(F.sum("rev_c").alias("tot_c"))
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey").asc())
+    ranked = pv.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_c"
+        ),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter((F.col("cum_c") * 10 <= F.col("tot_c") * 8) | (F.col("rnk") == 1))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_for_80pct"),
+            F.min("tot_c").cast("bigint").alias("total_rev_c"),
+        )
+    )
+
+
 @register(
     "rel_spend_percentiles",
     oracle="""
