@@ -103,13 +103,15 @@ BENCH_QUERIES = [
     "doc_containment",
     "doc_token_entropy",
     "stream_sliding_counts",
-    "evt_series_mad",
+    "evt_series_mad_fast",
+    "evt_upsert_merge_partitioned",
     "doc_importance_sample",
     "evt_psi_drift",
     "rel_mom_revenue_growth",
     "sql_grouping_sets_revenue",
     "emb_random_negatives",
     "emb_hard_negatives",
+    "emb_ivfpq_residual_topk",
     "evt_cusum_alarms",
     "stream_incremental_rollup",
     "mm_audio_chunks",
@@ -152,19 +154,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "iterations": 2,
-                "agg": "min",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "iterations": 2,
+        "agg": "min",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver captures stdout with a bounded tail — BENCH_r03 lost 80+
+    # per-query entries to truncation. Persist the full dict to a file it
+    # can pick up whole, then print the one-line contract.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"),
     )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

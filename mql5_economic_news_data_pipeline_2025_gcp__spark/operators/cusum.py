@@ -28,12 +28,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_OUT_SCHEMA = (
-    "user_id long, event_type string, n long, max_s_hi long, max_s_lo long, "
-    "first_alarm_idx long"
-)
-
-
 def cusum_scan(
     values: Sequence[int],
     mean_c: int,
@@ -75,6 +69,13 @@ def series_cusum(
     import pandas as pd
 
     key = list(key)
+    # output schema follows the key parameter (key column types come
+    # from the input frame), so non-default keys stay correctly labeled
+    dtypes = dict(df.dtypes)
+    stat_cols = ["n", "max_s_hi", "max_s_lo", "first_alarm_idx"]
+    out_schema = ", ".join(
+        [f"{k} {dtypes[k]}" for k in key] + [f"{c} long" for c in stat_cols]
+    )
     narrow = df.select(*key, order_col, value_col).filter(
         F.col(value_col).isNotNull()
     )
@@ -87,8 +88,7 @@ def series_cusum(
         return (*kv, len(v), hi, lo, alarm)
 
     def _reduce(batches):
-        cols = ["user_id", "event_type", "n", "max_s_hi", "max_s_lo",
-                "first_alarm_idx"]
+        cols = [*key, *stat_cols]
         carry_key, carry_vals = None, []
         for pdf in batches:
             out = []
@@ -116,4 +116,4 @@ def series_cusum(
         if carry_key is not None:
             yield pd.DataFrame([_finish(carry_key, carry_vals)], columns=cols)
 
-    return parts.mapInPandas(_reduce, schema=_OUT_SCHEMA)
+    return parts.mapInPandas(_reduce, schema=out_schema)

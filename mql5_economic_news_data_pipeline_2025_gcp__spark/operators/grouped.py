@@ -151,6 +151,58 @@ def series_trend_fast(
     return parts.mapInPandas(_reduce, schema=out_schema)
 
 
+def series_robust_stats_fast(
+    df: DataFrame,
+    key: Sequence[str] = ("user_id", "event_type"),
+    value_col: str = "value_c",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """JVM hot-path twin of the nearest-rank median/MAD UDAFs: per-series
+    (n, med_c, mad_c) via the double row_number construction — no Python
+    worker, whole-stage codegen end to end.
+
+    Pass 1: rank values within each series (tie-broken by ``tie_col`` for
+    a deterministic but value-irrelevant order) and pick the element at
+    rank ``(n+1) div 2`` — the lower nearest-rank median, an actual
+    element, never interpolated. Pass 2: join the median back (key-hash
+    join, same partitioning as the window so no extra exchange), rank
+    absolute deviations, pick the same nearest rank → MAD.
+
+    Scale shape: one hash shuffle on the series key feeds both windows
+    and the join; cost is two in-partition sorts. Versus the UDAF form
+    this avoids per-group Arrow round-trips (~1 ms/group) — the form to
+    use for 10⁶+ series; the UDAF stays as the API-seam demo
+    (tests/test_operators.py compares the two on identical input).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = list(key)
+    v = df.select(*key, tie_col, value_col)
+    w_key = Window.partitionBy(*key)
+    w_val = w_key.orderBy(F.col(value_col).asc(), F.col(tie_col).asc())
+    ranked = v.select(
+        *key,
+        value_col,
+        tie_col,
+        F.row_number().over(w_val).alias("_rn"),
+        F.count(F.lit(1)).over(w_key).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(n + 1) div 2")
+    ).select(*key, F.col(value_col).alias("med_c"), "n")
+
+    dev = v.join(med, key).withColumn(
+        "_d", F.abs(F.col(value_col) - F.col("med_c"))
+    )
+    w_dev = w_key.orderBy(F.col("_d").asc(), F.col(tie_col).asc())
+    return (
+        dev.withColumn("_rn", F.row_number().over(w_dev))
+        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
+        .select(*key, "n", "med_c", F.col("_d").alias("mad_c"))
+    )
+
+
 # ---------------------------------------------------------------- UDAF
 # Grouped-aggregate pandas UDFs (SURVEY §2.10's UDAF seam): one scalar
 # per group, evaluated by AggregateInPandas — multiple UDAFs in one

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pq import bounded_collect
 from .similarity import _as_double, cosine
 
 
@@ -74,7 +75,9 @@ def lloyd_kmeans(
     # (engine cache rule)
     v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e")).persist()
 
-    seed_rows = v.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    seed_rows = bounded_collect(
+        v.filter(F.col(id_col) < k).orderBy(id_col), "lloyd_kmeans seeds"
+    )
     centroids = [list(r["e"]) for r in seed_rows]
 
     def micro(cs: list[list[float]]) -> list[tuple[int, ...]]:
@@ -86,8 +89,10 @@ def lloyd_kmeans(
         assigned = v.select(
             id_col, "e", _assign_expr("e", centroids).alias("cluster")
         )
-        # exact integer coordinate sums -> new centroids (k*d rows)
-        sums = (
+        # exact integer coordinate sums -> new centroids (k*d rows —
+        # the aggregate's cardinality, never the corpus's; the bound
+        # enforces that)
+        sums = bounded_collect(
             assigned.select(
                 "cluster", F.posexplode("e").alias("dim", "x")
             )
@@ -95,8 +100,8 @@ def lloyd_kmeans(
             .agg(
                 F.sum(F.round(F.col("x") * 1_000_000).cast("bigint")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+            ),
+            "lloyd_kmeans centroid sums",
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in sums:

@@ -1142,69 +1142,14 @@ def stream_sliding_counts(spark, sf_dir):
     return _swc(spark, sf_dir, slide="12 hours")
 
 
-@register(
-    "evt_series_mad",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, event_type, event_id,
-             CAST(round(value*100) AS BIGINT) AS value_c
-      FROM events WHERE value IS NOT NULL),
-    r AS (
-      SELECT user_id, event_type, value_c,
-             row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY value_c, event_id) AS rn,
-             count(*) OVER (PARTITION BY user_id, event_type) AS n
-      FROM v),
-    med AS (
-      SELECT user_id, event_type,
-             min(CASE WHEN rn = (n+1) // 2 THEN value_c END) AS med_c,
-             CAST(max(n) AS BIGINT) AS n
-      FROM r GROUP BY user_id, event_type),
-    dev AS (
-      SELECT v.user_id, v.event_type,
-             abs(v.value_c - m.med_c) AS d,
-             row_number() OVER (PARTITION BY v.user_id, v.event_type
-                                ORDER BY abs(v.value_c - m.med_c)) AS rn,
-             count(*) OVER (PARTITION BY v.user_id, v.event_type) AS nn
-      FROM v JOIN med m ON v.user_id = m.user_id
-                       AND v.event_type = m.event_type)
-    SELECT d.user_id, d.event_type, m.n,
-           CAST(m.med_c AS BIGINT) AS med_c,
-           CAST(min(CASE WHEN d.rn = (d.nn+1) // 2 THEN d.d END) AS BIGINT)
-             AS mad_c
-    FROM dev d JOIN med m ON d.user_id = m.user_id
-                         AND d.event_type = m.event_type
-    GROUP BY d.user_id, d.event_type, m.n, m.med_c
-    """,
-    description=(
-        "per-series robust statistics via GROUPED_AGG pandas UDAFs "
-        "(§2.10's UDAF seam, previously uncovered): nearest-rank "
-        "median and median-absolute-deviation — actual elements, never "
-        "interpolated, so integer-exact and engine-portable. Both "
-        "UDAFs evaluate in ONE AggregateInPandas pass over one series "
-        "shuffle (multiple pandas UDAFs in a single agg() share the "
-        "Arrow transfer). The oracle recomputes them relationally "
-        "(double rank windows); the UDAF form is O(group) numpy — the "
-        "seam to use when the closed relational form gets unwieldy"
-    ),
-    tags=("events", "pandas-udf", "robust-stats"),
-)
-def evt_series_mad(spark, sf_dir):
-    from ..operators.grouped import (
-        count_udaf,
-        nearest_rank_mad_udaf,
-        nearest_rank_median_udaf,
-    )
-
-    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    med = nearest_rank_median_udaf()
-    mad = nearest_rank_mad_udaf()
-    n = count_udaf()
-    return ev.groupBy("user_id", "event_type").agg(
-        n(F.col("value_c")).alias("n"),
-        med(F.col("value_c")).alias("med_c"),
-        mad(F.col("value_c")).alias("mad_c"),
-    )
+# evt_series_mad (GROUPED_AGG pandas-UDAF robust stats) was demoted from
+# the registry in round 4: the per-group Arrow overhead made it the
+# slowest bench entry (5.4 s at sf0.1) for semantics the JVM twin
+# ``evt_series_mad_fast`` (queries_r4.py) computes against the SAME
+# oracle in whole-stage codegen. The UDAF seam itself (§2.10) stays —
+# operators/grouped.py nearest_rank_{median,mad}_udaf — differentially
+# tested against the fast twin by
+# tests/test_operators.py::test_series_mad_udaf_matches_fast.
 
 
 @register(

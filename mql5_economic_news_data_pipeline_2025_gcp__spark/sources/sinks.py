@@ -103,8 +103,14 @@ def compact_parquet(
     not a row count guess, so the result holds for any schema. The
     rewrite is a coalesce when shrinking (no shuffle — partition
     concatenation is what compaction wants) and stages through a
-    sibling directory + atomic rename, so a concurrent reader sees old
-    or new files, never a half-written mix.
+    sibling directory, then swaps via two directory renames. Each
+    rename is atomic, but the PAIR is not: a reader that lists the
+    table between them sees it briefly absent (not a half-written
+    mix — old and new file sets never interleave), so run compaction
+    in the ingest's maintenance window, or use a transactional table
+    format (Delta/Iceberg OPTIMIZE) where swap atomicity matters. A
+    crash between the renames is recovered here: the backup is
+    restored so the table is never left stranded at ``.precompact``.
     """
     import shutil
 
@@ -121,7 +127,14 @@ def compact_parquet(
     )
     backup = path.rstrip("/") + ".precompact"
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        # restore the live table before propagating — never leave the
+        # path missing with data stranded at .precompact
+        os.rename(backup, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(backup, ignore_errors=True)
     return n_files
 

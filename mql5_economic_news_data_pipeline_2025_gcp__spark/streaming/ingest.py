@@ -193,8 +193,16 @@ def _drain_via_foreachbatch(
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_source(spark, sf_dir, "events")
-    # integer `div` (not `/`): epoch-nanos exceed 2^53 double precision
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ns-timestamp parquet arrives as LONG nanos (see _stream_source) and
+    # needs integer `div` (not `/`: epoch-nanos exceed 2^53 double
+    # precision); µs-timestamp parquet arrives as a native TIMESTAMP and
+    # passes through — gate on the arrived type, same policy as the
+    # batch-side sources.tables.load_table
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
 
 
 def stream_events_dedup_counts(
@@ -416,12 +424,25 @@ def stream_incremental_rollup(
     upkeep cost per batch is |touched groups| partial rows. This is how
     a monthly-cadence pipeline keeps year-to-date rollups current
     without rescanning history (DAG cadence, SURVEY §3.1).
+
+    Exactly-once state upkeep under foreachBatch's AT-LEAST-ONCE
+    contract: ``merge_partials`` is not idempotent (a replayed batch
+    would double-count sums), so each state version directory is named
+    by the batch id that produced it (``v{batch_id}``) and a retried
+    batch id ≤ the current version is SKIPPED. The live version is
+    published by an atomic symlink swap (write ``v{n}``, create a temp
+    link, ``os.rename`` over ``current``) — a crash mid-fold leaves the
+    previous version intact and readers always resolve a complete
+    state table, never a half-written one.
     """
-    import os
-
-    from ..operators.incremental import merge_partials, partial_agg
-
-    state_dir = _scratch_dir("rollup_state_")
+    state = ParquetRollupState(
+        spark,
+        _scratch_dir("rollup_state_"),
+        keys=("event_type", "month"),
+        sums=("value_c",),
+        mins=("value_c",),
+        maxs=("value_c",),
+    )
     events = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
     with_month = events.select(
         "event_type",
@@ -429,26 +450,9 @@ def stream_incremental_rollup(
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
-        new = partial_agg(
-            batch_df,
-            keys=("event_type", "month"),
-            sums=("value_c",),
-            mins=("value_c",),
-            maxs=("value_c",),
-        )
-        if os.listdir(state_dir):
-            old = spark.read.parquet(state_dir)
-            merged = merge_partials(old, new, keys=("event_type", "month"))
-        else:
-            merged = new
-        staging = state_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(state_dir)
-
     with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         q = (
-            with_month.writeStream.foreachBatch(_fold)
+            with_month.writeStream.foreachBatch(state.fold)
             .option("checkpointLocation", _scratch_dir("rollup_ckpt_"))
             .start()
         )
@@ -456,7 +460,60 @@ def stream_incremental_rollup(
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.read.parquet(state_dir)
+    return state.read()
+
+
+class ParquetRollupState:
+    """Batch-id-versioned parquet state table for foreachBatch rollup
+    upkeep (the exactly-once mechanics of ``stream_incremental_rollup``,
+    factored out so the retry/crash semantics are unit-testable).
+
+    - ``fold(batch_df, batch_id)`` SKIPS batch ids ≤ the last applied —
+      foreachBatch is at-least-once and ``merge_partials`` is not
+      idempotent, so a replayed micro-batch must not double-count.
+    - Each merge writes a fresh ``v{batch_id}`` directory and publishes
+      it with an atomic symlink swap; a crash at any point leaves the
+      previous complete version live.
+    """
+
+    def __init__(self, spark, root, keys, sums=(), mins=(), maxs=()):
+        self.spark = spark
+        self.root = root
+        self.current = os.path.join(root, "current")
+        self.keys, self.sums, self.mins, self.maxs = keys, sums, mins, maxs
+
+    def applied_batch(self) -> int:
+        if not os.path.lexists(self.current):
+            return -1
+        return int(os.path.basename(os.path.realpath(self.current))[1:])
+
+    def fold(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import merge_partials, partial_agg
+
+        if batch_id <= self.applied_batch():
+            return  # at-least-once retry of an already-merged batch
+        new = partial_agg(
+            batch_df,
+            keys=self.keys,
+            sums=self.sums,
+            mins=self.mins,
+            maxs=self.maxs,
+        )
+        if os.path.lexists(self.current):
+            old = self.spark.read.parquet(self.current)
+            merged = merge_partials(old, new, keys=self.keys)
+        else:
+            merged = new
+        version = os.path.join(self.root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(version)
+        tmp = os.path.join(self.root, ".current.tmp")
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(version, tmp)
+        os.rename(tmp, self.current)  # atomic publish
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.current)
 
 
 def stream_stream_view_purchase_join(

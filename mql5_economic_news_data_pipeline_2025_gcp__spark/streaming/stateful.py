@@ -35,6 +35,16 @@ _OUT_SCHEMA = "user_id long, event_type string, n long, max_c long, hwm_ts times
 _STATE_SCHEMA = "n long, max_c long, hwm_us long"
 
 
+def _ts_us(stream: DataFrame) -> F.Column:
+    """Exact µs-epoch of the stream's ts column, whatever form the
+    parquet delivered: LONG nanos (ns-typed files read as long — integer
+    `div`, doubles drift past 2^53) or a native TIMESTAMP (µs-typed
+    files) via unix_micros."""
+    if dict(stream.dtypes)["ts"] == "bigint":
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts"))
+
+
 def _update_series_state(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -67,8 +77,7 @@ def stream_series_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
-        # ns → µs epoch via integer div (exact; doubles drift past 2^53)
-        F.expr("ts div 1000").alias("ts_us"),
+        _ts_us(stream).alias("ts_us"),
     )
     out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
         _update_series_state,
@@ -145,11 +154,9 @@ def series_state_tws(
             if self._state.exists():
                 n, max_c, hwm_us = self._state.get()
             for pdf in rows:
-                vals = (pdf["value"] * 100).round().astype("int64")
-                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
                 n += len(pdf)
-                batch_max = int(vals.max())
-                batch_hwm = int(ts_us.max())
+                batch_max = int(pdf["value_c"].max())
+                batch_hwm = int(pdf["ts_us"].max())
                 max_c = batch_max if max_c is None else max(max_c, batch_max)
                 hwm_us = batch_hwm if hwm_us is None else max(hwm_us, batch_hwm)
             self._state.update((n, max_c, hwm_us))
@@ -167,14 +174,22 @@ def series_state_tws(
             pass
 
     stream = _stream_source(spark, sf_dir, "events")
-    # keep ts as raw ns-long into the processor (schema declares long);
-    # the µs conversion happens inside, the final cast back out here
-    ev = stream.select("user_id", "event_type", "ts", "value").filter(
-        F.col("value").isNotNull()
-    )
+    # value_c and ts_us are computed UPSTREAM with Spark expressions —
+    # F.round is HALF_UP, matching the batch oracle and the
+    # applyInPandasWithState twin exactly (pandas .round() is
+    # half-to-even and diverged on exact half-cents), and _ts_us gates
+    # on the parquet's delivered ts type
+    ev = stream.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        _ts_us(stream).alias("ts_us"),
+    ).filter(F.col("value_c").isNotNull())
     out = ev.groupBy("user_id", "event_type").transformWithStateInPandas(
         SeriesBookkeeping(),
-        outputStructType="user_id long, event_type string, n long, max_c long, hwm_us long",
+        outputStructType=(
+            "user_id long, event_type string, n long, max_c long, hwm_us long"
+        ),
         outputMode="Update",
         timeMode="None",
     )

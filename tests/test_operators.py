@@ -1274,23 +1274,44 @@ def test_ivfpq_recall_at_k(spark):
         F.col("vec_id").alias("centroid_id"),
         _as_double(F.col("embedding")).alias("cv"),
     )
-    got = ivfpq_topk(emb, books, centroids, query_max_id=20, topk=5).collect()
-    sets = {}
-    for r in got:
-        sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
-    recalls = []
-    for qi in sorted(sets):
-        q = X[ids == qi][0]
-        d2 = ((X - q) ** 2).sum(axis=1)
-        d2[ids == qi] = np.inf
-        true5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
-        recalls.append(len(true5 & sets[qi]) / 5)
-    mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.2, f"IVF-PQ recall@5 degraded: {mean_recall:.2f}"
+
+    def mean_recall(got):
+        sets = {}
+        for r in got:
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = []
+        for qi in sorted(sets):
+            q = X[ids == qi][0]
+            d2 = ((X - q) ** 2).sum(axis=1)
+            d2[ids == qi] = np.inf
+            true5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+            recalls.append(len(true5 & sets[qi]) / 5)
+        return sum(recalls) / len(recalls)
+
+    plain = mean_recall(
+        ivfpq_topk(emb, books, centroids, query_max_id=20, topk=5).collect()
+    )
+    assert plain >= 0.2, f"IVF-PQ recall@5 degraded: {plain:.2f}"
+
+    # residual encoding + exact re-rank over the SAME candidate set
+    # (same cells, same nprobe) must lift recall@5 to ≥0.6 (measured
+    # 0.39 plain → 0.65 residual on this fixture)
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pq import (
+        ivfpq_topk_residual,
+        train_codebooks_residual,
+    )
+
+    books_res = train_codebooks_residual(emb, centroids, m=16, k=32)
+    res = mean_recall(
+        ivfpq_topk_residual(
+            emb, books_res, centroids, query_max_id=20, topk=5
+        ).collect()
+    )
+    assert res >= 0.6, f"residual IVF-PQ recall@5 degraded: {res:.2f}"
+    assert res > plain, (res, plain)
 
 
 def test_cusum_matches_reference(spark):
@@ -1360,3 +1381,306 @@ def test_priority_returns_semi_join_pushdown(spark):
     assert "LeftSemi" in plan, plan
     assert "EqualTo(l_returnflag,R)" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_series_mad_udaf_matches_fast(spark):
+    """The GROUPED_AGG pandas-UDAF robust stats (the §2.10 API seam) and
+    the registered JVM twin evt_series_mad_fast must agree exactly —
+    the differential that let the UDAF demo leave the registry."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.grouped import (
+        count_udaf,
+        nearest_rank_mad_udaf,
+        nearest_rank_median_udaf,
+        series_robust_stats_fast,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    ev = keyed_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("value").isNotNull()
+    )
+    med, mad, n = nearest_rank_median_udaf(), nearest_rank_mad_udaf(), count_udaf()
+    udaf = {
+        (r["user_id"], r["event_type"]): (r["n"], r["med_c"], r["mad_c"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(
+            n(F.col("value_c")).alias("n"),
+            med(F.col("value_c")).alias("med_c"),
+            mad(F.col("value_c")).alias("mad_c"),
+        )
+        .collect()
+    }
+    fast = {
+        (r["user_id"], r["event_type"]): (r["n"], r["med_c"], r["mad_c"])
+        for r in series_robust_stats_fast(ev).collect()
+    }
+    assert udaf == fast and len(fast) > 0
+
+
+def _file_digests(path):
+    import hashlib
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """Write-side S9 merge: applying an incremental batch must leave
+    every untouched partition's files BYTE-IDENTICAL (no rewrite), while
+    touched partitions get keep-newest-per-key — and the resulting table
+    must equal the relational merge core run over the same inputs."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import (
+        merge_upsert_partitioned,
+        merge_upsert_to_path,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        save_partitioned,
+    )
+
+    base = keyed_events(spark, "/root/testdata/sf0.001").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    existing = base.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "ts", "user_id", "event_type", "event_date", "value_c"
+    )
+    incoming = (
+        base.filter((F.col("event_id") % 3 == 0) & (F.dayofmonth("ts") >= 20))
+        .withColumn("value_c", F.col("value_c") + 1)
+        .select("event_id", "ts", "user_id", "event_type", "event_date", "value_c")
+    )
+
+    path = str(tmp_path / "events_by_day")
+    save_partitioned(existing, path, partition_cols=("event_date",))
+    before = _file_digests(path)
+
+    touched = merge_upsert_to_path(
+        spark,
+        path,
+        incoming,
+        key=("user_id", "event_type", "event_date"),
+        recency_col="ts",
+        tie_cols=("event_id",),
+        partition_col="event_date",
+    )
+    after = _file_digests(path)
+
+    touched_dirs = {f"event_date={v}" for v in touched}
+    untouched_before = {
+        f: h
+        for f, h in before.items()
+        if f.split("/", 1)[0] not in touched_dirs
+    }
+    untouched_after = {
+        f: h
+        for f, h in after.items()
+        if f.split("/", 1)[0] not in touched_dirs
+    }
+    assert untouched_before and untouched_before == untouched_after
+
+    expect, _ = merge_upsert_partitioned(
+        existing,
+        incoming,
+        key=("user_id", "event_type", "event_date"),
+        recency_col="ts",
+        tie_cols=("event_id",),
+        partition_col="event_date",
+    )
+    cols = ["user_id", "event_type", "event_date", "event_id", "value_c"]
+    got = {tuple(r) for r in spark.read.parquet(path).select(*cols).collect()}
+    want = {tuple(r) for r in expect.select(*cols).collect()}
+    assert got == want
+
+
+def test_merge_upsert_batch_partition_cap(spark):
+    """A 'batch' touching more partitions than MAX_BATCH_PARTITIONS is a
+    miswired full-table load — the merge must refuse, not collect it."""
+    import pytest
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators import upsert as U
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").alias("p"), F.col("id").alias("ts2")
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        U.merge_upsert_partitioned(
+            df, df, key=("k",), recency_col="ts2", partition_col="p",
+            max_partitions=10,
+        )
+
+
+def test_merge_upsert_first_write(spark, tmp_path):
+    """First write (table absent): the batch itself is deduped per key
+    (newest wins) and lands partitioned."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.upsert import (
+        merge_upsert_to_path,
+    )
+
+    d = datetime.date(2025, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (1, TS(2025, 3, 1, 9), "USD", d, 10),
+            (2, TS(2025, 3, 1, 10), "USD", d, 20),
+            (3, TS(2025, 3, 2, 9), "EUR", datetime.date(2025, 3, 2), 30),
+        ],
+        "event_id long, ts timestamp, k string, event_date date, value_c long",
+    )
+    path = str(tmp_path / "t")
+    merge_upsert_to_path(
+        spark,
+        path,
+        df,
+        key=("k", "event_date"),
+        recency_col="ts",
+        tie_cols=("event_id",),
+        partition_col="event_date",
+    )
+    rows = {
+        (r["k"], r["value_c"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {("USD", 20), ("EUR", 30)}
+
+
+def test_bounded_collect_guards_fit_paths(spark):
+    """Driver-side fit/query collects are hard-capped: a corpus-sized
+    misuse raises instead of OOMing the driver (VERDICT r3 #4)."""
+    import pytest
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pq import (
+        bounded_collect,
+    )
+
+    df = spark.range(1000)
+    with pytest.raises(ValueError, match="bounded"):
+        bounded_collect(df, "misuse", cap=100)
+    assert len(bounded_collect(df, "ok", cap=1000)) == 1000
+
+
+def test_pq_codebook_clamps_to_distinct_subvectors(spark):
+    """A sample with fewer than k distinct subvectors must yield a
+    SHORT codebook (not an IndexError), and SDC/ADC search must stay
+    consistent with the clamped per-subspace sizes (ADVICE r3)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pq import (
+        pq_topk_adc,
+        pq_topk_sdc,
+        train_codebooks,
+    )
+
+    # 6 vectors, dim 4, m=2 subspaces; only 3 distinct subvectors per
+    # subspace but k=8 requested
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [0.0, 0.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, 2.0, 2.0]),
+        (3, [1.0, 1.0, 2.0, 2.0]),
+        (4, [2.0, 2.0, 3.0, 3.0]),
+        (5, [2.0, 2.0, 3.0, 3.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_codebooks(emb, m=2, k=8, sample_max_id=100)
+    assert [len(b) for b in books] == [3, 3]
+    sdc = pq_topk_sdc(emb, books, query_max_id=2, topk=2).collect()
+    adc = pq_topk_adc(emb, books, query_max_id=2, topk=2).collect()
+    assert len(sdc) == 4 and len(adc) == 4
+    # identical-vector pairs must be each other's nearest neighbor
+    top = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"] for r in adc
+    }
+    assert top[(0, 1)] == 1 and top[(1, 1)] == 0
+
+
+def test_cusum_custom_key_schema(spark):
+    """series_cusum's output schema follows the key parameter (ADVICE
+    r3: it used to hard-code user_id/event_type and mislabel any other
+    key)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cusum import (
+        cusum_scan,
+        series_cusum,
+    )
+
+    rows = [("a", i, v) for i, v in enumerate([100, 100, 100, 500, 500])] + [
+        ("b", i, 200) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "sym string, seq long, value_c long")
+    out = {
+        r["sym"]: (r["n"], r["max_s_hi"], r["max_s_lo"], r["first_alarm_idx"])
+        for r in series_cusum(
+            df, slack_c=10, threshold_c=100,
+            key=("sym",), order_col="seq", value_col="value_c",
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    # cross-check series 'a' against the pure-python reference
+    v = [100, 100, 100, 500, 500]
+    mean_c = sum(v) // len(v)
+    assert out["a"] == (5, *cusum_scan(v, mean_c, 10, 100))
+
+
+def _wav_bytes(seconds: float, rate: int = 8000) -> bytes:
+    """A real (silent) PCM WAV byte string built with stdlib wave."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * int(seconds * rate))
+    return buf.getvalue()
+
+
+def test_real_wav_decode(spark):
+    """The decode seam must use a REAL decoder for parseable media: a
+    genuine WAV payload reports its true duration (stdlib-wave branch,
+    hermetic), while unparseable bytes fall back to the deterministic
+    stub — and the Spark stage consumes both in one batch."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.multimodal import (
+        _decode_stub,
+        decode_media,
+        extract_media_meta,
+    )
+
+    wav = _wav_bytes(7.25)
+    assert decode_media(wav, "audio")["duration_ms"] == 7250
+    garbage = b"not media at all"
+    assert decode_media(garbage, "audio") == _decode_stub(garbage, "audio")
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(garbage))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["asset_id"]: r["duration_ms"] for r in extract_media_meta(df).collect()}
+    assert out[1] == 7250
+    assert out[2] == _decode_stub(garbage, "audio")["duration_ms"]
+
+
+def test_real_png_decode(spark):
+    """Opt-in PIL branch: a real PNG reports its true dimensions where
+    PIL is installed (skipped hermetically)."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.multimodal import (
+        decode_media,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (123, 45)).save(buf, format="PNG")
+    meta = decode_media(buf.getvalue(), "image")
+    assert (meta["width"], meta["height"]) == (123, 45)

@@ -185,3 +185,30 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == 150  # 100 would mean no pickup; 250 double-count
     assert out.selectExpr("count(DISTINCT id) AS n").collect()[0]["n"] == 150
+
+
+def test_rollup_state_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; a replayed micro-batch id must NOT
+    be merged twice into the parquet rollup state (ADVICE r3: the fold
+    previously ignored the batch id and double-counted on retry)."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.ingest import (
+        ParquetRollupState,
+    )
+
+    state = ParquetRollupState(
+        spark, str(tmp_path), keys=("k",), sums=("v",), mins=(), maxs=()
+    )
+    b0 = spark.createDataFrame([("a", 10), ("a", 5), ("b", 1)], "k string, v long")
+    state.fold(b0, 0)
+    state.fold(b0, 0)  # retry of the same batch id: must be a no-op
+    b1 = spark.createDataFrame([("a", 100)], "k string, v long")
+    state.fold(b1, 1)
+    state.fold(b1, 1)  # retried too
+    out = {
+        r["k"]: (r["sum_v"], r["n"])
+        for r in state.read().collect()
+    }
+    assert state.applied_batch() == 1
+    assert out["a"] == (115, 3) and out["b"] == (1, 1)
