@@ -11,9 +11,13 @@ Division of labor (the IVF contract from SCALE.md, extended):
   distinct subvectors, fixed iteration cap, micro-int convergence).
   Codebooks are k·m·(d/m) floats — ~1 KB here — and enter every
   downstream plan as LITERALS.
-- **Encoding is map-only** over the corpus: per subspace, argmin-L2
-  against 16 literal centroids via aggregate/slice Column expressions —
-  no shuffle, no Python, embarrassingly parallel at any scale.
+- **Encoding is map-only** over the corpus — no shuffle, embarrassingly
+  parallel at any scale. Two interchangeable forms ship: a pure-Column
+  HOF expression (``pq_codes_col``) and the Arrow-batched numpy kernel
+  (``pq_codes_pandas`` / ``pq_residual_codes_pandas``) that the search paths
+  use, because Spark HOFs are interpreted (no codegen) and measured
+  ~3 ms/row at m=16, k=32 — a 1000× cliff the vectorized batch kernel
+  removes while keeping the identical argmin semantics.
 - **Search ships in both standard forms.** SDC (symmetric): queries
   PQ-encoded too, k×k centroid-distance literals, cheapest and
   coarsest. ADC (asymmetric, the default): queries keep real
@@ -30,6 +34,8 @@ operators.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,35 +138,36 @@ def _fit_books(X, m: int, k: int, iters: int) -> list[list[list[float]]]:
     return books
 
 
-def _code_expr(vec_col: str, book: list[list[float]], j: int, sub: int):
-    """argmin-L2 code for subspace j as a Column expression over the
-    literal codebook; ties break to the lower code id (array_position
-    returns the FIRST minimum).
+def pq_codes_col(vec_col: str, codebooks: list[list[list[float]]]):
+    """All-m PQ codes as ONE nested-literal HOF expression:
+    ``transform(books, (book, j) -> argmin-L2 of subvector j)``.
 
-    Shape note: the codebook is ONE nested-array literal walked by a
-    transform() higher-order function, not k separate aggregate
-    expressions — an unrolled argmin over m×k struct branches measured
-    ~30 s of whole-stage-codegen COMPILATION at m=16/k=32 (512
-    aggregates); the HOF tree is O(1) per subspace and compiles
-    instantly, while per-row evaluation stays trivially cheap."""
-    start = j * sub + 1  # slice() is 1-based
-    v = F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")), start, sub)
-    cb = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) for x in c) + ")" for c in book
+    The codebook tensor is a single ``F.lit`` constant, so driver-side
+    expression construction AND whole-stage codegen are O(1) in m·k —
+    the unrolled per-subspace form (m parsed array literals, m·k
+    aggregate branches) measured ~2 s of driver construction plus ~2 s
+    of codegen compile per query at m=16, k=32. Per-row evaluation is
+    identical interpreted-HOF work in both forms. Ragged (clamped)
+    codebooks are fine: each book keeps its own length, ties break to
+    the lower code id (``array_position`` returns the first minimum).
+    """
+    sub = len(codebooks[0][0])
+    books = F.lit([[[float(x) for x in c] for c in book] for book in codebooks])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_of(book, j):
+        sv = F.slice(v, j * sub + 1, sub)
+        dists = F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-        + ")"
-    )
-    dists = F.transform(
-        cb,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.transform(books, code_of)
 
 
 def pq_encode(
@@ -170,12 +177,113 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Map-only PQ encoding: → (id, codes array<int> of length m)."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    codes = F.array(
-        *[_code_expr(vec_col, codebooks[j], j, sub) for j in range(m)]
+    return emb.select(
+        F.col(id_col), pq_codes_col(vec_col, codebooks).alias("codes")
     )
-    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_codes_pandas(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: pandas_udf(embedding) → codes.
+
+    The measured reason this exists: Spark higher-order functions are
+    INTERPRETED (no whole-stage codegen), and the argmin-L2 over m×k
+    literal centroids costs ~3 ms/row at m=16, k=32 (~0.7 µs per lambda
+    step × m·k·sub steps) — a 1000× cliff over the same kernel in
+    numpy, which vectorizes the whole Arrow batch at once
+    ((batch, k, sub) broadcast subtraction per subspace). This is the
+    sanctioned Python seam: ArrowEvalPython, batch-columnar, no per-row
+    Python. Semantics match :func:`pq_codes_col` — float64 L2, ties to
+    the lower code id (numpy argmin returns the first minimum); ragged
+    (clamped) codebooks keep their per-subspace size.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(book, dtype="float64") for book in codebooks]
+    sub = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype="float64") for v in col])
+        out = np.empty((len(X), len(Cs)), dtype="int32")
+        if len(X):
+            for j, C in enumerate(Cs):
+                S = X[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return enc
+
+
+def ivf_cells_pandas(cents: list[tuple[int, list[float]]], round_digits: int = 6):
+    """Arrow-batched IVF coarse assignment: pandas_udf(embedding) → cell.
+
+    Same semantics as ``similarity.ivf_assign`` / ``_nearest_cells_np``:
+    cosine rounded to ``round_digits``, ties to the LOWER centroid id
+    (dictionary sorted ascending, argmax returns the first maximum).
+    Exists for the same measured reason as :func:`pq_codes_pandas` —
+    the literal-centroid HOF argmax is interpreted per lambda step and
+    becomes the bottleneck the moment it sits on the corpus path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([cv for _, cv in cents], dtype="float64")
+    cids = np.asarray([cid for cid, _ in cents], dtype="int64")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("bigint")
+    def assign(col: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype="float64") for v in col])
+        if not len(X):
+            return pd.Series([], dtype="int64")
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.round(Xn @ Cn.T, round_digits)
+        return pd.Series(cids[sims.argmax(axis=1)])
+
+    return assign
+
+
+def pq_residual_codes_pandas(
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    residual: bool = True,
+    round_digits: int = 6,
+):
+    """Arrow-batched residual-PQ encoder: pandas_udf(embedding) → codes,
+    where the codes quantize (v − centroid[assigned cell]) when
+    ``residual`` (the IVF-PQ refinement). The coarse assignment happens
+    inside the same numpy kernel; pair this with
+    :func:`ivf_cells_pandas` in one projection — Spark evaluates all
+    scalar pandas UDFs of a projection in a SINGLE ArrowEvalPython node,
+    so cell + codes still cost one Arrow round-trip over the corpus.
+    Assignment/tie semantics follow ``_nearest_cells_np`` (rounded
+    cosine, first max = lowest id); encoding follows
+    :func:`pq_codes_pandas` (first-min argmin).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([cv for _, cv in cents], dtype="float64")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cs = [np.asarray(book, dtype="float64") for book in codebooks]
+    sub = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype="float64") for v in col])
+        out = np.empty((len(X), len(Cs)), dtype="int32")
+        if len(X):
+            R = X
+            if residual:
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                idx = np.round(Xn @ Cn.T, round_digits).argmax(axis=1)
+                R = X - C[idx]
+            for j, Cb in enumerate(Cs):
+                S = R[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return enc
 
 
 def _sdc_luts_micro(codebooks: list[list[list[float]]]) -> list[list[int]]:
@@ -209,7 +317,10 @@ def pq_topk_sdc(
     """
     from pyspark.sql import Window
 
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = emb.select(
+        F.col(id_col),
+        pq_codes_pandas(codebooks)(F.col(vec_col)).alias("codes"),
+    )
     q = codes.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes")
     )
@@ -287,7 +398,10 @@ def pq_topk_adc(
         luts_rows, f"query_id long, luts array<array<bigint>>"
     )
 
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = emb.select(
+        F.col(id_col),
+        pq_codes_pandas(codebooks)(F.col(vec_col)).alias("codes"),
+    )
     c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
     score = None
     for j in range(m):
@@ -387,6 +501,7 @@ def ivfpq_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode_partitions: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-vector search shape — coarse IVF
     cells bound WHICH candidates are scored, PQ codes bound WHAT scoring
@@ -394,32 +509,40 @@ def ivfpq_topk(
     integer lookups per surviving candidate; neither the raw vectors
     nor a full-corpus scan appear anywhere in the query path.
 
-    Plan: corpus → (cell via broadcast-argmax ivf_assign, codes via
-    map-only pq_encode) — both map-side, computed once; queries probe
-    their nprobe nearest cells (broadcast centroids); candidates come
-    from the cell equi-join (cells are the parallelism unit, AQE splits
-    hot cells); ADC lookup rows ride the tiny query broadcast exactly
-    as in pq_topk_adc. Plain PQ on raw vectors (no residual encoding) —
-    the standard first-order IVF-PQ; residuals are a quality refinement
-    with an identical plan shape.
+    Plan: corpus → (cell via literal-centroid argmax, codes via map-only
+    encode) in ONE narrow pass — no join, no window, no shuffle on the
+    corpus (see ``similarity.cell_sims_lit``); queries probe their
+    nprobe nearest cells (driver-side over the bounded dictionary);
+    candidates come from the cell equi-join (cells are the parallelism
+    unit, AQE splits hot cells); ADC lookup rows ride the tiny query
+    broadcast exactly as in pq_topk_adc. Plain PQ on raw vectors (no
+    residual encoding) — the standard first-order IVF-PQ; residuals are
+    a quality refinement with an identical plan shape.
+    ``encode_partitions`` spreads the encode when the local input is a
+    single small file; at real scale natural splits make it moot.
     """
     import numpy as np
 
     from pyspark.sql import Window
 
-    from .similarity import ivf_assign
-
     spark = emb.sparkSession
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    cents = _centroid_rows(centroids)
 
     v = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cells = ivf_assign(v, centroids, id_col=id_col, vec_col="v")
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
-    corpus = cells.select(id_col, "cell").join(codes, id_col)
+    if encode_partitions:
+        v = v.repartition(encode_partitions)
+    cells_udf = ivf_cells_pandas(cents)
+    codes_udf = pq_codes_pandas(codebooks)
+    corpus = v.select(
+        id_col,
+        cells_udf(F.col("v")).alias("cell"),
+        codes_udf(F.col("v")).alias("codes"),
+    )
 
     # per-query ADC lookup rows (driver-computed from real query floats)
     q_rows = bounded_collect(
@@ -427,6 +550,7 @@ def ivfpq_topk(
         "ivfpq_topk query set",
     )
     luts_rows = []
+    probe_rows = []
     for r in q_rows:
         qv = np.array(list(r[vec_col]), dtype="float64")
         luts = []
@@ -435,30 +559,14 @@ def ivfpq_topk(
             d2 = ((C - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
             luts.append([int(round(x * 1e6)) for x in d2])
         luts_rows.append((r[id_col], luts))
+        # probed cells from the same bounded dictionary (replicates
+        # ivf_assign ordering: rounded cosine desc, ties to lower id)
+        for cell in _nearest_cells_np(qv, cents, nprobe):
+            probe_rows.append((int(r[id_col]), cell))
     q_luts = spark.createDataFrame(
         luts_rows, "query_id long, luts array<array<bigint>>"
     )
-
-    # probe the nprobe nearest cells per query
-    qv_df = emb.filter(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    from .similarity import cosine
-
-    probe_scores = qv_df.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "centroid_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("_sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        probe_scores.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("centroid_id").alias("cell"))
-    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
 
     score = None
     for j in range(m):
@@ -467,7 +575,7 @@ def ivfpq_topk(
         )
         score = term if score is None else score + term
     cand = (
-        corpus.join(probes, "cell")
+        corpus.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(q_luts), "query_id")
         .select(
@@ -495,15 +603,21 @@ def ivfpq_topk_residual(
     rerank: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode_partitions: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding and exact RE-RANK — the quality
     form of :func:`ivfpq_topk` at the same candidate set (same cells,
     same nprobe; nothing widens):
 
-    - **Corpus**: cell via broadcast-argmax ``ivf_assign`` (map-only),
-      then residual = v − centroid[cell] (zip_with against the tiny
-      broadcast centroid join — still map-side), then map-only PQ
-      encoding of the residual. One narrow corpus pass, no shuffle.
+    - **Corpus**: ONE narrow map-only pass — cell via literal-centroid
+      argmax (``similarity.cell_sims_lit``: the bounded coarse
+      dictionary is baked into the plan, no join/window/shuffle),
+      residual = v − centroid[cell] via ``element_at`` into the same
+      literal dictionary, then PQ codes over the residual. The corpus
+      is scanned once and never self-joined. ``encode_partitions``
+      spreads the encode across tasks when the local input is a single
+      small file (at real scale the scan's natural file splits make
+      this unnecessary — leave it ``None``).
     - **Queries**: probed cells and per-(query, cell) residual ADC
       lookup rows are computed driver-side from the bounded query set ×
       bounded centroid dictionary and ride ONE tiny broadcast keyed by
@@ -524,37 +638,32 @@ def ivfpq_topk_residual(
 
     from pyspark.sql import Window
 
-    from .similarity import ivf_assign
-
     spark = emb.sparkSession
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    cents = _centroid_rows(centroids)
 
-    # ---- corpus side: cell -> residual -> codes (all map-side)
+    # ---- corpus side: cell -> residual -> codes, one Arrow kernel
     v = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cells = ivf_assign(v, centroids, id_col=id_col, vec_col="v")
-    cent_df = centroids.select(
-        F.col("centroid_id").alias("cell"),
-        F.transform(F.col("cv"), lambda x: x.cast("double")).alias("_cv"),
-    )
-    with_res = cells.join(F.broadcast(cent_df), "cell").select(
+    if encode_partitions:
+        v = v.repartition(encode_partitions)
+    cells_udf = ivf_cells_pandas(cents)
+    codes_udf = pq_residual_codes_pandas(cents, codebooks, residual=True)
+    # both scalar pandas UDFs sit in one projection -> ONE ArrowEvalPython
+    corpus = v.select(
         id_col,
-        "cell",
-        "v",
-        F.zip_with("v", "_cv", lambda a, b: a - b).alias("res"),
+        cells_udf(F.col("v")).alias("cell"),
+        codes_udf(F.col("v")).alias("codes"),
     )
-    codes = pq_encode(with_res, codebooks, id_col=id_col, vec_col="res")
-    corpus = with_res.select(id_col, "cell").join(codes, id_col)
 
     # ---- query side: driver-computed probes + per-(query, cell) LUTs
     q_rows = bounded_collect(
         emb.filter(F.col(id_col) < query_max_id).select(id_col, vec_col),
         "ivfpq_topk_residual query set",
     )
-    cents = _centroid_rows(centroids)
     cent_by_id = {cid: np.asarray(cv, dtype="float64") for cid, cv in cents}
     lut_rows, qv_rows = [], []
     for r in q_rows:

@@ -42,6 +42,39 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _lit_vec(cv: list[float]) -> Column:
+    # one nested-list literal = one py4j call; F.array(*[F.lit(x) ...])
+    # costs a JVM round-trip per element (hundreds per vector)
+    return F.lit([float(x) for x in cv])
+
+
+def cell_sims_lit(
+    vec: Column, cents: list[tuple[int, list[float]]], round_digits: int = 6
+) -> Column:
+    """Per-centroid cosine similarities of ``vec`` against a LITERAL
+    centroid dictionary, as one array column (index i ↔ ``cents[i]``).
+
+    This is the genuinely map-only form of coarse assignment: the
+    centroid dictionary (k_coarse · d floats — bounded, never a corpus)
+    is baked into the plan as literals, so assignment is a narrow
+    per-row expression with NO join, NO window, NO shuffle.
+    :func:`ivf_assign` by contrast pays a row_number window (a shuffle
+    of |corpus|·|centroids| rows) to pick the argmax — fine as the
+    DataFrame-only API, wrong as the hot corpus path. Semantics match
+    it exactly: cosine rounded to ``round_digits``, ties to the lower
+    centroid id (``cents`` must be sorted by centroid id ascending;
+    ``array_position`` returns the FIRST maximum).
+    """
+    cents_lit = F.lit([[float(x) for x in cv] for _, cv in cents])
+    return F.transform(cents_lit, lambda c: F.round(cosine(vec, c), round_digits))
+
+
+def cell_idx_expr(sims_col: Column) -> Column:
+    """1-based index of the winning centroid in a ``cell_sims_lit``
+    array (first max = lowest centroid id for sorted dictionaries)."""
+    return F.array_position(sims_col, F.array_max(sims_col)).cast("int")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1726,7 +1726,10 @@ def emb_ivfpq_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"),
         _as_double(F.col("embedding")).alias("cv"),
     )
-    return ivfpq_topk(emb, books, centroids)
+    return ivfpq_topk(
+        emb, books, centroids,
+        encode_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(

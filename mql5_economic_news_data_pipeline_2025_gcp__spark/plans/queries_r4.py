@@ -182,4 +182,7 @@ def emb_ivfpq_residual_topk(spark, sf_dir):
         _as_double(F.col("embedding")).alias("cv"),
     )
     books = train_codebooks_residual(emb, centroids, m=16, k=32)
-    return ivfpq_topk_residual(emb, books, centroids)
+    return ivfpq_topk_residual(
+        emb, books, centroids,
+        encode_partitions=spark.sparkContext.defaultParallelism,
+    )
