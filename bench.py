@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "stream_incremental_rollup",
     "mm_audio_chunks",
     "rel_spend_percentiles",
+    "doc_pii_scrub",
+    "doc_pack_sequences",
+    "emb_semantic_dedup",
 ]
 
 

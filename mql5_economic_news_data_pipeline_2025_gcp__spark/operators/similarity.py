@@ -315,3 +315,63 @@ def near_dup_pairs_cosine(
             "cosine_sim",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest coarse centroid (its *cell*), compare
+    pairs ONLY within a cell, and drop the higher-id side of any pair
+    with cosine ≥ threshold → (id, cell, kept).
+
+    This is the trick that makes embedding dedup feasible at corpus
+    scale: clustering first turns the O(n²) all-pairs comparison into
+    Σ|cell|² cell-bounded work — the within-cell join is an equi-join on
+    the cell key (AQE splits hot cells), and assignment is the map-only
+    literal-centroid argmax (``cell_sims_lit``; the centroid dictionary
+    is bounded, never a corpus). Keep-lowest-id is the deterministic
+    survivor rule (same convention as the exact/MinHash dedup family);
+    similarity is rounded before the threshold compare (cross-engine
+    boundary contract).
+    """
+    cid_arr = F.lit([int(cid) for cid, _ in cents])
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    assigned = v.withColumn(
+        "_idx", cell_idx_expr(cell_sims_lit(F.col("v"), cents))
+    ).select(
+        id_col,
+        "v",
+        F.element_at(cid_arr, F.col("_idx")).cast("bigint").alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits)
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("_drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

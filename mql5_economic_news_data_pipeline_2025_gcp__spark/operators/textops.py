@@ -146,3 +146,82 @@ def top_terms_udtf():
                 yield (w, int(c), i + 1)
 
     return TopTerms
+
+
+#: Engine-portable PII patterns (valid in both Java regex and RE2, so the
+#: Spark path and the DuckDB oracle scrub identically). Deliberately
+#: conservative — production scrubbers layer many more patterns; the
+#: operator shape (count-then-replace, one map-only pass) is what scales.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Redact PII patterns from ``text_col`` (→ ``<EMAIL>``-style tokens)
+    and count per-pattern hits — the standard pre-training scrub pass
+    (emails/phones/IPs out before the corpus is frozen).
+
+    Map-only: per row, one ``regexp_extract_all`` (count) + one
+    ``regexp_replace`` (redact) per pattern, all JVM regex — no shuffle,
+    no Python, linear in corpus bytes at any scale. Adds
+    ``n_<name>`` count columns and replaces ``text_col`` with the
+    scrubbed text.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn(text_col, scrubbed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 128,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy streaming sequence packing: assign each document to a
+    fixed-capacity token bin (``pack_id``) within its ``group_col``
+    shard — the batching step that turns a document corpus into
+    training sequences without padding waste.
+
+    The running token count is a window cumsum ordered by ``id_col``
+    WITHIN each group; ``pack_id = floor(tokens_before / max_tokens)``.
+    This is the streaming approximation (a doc can straddle a bin
+    boundary — real packers split or truncate the straddler; bin
+    assignment is identical), chosen because it is one window over the
+    group shard: no global sort, no driver state. At 100 TB the group
+    (source/shard/stream) is the parallelism unit — same shape real
+    packing jobs use; a single global packing order would serialize the
+    corpus and is deliberately not offered.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("tokens_before", before)
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.floor(F.col("tokens_before") / max_tokens).cast("bigint").alias("pack_id"),
+            (F.col("tokens_before") % max_tokens).cast("bigint").alias("pack_offset"),
+        )
+    )

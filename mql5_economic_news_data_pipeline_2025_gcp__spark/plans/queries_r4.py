@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import keyed_events, t
+from .common import fan_out, keyed_events, t
 from .registry import register
 
 
@@ -186,3 +186,152 @@ def emb_ivfpq_residual_topk(spark, sf_dir):
         emb, books, centroids,
         encode_partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || doc_id || '@example.com or +1 555-000-'
+                    || (doc_id % 9973) || ' at 10.0.' || (doc_id % 256) || '.'
+                    || ((doc_id // 7) % 256)
+             ELSE text END AS t
+      FROM documents),
+    counted AS (
+      SELECT doc_id, t,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]+')) AS INT) AS n_phone,
+        CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4
+      FROM injected)
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]+', '<PHONE>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+           ) AS scrub_digest
+    FROM counted
+    """,
+    description=(
+        "PII scrub (pre-training corpus hygiene): deterministic PII "
+        "injection on every 7th doc (emails/phones/IPv4s derived from "
+        "doc_id so the fixture exercises nonzero redactions), then one "
+        "map-only count+redact pass per pattern — JVM regex, no shuffle, "
+        "linear in corpus bytes; the scrubbed text is digested so the "
+        "oracle hash-checks the exact redaction output"
+    ),
+    tags=("documents", "text", "scrub"),
+)
+def doc_pii_scrub(spark, sf_dir):
+    from ..operators.textops import pii_scrub
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-000-"),
+                (F.col("doc_id") % 9973).cast("string"),
+                F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), ((F.col("doc_id") / 7).cast("bigint") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    scrubbed = pii_scrub(injected, text_col="t")
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("t")).alias("scrub_digest"),
+    )
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens
+      FROM norm),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+      FROM tok)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(tb / 128.0) AS BIGINT) AS pack_id,
+           CAST(tb % 128 AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+    description=(
+        "greedy streaming sequence packing: fixed-capacity (128-token) "
+        "training bins assigned by a window cumsum WITHIN each source "
+        "shard — the padding-free batching step of a training-data "
+        "pipeline; per-shard packing is the scale shape (no global "
+        "order, the shard is the parallelism unit)"
+    ),
+    tags=("documents", "text", "packing"),
+)
+def doc_pack_sequences(spark, sf_dir):
+    from ..operators.textops import pack_sequences
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return pack_sequences(docs, max_tokens=128, group_col="source")
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 8),
+    sims AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(v.e, c.cv), 6) AS s
+      FROM v CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.3)
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM assigned a LEFT JOIN dropped d ON d.did = a.vec_id
+    """,
+    description=(
+        "SemDeDup-style semantic dedup: nearest-centroid cell assignment "
+        "(map-only literal-centroid argmax), near-dup comparison ONLY "
+        "within a cell (equi-join on cell — the clustering trick that "
+        "turns all-pairs O(n²) into Σ|cell|²), drop the higher id of any "
+        "pair with cosine ≥ 0.3 (keep-lowest survivor rule)"
+    ),
+    tags=("embeddings", "similarity", "dedup"),
+)
+def emb_semantic_dedup(spark, sf_dir):
+    from ..operators.pq import _centroid_rows
+    from ..operators.similarity import _as_double, semantic_dedup
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    return semantic_dedup(emb, _centroid_rows(centroids), threshold=0.3)

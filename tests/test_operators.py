@@ -1684,3 +1684,80 @@ def test_real_png_decode(spark):
     PIL_Image.new("RGB", (123, 45)).save(buf, format="PNG")
     meta = decode_media(buf.getvalue(), "image")
     assert (meta["width"], meta["height"]) == (123, 45)
+
+
+def test_pack_sequences_straddle_and_groups(spark):
+    """Packing is per-group; a doc that straddles a bin boundary keeps
+    the bin its START falls in (streaming approximation), and the next
+    doc's bin is derived from the true running total."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.textops import (
+        pack_sequences,
+    )
+
+    rows = [
+        # group g1: 6 + 5 + 4 tokens, capacity 8
+        (1, "g1", "a b c d e f"),
+        (2, "g1", "g h i j k"),
+        (3, "g1", "l m n o"),
+        # group g2 independent
+        (4, "g2", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+        for r in pack_sequences(df, max_tokens=8, group_col="source").collect()
+    }
+    assert out[1] == (0, 0, 6)
+    # doc 2 starts at offset 6 (< 8) -> bin 0 even though it straddles
+    assert out[2] == (0, 6, 5)
+    # doc 3 starts at 11 -> bin 1, offset 3
+    assert out[3] == (1, 3, 4)
+    # fresh group restarts at bin 0
+    assert out[4] == (0, 0, 2)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    """Each pattern is counted on the ORIGINAL text and redacted in the
+    output; text with no PII passes through byte-identical."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.textops import (
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "mail me at a.b+c@x-mail.co or b@y.org, call +1 555-123-4567"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 but not 1234.5.6.7890"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 0)
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "@" not in out[1]["text"]
+    assert out[2]["n_ipv4"] == 2
+    # \b guards: 1234.5.6.7890 must NOT match as an IPv4
+    assert "1234.5.6.7890" in out[2]["text"].replace("<IPV4>", "")
+    assert out[3]["text"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_semantic_dedup_cell_bounded(spark):
+    """Near-identical vectors in the SAME cell dedup to the lowest id;
+    an equally-similar vector whose nearest centroid differs is never
+    compared (cell-bounded by construction)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (10, [1.0, 0.01]),   # cell 0
+        (11, [1.0, 0.02]),   # cell 0, near-dup of 10 -> dropped
+        (12, [0.01, 1.0]),   # cell 1 — cosine to 10 is ~0 anyway, kept
+        (13, [0.02, 1.0]),   # cell 1, near-dup of 12 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cell"], r["kept"]) for r in semantic_dedup(
+        df, cents, threshold=0.9
+    ).collect()}
+    assert out[10] == (0, 1) and out[11] == (0, 0)
+    assert out[12] == (1, 1) and out[13] == (1, 0)
