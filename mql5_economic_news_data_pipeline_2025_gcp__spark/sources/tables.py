@@ -25,9 +25,24 @@ from ..schemas import SYNTHETIC_TABLES
 
 @lru_cache(maxsize=None)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
-    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``."""
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+
+    ``path`` may be a single parquet file (the driver's testdata layout)
+    or a directory of part files (any Spark-written table) — for a
+    directory the first part file's footer is authoritative, matching
+    Spark's own schema resolution for uniform tables."""
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     out = []
     for field in schema:
@@ -40,9 +55,17 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table by name from ``sf_dir``; ns-timestamps are
     converted to TimestampType (µs truncation)."""
+    from pyspark.sql.types import LongType
+
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
+        # guard on the ACTUAL read type: INT96-written timestamps also
+        # report as timestamp[ns] in the pyarrow footer but Spark reads
+        # them as proper TimestampType — only a LongType column is the
+        # nanosAsLong case that needs conversion.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double
         # division drifts by up to ±1 µs vs DuckDB's exact truncation
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -87,8 +87,19 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/{table}.parquet"
+    # `path` may be a Spark-written DIRECTORY of part files (any real
+    # landing prefix); the first part's footer is authoritative and the
+    # parts are linked individually (the file source does not recurse
+    # into non-partition subdirectories)
+    part_files = [path]
+    if os.path.isdir(path):
+        part_files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
     fields = []
-    for f_ in pq.read_schema(path):
+    for f_ in pq.read_schema(part_files[0]):
         s = str(f_.type)
         if s.startswith("timestamp[ns"):
             typ: T.DataType = T.LongType()
@@ -110,7 +121,8 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     stream_dir = _STREAM_DIRS.get(key)
     if stream_dir is None:
         stream_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
-        os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+        for i, pf in enumerate(part_files):
+            os.symlink(pf, os.path.join(stream_dir, f"{table}_{i}.parquet"))
         atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
         _STREAM_DIRS[key] = stream_dir
     return (

@@ -10,10 +10,14 @@ scales the way a real 10x corpus would:
   while per-group sizes stay constant (replicating without remapping
   would instead grow every group 10x — the wrong workload shape, and it
   would turn the dedup tables into one giant duplicate cluster);
-- document text is token-rotated per replica and salted with a few
-  replica-unique tokens, so replicas are NOT near-duplicates of each
-  other (shingle sets diverge) and LSH candidate volume scales like a
-  real corpus instead of quadratically inside artificial clusters;
+- document text is deterministically PERMUTED per replica (tokens
+  sorted by md5(token, replica, position) — a rotation is NOT enough:
+  linear shingles of a rotated sequence differ only at the boundary,
+  and a rotation-only variant measured 288k LSH candidate pairs at sf1
+  vs 829 at sf0.1, 214k of them replica-vs-original) and salted with a
+  few replica-unique tokens, so replicas are NOT near-duplicates of
+  each other and LSH candidate volume scales like a real corpus
+  instead of quadratically inside artificial clusters;
 - embeddings are cyclically rotated per replica (norm-preserving, new
   direction), so ANN bucket occupancy scales instead of stacking 10
   identical vectors per point;
@@ -65,6 +69,9 @@ def generate(out_dir: str) -> None:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
 
     spark = get_spark("scale-probe-gen")
+    # write µs timestamps (not INT96, which pyarrow footers report as
+    # timestamp[ns]) so the generated tables round-trip like the originals
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(out_dir, exist_ok=True)
 
     def reps(df, cols_offsets):
@@ -125,20 +132,33 @@ def generate(out_dir: str) -> None:
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * OFFSETS["doc_id"]))
         if r > 0:
             toks = F.split(F.col("text"), r"\s+")
-            n = F.size(toks)
-            k = F.lit(1 + 7 * r) % F.greatest(n, F.lit(1))
-            rotated = F.concat(
-                F.slice(toks, k + 1, n), F.slice(toks, 1, k)
+            # deterministic per-replica permutation: sort tokens by
+            # md5(token, replica, position) — destroys ALL adjacency, so
+            # word-shingle sets diverge completely from the original
+            keyed = F.transform(
+                toks,
+                lambda x, i: F.struct(
+                    F.md5(
+                        F.concat(x, F.lit(f"|r{r}|"), i.cast("string"))
+                    ).alias("k"),
+                    x.alias("tk"),
+                ),
             )
-            # salt ~3 replica-unique tokens so shingle sets diverge even
-            # for short docs (rotation alone preserves tiny shingle sets)
+            shuffled = F.transform(F.array_sort(keyed), lambda s: s["tk"])
+            # plus PER-DOC-unique salt tokens for very short docs (a
+            # shared salt — e.g. doc_id % 97 — puts an identical shingle
+            # in ~n/97 docs per replica and measured a 51× LSH candidate
+            # blow-up from band collisions on it)
             salt = F.array(
                 *[
-                    F.concat(F.lit(f"zq{r}x"), (F.col("doc_id") % 97 + F.lit(i)).cast("string"))
+                    F.concat(
+                        F.lit(f"zq{r}x"),
+                        (F.col("doc_id") * 3 + F.lit(i)).cast("string"),
+                    )
                     for i in range(3)
                 ]
             )
-            d = d.withColumn("text", F.array_join(F.concat(rotated, salt), " "))
+            d = d.withColumn("text", F.array_join(F.concat(shuffled, salt), " "))
             d = d.withColumn("n_chars", F.length("text").cast("long"))
         out = d if out is None else out.unionByName(d)
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
