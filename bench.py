@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "doc_pii_scrub",
     "doc_pack_sequences",
     "emb_semantic_dedup",
+    "doc_minhash_lsh_selective",
 ]
 
 

@@ -345,3 +345,54 @@ def emb_semantic_dedup(spark, sf_dir):
         _as_double(F.col("embedding")).alias("cv"),
     )
     return semantic_dedup(emb, _centroid_rows(centroids), threshold=0.3)
+
+
+def _register_lsh_selective():
+    # deferred so queries_ext's SQL fragments are importable without a
+    # circular import at package-init time
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    @register(
+        "doc_minhash_lsh_selective",
+        oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, {_SQL_MINHASH_AGGS}
+          FROM hh GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band,
+                 mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS bkey FROM sig
+          UNION ALL
+          SELECT doc_id, 1,
+                 mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b FROM pairs
+        """,
+        description=(
+            "the LSH corpus-growth knob, runnable: SAME 8 minhashes as "
+            "doc_minhash_lsh_candidates but banded 2×4 instead of 4×2 — "
+            "r=4 band keys collide on s⁴ not s², so false-positive "
+            "candidates stop tracking n². Measured on the sf1 probe: "
+            "candidates 829→41,939 (51×) at r=2 vs 249→1,703 (6.8×, "
+            "sub-linear) at r=4. Production grows r (and adds bands to "
+            "hold recall ≈ 1-(1-s^r)^b) as the corpus grows; SCALE.md "
+            "'Measured sf0.1 → sf1 scaling'"
+        ),
+        tags=("documents", "dedup", "lsh"),
+    )
+    def doc_minhash_lsh_selective(spark, sf_dir):
+        from ..operators.dedup import lsh_candidate_pairs, minhash_signatures_mapside
+
+        docs = fan_out(spark, t(spark, sf_dir, "documents"))
+        sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+        return lsh_candidate_pairs(sig, bands=2, rows_per_band=4)
+
+
+_register_lsh_selective()
