@@ -1,8 +1,8 @@
 """Product quantization (PQ) for embedding search — the compression
 layer that makes billion-vector ANN feasible: vectors become m small
 codes (m subspaces × k centroids; the registered default 16×32 is
-16 bytes/vector, a 16× reduction on 64-dim float32), and distance evaluation becomes table lookups instead
-of float dot products.
+16 bytes/vector, a 16× reduction on 64-dim float32), and distance
+evaluation becomes table lookups instead of float dot products.
 
 Division of labor (the IVF contract from SCALE.md, extended):
 - **Codebook training is out-of-band and sample-based** — a bounded,

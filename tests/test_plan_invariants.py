@@ -48,3 +48,34 @@ def test_no_cartesian_no_rowwise_python(spark, name):
     if name not in _ROWWISE_EXEMPT:
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
         assert "PythonUDTF" not in plan, f"{name}: row-wise Python UDTF\n{plan}"
+
+
+def test_pii_scrub_is_map_only(spark):
+    """doc_pii_scrub's documented shape: count+redact is a projection —
+    NO hash-partitioned exchange anywhere (the only exchange allowed is
+    fan_out's round-robin spread of the single test file)."""
+    plan = (
+        REGISTRY["doc_pii_scrub"]
+        .spark_fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """doc_pack_sequences' documented shape: ONE shuffle — the window
+    partitioning on the source shard; no global-order exchange
+    (Exchange SinglePartition / rangepartitioning would mean the plan
+    serialized the corpus)."""
+    plan = (
+        REGISTRY["doc_pack_sequences"]
+        .spark_fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
