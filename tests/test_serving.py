@@ -108,3 +108,36 @@ def test_automate_and_errors(server):
     except urllib.error.HTTPError as e:
         raised = e.code
     assert raised == 400
+
+
+def test_runner_over_http(server):
+    """AUTO:77-173 twin: ready-poll then /automate over the live server."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.runner import (
+        run_over_http,
+        wait_ready,
+    )
+
+    assert wait_ready(server, attempts=3, delay=0.1)
+    out = run_over_http(server, {"EPOCHS": 2})
+    assert out["mode"] == "automate"
+    assert set(out["stages"]) == {"train", "validate", "test"}
+    assert out["stages"]["test"]["summary"]["n_groups"] == 2
+
+
+def test_runner_ready_poll_gives_up_fast():
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.runner import wait_ready
+
+    # nothing listens on this port; bounded retries must return False
+    assert wait_ready("http://127.0.0.1:9", attempts=2, delay=0.05) is False
+
+
+def test_runner_direct_mode(spark):
+    """No server anywhere: the in-process rung runs the real pipeline on
+    the sf0.001 events table and emits per-stage summaries."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.runner import run_direct
+
+    out = run_direct("/root/testdata/sf0.001", params={"EPOCHS": 1})
+    assert out["mode"] == "direct"
+    assert set(out["stages"]) == {"train", "validate", "test"}
+    for stage in out["stages"].values():
+        assert stage["summary"]["n_groups"] >= 1
