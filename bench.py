@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "emb_semantic_dedup",
     "doc_minhash_lsh_selective",
+    "doc_stratified_split",
 ]
 
 

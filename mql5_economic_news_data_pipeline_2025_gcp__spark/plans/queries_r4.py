@@ -396,3 +396,58 @@ def _register_lsh_selective():
 
 
 _register_lsh_selective()
+
+
+@register(
+    "doc_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+    description=(
+        "stratified 80/10/10 split BY LANGUAGE: docs ranked inside each "
+        "stratum by md5(doc_id) (a deterministic pseudo-random order — "
+        "both engines hash identically) and cut at exact per-stratum "
+        "proportions, so every language keeps its 80/10/10 regardless of "
+        "corpus mix — the split a multilingual training set needs "
+        "(global hash sampling under-represents small languages' "
+        "val/test). Integer-exact cuts (rn·10 ≤ n·8, no float "
+        "thresholds); the window shuffles once on the stratum key, "
+        "strata are the parallelism unit. Completes the split family: "
+        "chronological (evt_chrono_split), uniform hash "
+        "(evt_hash_sample), k-fold (emb_kfold_assign), stratified"
+    ),
+    tags=("documents", "split", "sampling"),
+)
+def doc_stratified_split(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("rn") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
