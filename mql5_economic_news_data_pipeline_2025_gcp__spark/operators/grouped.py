@@ -161,17 +161,23 @@ def series_robust_stats_fast(
     (n, med_c, mad_c) via the double row_number construction — no Python
     worker, whole-stage codegen end to end.
 
-    Pass 1: rank values within each series (tie-broken by ``tie_col`` for
-    a deterministic but value-irrelevant order) and pick the element at
-    rank ``(n+1) div 2`` — the lower nearest-rank median, an actual
-    element, never interpolated. Pass 2: join the median back (key-hash
-    join, same partitioning as the window so no extra exchange), rank
-    absolute deviations, pick the same nearest rank → MAD.
+    Rank values within each series (tie-broken by ``tie_col`` for a
+    deterministic but value-irrelevant order); the lower nearest-rank
+    median — the element at rank ``(n+1) div 2``, never interpolated —
+    is then LIFTED ONTO EVERY ROW as a conditional window max
+    (``max(case when rn = median_rank then value end) over key``)
+    instead of being joined back: the join-back form rescanned and
+    re-shuffled the whole table because the broadcast join destroyed
+    the window partitioning (measured: 2 scans + 2 exchanges → this
+    form: 1 scan + 1 exchange, all four windows share the one
+    hash-partitioning). Deviations are then ranked in the same
+    partitions (a sort, not a shuffle) and the same nearest rank is
+    the MAD.
 
-    Scale shape: one hash shuffle on the series key feeds both windows
-    and the join; cost is two in-partition sorts. Versus the UDAF form
-    this avoids per-group Arrow round-trips (~1 ms/group) — the form to
-    use for 10⁶+ series; the UDAF stays as the API-seam demo
+    Scale shape: ONE hash shuffle on the series key feeds everything;
+    cost is two in-partition sorts. Versus the UDAF form this avoids
+    per-group Arrow round-trips (~1 ms/group) — the form to use for
+    10⁶+ series; the UDAF stays as the API-seam demo
     (tests/test_operators.py compares the two on identical input).
     """
     from pyspark.sql import Window
@@ -188,17 +194,18 @@ def series_robust_stats_fast(
         F.row_number().over(w_val).alias("_rn"),
         F.count(F.lit(1)).over(w_key).alias("n"),
     )
-    med = ranked.filter(
-        F.col("_rn") == F.expr("(n + 1) div 2")
-    ).select(*key, F.col(value_col).alias("med_c"), "n")
-
-    dev = v.join(med, key).withColumn(
-        "_d", F.abs(F.col(value_col) - F.col("med_c"))
-    )
+    withmed = ranked.withColumn(
+        "med_c",
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("(n + 1) div 2"), F.col(value_col)
+            )
+        ).over(w_key),
+    ).withColumn("_d", F.abs(F.col(value_col) - F.col("med_c")))
     w_dev = w_key.orderBy(F.col("_d").asc(), F.col(tie_col).asc())
     return (
-        dev.withColumn("_rn", F.row_number().over(w_dev))
-        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
+        withmed.withColumn("_rn2", F.row_number().over(w_dev))
+        .filter(F.col("_rn2") == F.expr("(n + 1) div 2"))
         .select(*key, "n", "med_c", F.col("_d").alias("mad_c"))
     )
 
