@@ -234,26 +234,46 @@ def ivf_topk(
     of the corpus instead of all of it, shuffling on cell — cells are the
     parallelism unit, skewed cells split by AQE. Recall tunes via
     nprobe × |centroids|.
+
+    Both corpus cells and query probes are pure per-row expressions over
+    the LITERAL centroid dictionary (bounded driver-side collect):
+    argmax for the corpus, array-sort-and-slice for the nprobe probes —
+    no assignment join, no probe window, no shuffle before the cell
+    equi-join (the join/window form executed 5 exchanges / 4 scans;
+    this one: 2 / 2). Semantics unchanged: rounded cosine, ties to the
+    lower centroid id (struct sort (−sim, cid) ascending).
     """
+    cent_rows = [
+        (int(r["centroid_id"]), list(r["cv"]))
+        for r in centroids.select("centroid_id", "cv").limit(100_001).collect()
+    ]
+    assert len(cent_rows) <= 100_000, "centroid dictionary is not bounded"
+    cent_rows.sort(key=lambda t: t[0])
+    cid_arr = F.lit([cid for cid, _ in cent_rows])
+
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    cells = ivf_assign(v, centroids, id_col=id_col, round_digits=round_digits)
+    cells = v.withColumn(
+        "_idx", cell_idx_expr(cell_sims_lit(F.col("v"), cent_rows, round_digits))
+    ).select(id_col, "v", F.element_at(cid_arr, F.col("_idx")).alias("cell"))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probe_scores = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    # nprobe nearest cells per query: sort (−sim, cid) structs ascending
+    # = sim desc with ties to the lower cid, slice, explode — map-only
+    sims = cell_sims_lit(F.col("qv"), cent_rows, round_digits)
+    ranked_cells = F.array_sort(
+        F.transform(
+            sims,
+            lambda s, i: F.struct(
+                (-s).alias("ns"), F.element_at(cid_arr, i + 1).alias("cid")
+            ),
+        )
     )
+    probes = q.withColumn(
+        "_p", F.explode(F.slice(ranked_cells, 1, nprobe))
+    ).select("query_id", "qv", F.col("_p.cid").alias("cell"))
     from pyspark.sql import Window
-
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        probe_scores.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
-    )
 
     scored = (
         cells.join(probes, on="cell")

@@ -400,10 +400,16 @@ def doc_unigram_logprob(spark, sf_dir):
     # identical per-token terms exactly, so the oracle (token-level
     # formula) is unchanged. Measured 5.4 s → aggregated form at sf0.1
     tfd = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    ucnt = tfd.groupBy("w").agg(F.sum("c").alias("cw"))
-    tot = ucnt.agg(F.sum("cw").alias("n"))
+    # corpus unigram count as a WINDOW sum over the (doc, term)
+    # aggregate — the dictionary-join form re-derived the token explode
+    # for the ucnt lineage (6 exchanges / 3 scans executed; this form:
+    # 3 / 2). The corpus total stays a broadcast scalar off the raw
+    # token stream (a global window would serialize into one partition).
+    from pyspark.sql import Window
+
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tfd.join(F.broadcast(ucnt), "w")
+        tfd.withColumn("cw", F.sum("c").over(Window.partitionBy("w")))
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
