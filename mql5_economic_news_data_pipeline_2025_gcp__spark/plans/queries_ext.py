@@ -1919,7 +1919,11 @@ def doc_pmi_collocations(spark, sf_dir):
     )
     d = docs.select("doc_id", toks.alias("t"))
     uni = d.select(F.explode("t").alias("w")).filter(F.col("w") != "")
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-bounded aggregate referenced THREE times (left marginal,
+    # right marginal, total) — persist it so the token explode runs
+    # once, not per reference (executed 5 scans without; 2 with).
+    # |vocab| ≪ |tokens| at any scale; MEMORY_AND_DISK by default.
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     utot = ucnt.agg(F.sum("c").alias("n"))
     idx = F.sequence(F.lit(0), F.size("t") - 2)
     pairs = (
@@ -1938,7 +1942,9 @@ def doc_pmi_collocations(spark, sf_dir):
         .select("p.w1", "p.w2")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # same double-reference shape for the bigram aggregate (scores +
+    # total); persist for one pair-explode pass
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
     btot = bcnt.agg(F.sum("c2").alias("n2"))
     a1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_1"))
     a2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_2"))
