@@ -158,3 +158,53 @@ def test_sorted_layout_prunes_row_groups(spark, tmp_path):
         u_spans, u_total = groups_containing(unsorted_dir, key)
         assert s_spans <= 2, (key, s_spans, s_total)
         assert u_spans >= u_total * 0.9, (key, u_spans, u_total)
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Z-order vs lexicographic two-column sort: on (user_id, value)
+    point/range predicates, the lexicographic layout prunes only the
+    LEADING column (value spans stay corpus-wide), while the z-ordered
+    layout prunes row groups on BOTH dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.sinks import (
+        save_sorted,
+        save_zordered,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "value"
+    )
+    lex_dir, z_dir = str(tmp_path / "lex"), str(tmp_path / "zord")
+    save_sorted(ev, lex_dir, ["user_id", "value"], num_files=8)
+    save_zordered(ev, z_dir, ["user_id", "value"], num_files=8)
+
+    def span_fraction(d, col, lo, hi):
+        spans, total = 0, 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= hi and lo <= st.max:
+                    spans += 1
+        return spans / total
+
+    # leading dimension: the dedicated sort prunes hardest; z-order is
+    # deliberately coarser (a row group fixes only the top interleaved
+    # bits of each dimension) but still prunes vs unsorted (~1.0)
+    assert span_fraction(lex_dir, "user_id", 5, 5) <= 0.35
+    assert span_fraction(z_dir, "user_id", 5, 5) <= 0.7
+    # trailing dimension, a 5%-wide value band: lexicographic gives it
+    # NO locality (nearly every row group spans the band); z-order does
+    lo, hi = 100.0, 110.0
+    lex_frac = span_fraction(lex_dir, "value", lo, hi)
+    z_frac = span_fraction(z_dir, "value", lo, hi)
+    assert lex_frac >= 0.9, lex_frac
+    assert z_frac <= lex_frac / 2, (z_frac, lex_frac)
