@@ -1095,9 +1095,16 @@ def doc_token_entropy(spark, sf_dir):
         .filter(F.col("w") != "")
     )
     tfd = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    dn = tfd.groupBy(F.col("doc_id").alias("dn_doc")).agg(F.sum("c").alias("n"))
+    # doc length as a window sum over the (doc, term) aggregate — the
+    # agg+join-back form re-derived the token explode for the dn
+    # lineage (4 exchanges / 2 scans -> 3 / 1); the final doc agg
+    # reuses the window's doc_id partitioning
+    from pyspark.sql import Window
+
     p = F.col("c").cast("double") / F.col("n")
-    terms = tfd.join(dn, tfd.doc_id == dn.dn_doc).select(
+    terms = tfd.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    ).select(
         "doc_id",
         F.round(-p * F.log(p) * 1000000).cast("bigint").alias("h_u"),
     )
