@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Executed-plan audit over the whole query registry: exchange / scan /
+Python-seam counts per query, sorted worst-first.
+
+This is the tool behind the round-4 de-duplication passes: a DataFrame
+referenced N times re-derives its lineage N times (Spark has no
+automatic CSE across references), so join-back shapes show up here as
+inflated scan counts. Fix patterns, in preference order:
+
+1. WINDOW-LIFT — an aggregate joined back on the grouping key becomes
+   a window function over the same partitioning (series MAD, tf-idf
+   len/df, unigram corpus counts, token-entropy doc length).
+2. LITERAL DICTIONARY — a bounded small side becomes plan literals
+   (IVF centroid assignment/probing).
+3. SINGLE LABELED PASS — two filtered scans aggregated separately
+   become one pass with a side label (PSI drift histograms).
+4. PERSIST — only when the reused frame is genuinely a second lineage
+   (PMI unigram marginals, CC edge sets).
+
+Multi-table relational queries (TPC-H shapes) legitimately scan many
+tables; set operations legitimately exchange per branch — read the
+counts against what the query semantically needs, not as a score.
+
+Usage: python scripts/plan_audit.py [sf_dir] [> report]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    rows = []
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags:  # building the frame runs the drain
+            continue
+        try:
+            plan = (
+                spec.spark_fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            rows.append(
+                {
+                    "query": name,
+                    "exchanges": plan.count("Exchange hashpartitioning"),
+                    "scans": plan.count("Scan parquet"),
+                    "arrow_seams": plan.count("ArrowEvalPython")
+                    + plan.count("MapInPandas")
+                    + plan.count("FlatMapGroupsInPandas"),
+                    "reused_exchanges": plan.count("ReusedExchange"),
+                }
+            )
+        except Exception as exc:
+            rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
+    rows.sort(key=lambda r: -(r.get("exchanges", -1) + r.get("scans", -1)))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLAN_AUDIT.json")
+    with open(out, "w") as fh:
+        json.dump(rows, fh, indent=1)
+        fh.write("\n")
+    for r in rows[:15]:
+        print(r)
+    print(f"wrote {out} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
