@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "emb_semantic_dedup",
     "doc_minhash_lsh_selective",
     "doc_stratified_split",
+    "doc_pagerank_authority",
 ]
 
 

@@ -451,3 +451,120 @@ def doc_stratified_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def _register_pagerank():
+    # deferred import of queries_ext's SQL fragments (same pattern as
+    # the selective-LSH registration above)
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    # 5 fixed iterations, all-integer state: pr quantized to micro-units
+    # (pr0 = 1_000_000), per-node contribution = pr div out_degree
+    # (INTEGER division — both engines truncate identically), damping
+    # 0.85 applied as (85·Σ) div 100. Bit-exact across engines by
+    # construction; no floats anywhere in the iteration.
+    _ITERS = 5
+
+    def _iter_sql(i: int) -> str:
+        prev = f"pr{i - 1}"
+        return f"""
+    pr{i} AS (
+      SELECT n.doc_id,
+             150000 + (85 * COALESCE(SUM(p.pr // d.deg), 0)) // 100 AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.doc_id
+      LEFT JOIN {prev} p ON p.doc_id = e.src
+      LEFT JOIN deg d ON d.doc_id = e.src
+      GROUP BY n.doc_id)"""
+
+    @register(
+        "doc_pagerank_authority",
+        oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, {_SQL_MINHASH_AGGS}
+          FROM hh GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+          UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT doc_id FROM documents),
+        deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (SELECT doc_id, 1000000 AS pr FROM nodes),
+        {",".join(_iter_sql(i) for i in range(1, _ITERS + 1))}
+        SELECT doc_id, CAST(pr AS BIGINT) AS pr_u
+        FROM pr{_ITERS}
+        """,
+        description=(
+            "integer-quantized PageRank (5 fixed iterations, damping "
+            "0.85) over the symmetric MinHash-LSH near-dup graph — the "
+            "link-based document-authority score a corpus-quality "
+            "pipeline derives from its duplicate structure. All-integer "
+            "state (micro-unit pr, contribution = pr div out_degree, "
+            "damping as (85·Σ) div 100) makes every iteration bit-exact "
+            "across engines, so the whole iterative computation "
+            "hash-checks against chained CTEs — same determinism "
+            "treatment as the CC/k-means family. Per iteration: one "
+            "broadcast-or-shuffle join of the edge list to the rank "
+            "vector + one sum agg on dst; the plan is 5 fixed stages, "
+            "no driver-side loop state"
+        ),
+        tags=("documents", "dedup", "graph", "iterative"),
+    )
+    def doc_pagerank_authority(spark, sf_dir):
+        from ..operators.dedup import lsh_candidate_pairs, minhash_signatures_mapside
+
+        docs = fan_out(spark, t(spark, sf_dir, "documents"))
+        sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+        pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+            # edge list + degrees feed every iteration; persist so the
+            # LSH chain runs once, not 5× (same second-lineage rule as
+            # the CC edge set)
+            .persist()
+        )
+        nodes = docs.select("doc_id")
+        deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        e_with_deg = edges.join(
+            deg.select(F.col("doc_id").alias("src"), "deg"), "src"
+        ).persist()
+
+        pr = nodes.select("doc_id", F.lit(1000000).cast("bigint").alias("pr"))
+        for _ in range(_ITERS):
+            contrib = (
+                e_with_deg.join(
+                    pr.select(F.col("doc_id").alias("src"), "pr"), "src"
+                )
+                .select("dst", F.expr("pr div deg").alias("contrib"))
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.sum("contrib").alias("s"))
+            )
+            pr = nodes.join(contrib, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.lit(150000)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+        return pr.select("doc_id", F.col("pr").alias("pr_u"))
+
+_register_pagerank()
