@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "doc_minhash_lsh_selective",
     "doc_stratified_split",
     "doc_pagerank_authority",
+    "doc_bigram_lm_score",
 ]
 
 

@@ -568,3 +568,93 @@ def _register_pagerank():
         return pr.select("doc_id", F.col("pr").alias("pr_u"))
 
 _register_pagerank()
+
+
+@register(
+    "doc_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    bd AS (
+      SELECT doc_id, w1, w2, count(*) AS cd FROM big
+      WHERE w1 <> '' AND w2 <> '' GROUP BY doc_id, w1, w2),
+    cc AS (
+      SELECT doc_id, cd,
+             sum(cd) OVER (PARTITION BY w1, w2) AS c2,
+             sum(cd) OVER (PARTITION BY w1) AS c1
+      FROM bd),
+    terms AS (
+      SELECT doc_id, cd,
+             CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT) AS lp_u
+      FROM cc)
+    SELECT doc_id,
+           CAST(sum(cd) AS BIGINT) AS n_bigrams,
+           CAST(sum(cd * lp_u) AS BIGINT) AS logprob_sum_u,
+           round(CAST(sum(cd * lp_u) AS DOUBLE) / sum(cd) / 1000000.0, 6)
+             AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+    description=(
+        "bigram-LM document scoring (the CCNet-style perplexity filter "
+        "one step up from the unigram LM): per-doc average log "
+        "p(w2|w1), with the conditional MLE c(w1,w2)/c(w1·) taken from "
+        "the corpus's own bigram statistics. BOTH corpus counts are "
+        "window sums over the single per-doc bigram aggregate (c2 over "
+        "the (w1,w2) partition, the context marginal c1 over w1) — one "
+        "token-pair explode feeds everything, no dictionary join-back, "
+        "no second lineage; log terms micro-int quantized so the "
+        "per-doc sums are exact integers cross-engine"
+    ),
+    tags=("documents", "text", "lm"),
+)
+def doc_bigram_lm_score(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", toks.alias("t"))
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    pairs = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bd = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cd"))
+    cc = bd.withColumn(
+        "c2", F.sum("cd").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("c1", F.sum("cd").over(Window.partitionBy("w1")))
+    lp_u = (
+        F.round(F.log(F.col("c2").cast("double") / F.col("c1")) * 1000000)
+        .cast("bigint")
+    )
+    terms = cc.select("doc_id", "cd", lp_u.alias("lp_u"))
+    return terms.groupBy("doc_id").agg(
+        F.sum("cd").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("cd") * F.col("lp_u")).cast("bigint").alias("logprob_sum_u"),
+        F.round(
+            F.sum(F.col("cd") * F.col("lp_u")).cast("double")
+            / F.sum("cd")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_logprob"),
+    )
