@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "doc_stratified_split",
     "doc_pagerank_authority",
     "doc_bigram_lm_score",
+    "rel_forecast_revenue",
+    "doc_chunk_dedup",
 ]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import fan_out, keyed_events, t
+from .common import cents, fan_out, keyed_events, t
 from .registry import register
 
 
@@ -657,4 +657,137 @@ def doc_bigram_lm_score(spark, sf_dir):
             / F.lit(1000000.0),
             6,
         ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "rel_forecast_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(
+             CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+             AS revenue_c3
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    description=(
+        "TPC-H Q6 forecasting-revenue-change: the pure scan-side query "
+        "— three pushable predicates (ship-date year, discount band, "
+        "quantity cap) over ONE table and a single global sum, no join, "
+        "no shuffle beyond the final 1-row aggregate. At 100 TB this is "
+        "the query that proves predicate pushdown + column pruning: the "
+        "parquet scan reads 4 of 16 columns and row-group min/max stats "
+        "skip everything outside 1995 when the table is date-sorted "
+        "(sinks.save_sorted). Revenue in exact c3 integer units "
+        "(price-cents x discount-hundredths)"
+    ),
+    tags=("relational", "scan", "aggregate"),
+)
+def rel_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dc = cents("l_discount")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & dc.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum(cents("l_extendedprice") * dc), F.lit(0))
+        .cast("bigint")
+        .alias("revenue_c3"),
+    )
+
+
+@register(
+    "doc_chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(u.s AS INT) AS start,
+             array_to_string(
+               list_slice(t, u.s + 1, least(u.s + 20, len(t))), ' ') AS ctext
+      FROM toks, unnest(range(0, len(t), 20)) AS u(s)
+      WHERE len(t) > 0 AND t != ['']),
+    ranked AS (
+      SELECT doc_id, start, ctext,
+             row_number() OVER (PARTITION BY md5(ctext)
+                                ORDER BY doc_id, start) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(ctext, ' ' ORDER BY start)
+                      FILTER (WHERE rn = 1), '') AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+    description=(
+        "C4/RefinedWeb-style duplicate-SPAN removal across the whole "
+        "corpus: every doc is cut into non-overlapping 20-token chunks, "
+        "a chunk survives only at its FIRST corpus occurrence "
+        "(lexicographic (doc_id, start) — deterministic winner), and "
+        "each doc is reassembled from its surviving chunks in order. "
+        "This is the step between whole-doc exact dedup and MinHash "
+        "near-dedup: boilerplate paragraphs shared by thousands of "
+        "pages vanish even when no two full documents match. Plan: "
+        "map-side chunking (sequence+slice+explode, no shuffle), ONE "
+        "hash-partitioned window on md5(chunk) to crown first "
+        "occurrences (vs per-hash min-struct agg + join-back: same "
+        "shuffle count, and AQE splits skewed boilerplate hashes), one "
+        "doc_id aggregate to reassemble. Chunk hashes shuffle ~|corpus| "
+        "rows of (hash, ids) — never the text twice: the chunk text "
+        "stays attached to its row, no dictionary join-back"
+    ),
+    tags=("documents", "text", "dedup", "chunking"),
+)
+def doc_chunk_dedup(spark, sf_dir, chunk: int = 20):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(
+        (F.size("t") > 0) & ~((F.size("t") == 1) & (F.element_at("t", 1) == ""))
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(chunk))
+        ).alias("start"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.col("start").cast("int").alias("start"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                F.col("start") + 1,
+                F.least(F.lit(chunk), F.size("t") - F.col("start")),
+            ),
+        ).alias("ctext"),
+    )
+    w = Window.partitionBy(F.md5("ctext")).orderBy("doc_id", "start")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("start"), F.col("ctext"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.ctext
+            ),
+        ).alias("cleaned_text"),
     )
