@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "doc_bigram_lm_score",
     "rel_forecast_revenue",
     "doc_chunk_dedup",
+    "doc_corpus_overlap",
 ]
 
 

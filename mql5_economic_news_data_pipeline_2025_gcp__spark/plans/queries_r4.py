@@ -791,3 +791,150 @@ def doc_chunk_dedup(spark, sf_dir, chunk: int = 20):
             ),
         ).alias("cleaned_text"),
     )
+
+
+def _mh_agree_sql() -> str:
+    from ..operators.dedup import MINHASH_SEEDS
+
+    return " + ".join(
+        f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)"
+        for k in range(len(MINHASH_SEEDS))
+    )
+
+
+def _corpus_overlap_oracle() -> str:
+    from .queries_ext import _SQL_MINHASH_AGGS
+
+    return rf"""
+    WITH toks AS (
+      SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT source, array_to_string(list_slice(t, i, i+2), ' ') AS shingle
+      FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 3),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2),
+    hh AS (
+      SELECT source,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (SELECT source, {_SQL_MINHASH_AGGS} FROM hh GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+           round(coalesce(c.c, 0)
+                 / CAST(sa.sz + sb.sz - coalesce(c.c, 0) AS DOUBLE), 6)
+             AS jaccard,
+           CAST({_mh_agree_sql()} AS BIGINT) AS mh_agree
+    FROM sig a JOIN sig b ON a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    LEFT JOIN common c ON c.src_a = a.source AND c.src_b = b.source
+    """
+
+
+@register(
+    "doc_corpus_overlap",
+    oracle=_corpus_overlap_oracle(),
+    description=(
+        "corpus-vs-corpus contamination matrix: for every source pair, "
+        "the EXACT distinct-shingle Jaccard plus the corpus-level "
+        "MinHash agreement (each source's signature = coordinate-wise "
+        "min over ALL its shingles — a mergeable sketch: partial mins "
+        "combine map-side, so at 100 TB each coordinate costs one "
+        "8-long row per mapper, and cross-CORPUS overlap needs no "
+        "cross-corpus join at all). The exact side uses the inverted "
+        "index, never a corpus cross-join: per-shingle posting list of "
+        "sources (bounded by |sources| per shingle), ordered pairs "
+        "exploded from the list (≤ sources² rows per shingle), counted "
+        "— the sh self-join in the oracle is the same computation "
+        "DuckDB-side. Pair frame is |sources|², always broadcastable"
+    ),
+    tags=("documents", "dedup", "minhash", "contamination"),
+)
+def doc_corpus_overlap(spark, sf_dir):
+    from ..operators.dedup import (
+        MINHASH_SEEDS,
+        _base_hash,
+        _uhash,
+        shingle_array,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "source", F.explode(shingle_array("text", 3)).alias("shingle")
+        )
+        .groupBy("source", "shingle")
+        .agg(F.lit(1))
+        .select("source", "shingle")
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    # inverted index: per-shingle posting list of sources → ordered pairs
+    pres = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pair_expr = (
+        "flatten(transform(srcs, (a, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "b -> struct(a AS src_a, b AS src_b))))"
+    )
+    inter = (
+        pres.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hs = sh.select("source", _base_hash(F.col("shingle")).alias("h"))
+    sig = hs.groupBy("source").agg(
+        *[
+            F.min(_uhash(F.col("h"), k)).alias(f"mh{k}")
+            for k in range(len(MINHASH_SEEDS))
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        for k in range(len(MINHASH_SEEDS))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            agree.cast("bigint").alias("mh_agree"),
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("sz", "sz_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("sz", "sz_b")),
+            "src_b",
+        )
+        .join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+        "mh_agree",
+    )
