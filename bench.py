@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "rel_forecast_revenue",
     "doc_chunk_dedup",
     "doc_corpus_overlap",
+    "emb_sq_topk",
 ]
 
 

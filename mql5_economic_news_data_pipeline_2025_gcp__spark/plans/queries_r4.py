@@ -938,3 +938,60 @@ def doc_corpus_overlap(spark, sf_dir):
         ).alias("jaccard"),
         "mh_agree",
     )
+
+
+@register(
+    "emb_sq_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    a AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS A FROM v),
+    qz AS (
+      SELECT vec_id,
+             list_transform(e, x ->
+               CAST(round(x * 127.0 / A) AS BIGINT)) AS qe
+      FROM v, a),
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qe::DOUBLE[], c.qe::DOUBLE[]) AS BIGINT)
+               AS iscore
+      FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY iscore DESC, neighbor_id ASC) AS srn
+      FROM sc),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(qv.e, cv.e), 6) AS cosine_sim
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.neighbor_id
+      WHERE s.srn <= 12),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM rr)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description=(
+        "int8 scalar-quantization ANN with exact re-rank: corpus max-|x| "
+        "scale (one tiny aggregate, stored with the index in practice), "
+        "map-only symmetric quantization to 8-bit codes, INTEGER dot "
+        "product against broadcast quantized queries for the full "
+        "candidate scan (4x less memory bandwidth than float, zero FP "
+        "divergence between engines), top-12 integer shortlist per "
+        "query, then exact float cosine on the shortlist only — the "
+        "float path touches |queries|·12 rows however big the corpus "
+        "is. The deterministic integer candidate order makes this the "
+        "one ANN variant that is hash-exact cross-engine end to end "
+        "(operators/similarity.py::sq_topk)"
+    ),
+    tags=("embeddings", "similarity", "quantization", "rerank"),
+)
+def emb_sq_topk(spark, sf_dir):
+    from ..operators.similarity import sq_topk
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return sq_topk(emb, k=5, shortlist=12, n_queries=10)
