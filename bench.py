@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "doc_chunk_dedup",
     "doc_corpus_overlap",
     "emb_sq_topk",
+    "stream_unmatched_views",
 ]
 
 

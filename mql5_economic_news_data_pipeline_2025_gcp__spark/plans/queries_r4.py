@@ -995,3 +995,50 @@ def emb_sq_topk(spark, sf_dir):
 
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     return sq_topk(emb, k=5, shortlist=12, n_queries=10)
+
+
+@register(
+    "stream_unmatched_views",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+             - INTERVAL 1 HOUR AS w),
+    ev AS (
+      SELECT v.* FROM v, wm WHERE v.ts + INTERVAL 2 DAY < wm.w),
+    um AS (
+      SELECT e.user_id, e.event_id FROM ev e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = e.user_id
+          AND p.ts >= e.ts
+          AND p.ts <= e.ts + INTERVAL 2 DAY))
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_unmatched_views,
+           CAST(sum(event_id) AS BIGINT) AS view_id_checksum
+    FROM um GROUP BY user_id
+    """,
+    description=(
+        "stream-stream LEFT OUTER interval join, anti projection: "
+        "views with NO purchase by the same user within 2 days (the "
+        "funnel-abandonment stream; Spark has no stream-stream LEFT "
+        "ANTI, so it is the outer join filtered to null-extended "
+        "rows). An unmatched view emits only when the GLOBAL watermark "
+        "— min of both sides' max-event-time minus the 1 h delay — "
+        "passes view_ts + horizon, so the final horizon+delay window "
+        "is withheld as still-unresolved; the oracle applies the "
+        "IDENTICAL cutoff (ts + 2 days < min(max_view, max_purchase) "
+        "− 1 h), making the drain hash-exact. State is bounded by the "
+        "same TTLs as the semi form; row-level output drains through "
+        "foreachBatch partials (streaming/ingest.py::"
+        "stream_view_purchase_unmatched)"
+    ),
+    tags=("streaming", "join", "outer-join"),
+)
+def stream_unmatched_views(spark, sf_dir):
+    from ..streaming.ingest import stream_view_purchase_unmatched
+
+    return stream_view_purchase_unmatched(spark, sf_dir)

@@ -528,6 +528,71 @@ class ParquetRollupState:
         return self.spark.read.parquet(self.current)
 
 
+
+def stream_view_purchase_unmatched(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    horizon_days: int = 2,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, anti projection: views
+    that did NOT convert to a purchase by the same user within
+    ``horizon_days`` (the abandonment stream every funnel monitor
+    needs). Spark has no stream-stream LEFT ANTI, so this is the outer
+    join filtered to the null-extended rows.
+
+    Unlike the semi variant, an unmatched view can only be emitted once
+    the GLOBAL watermark (min of both sides' max-event-time minus the
+    delay) has passed ``view_ts + horizon`` — before that, a matching
+    purchase could still arrive. On a bounded drain the views inside
+    the final horizon+delay window are therefore withheld by
+    construction (they are still unresolved — correct, not lossy); the
+    oracle applies the identical cutoff. State stays bounded the same
+    way as the inner/semi forms: every buffered view expires at
+    horizon + delay, purchases once the watermark passes them.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_days} DAYS")
+        ),
+        "left_outer",
+    ).filter(F.col("p_user").isNull())
+
+    def _partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(F.col("v_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_unmatched_views"),
+            F.sum("view_id").alias("view_id_checksum"),
+        )
+
+    partials = _drain_via_foreachbatch(joined, batch_fn=_partial)
+    return partials.groupBy("user_id").agg(
+        F.sum("n_unmatched_views").cast("bigint").alias("n_unmatched_views"),
+        F.sum("view_id_checksum").cast("bigint").alias("view_id_checksum"),
+    )
+
 def stream_stream_view_purchase_join(
     spark: SparkSession,
     sf_dir: str,
