@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "doc_corpus_overlap",
     "emb_sq_topk",
     "stream_unmatched_views",
+    "doc_length_batching",
+    "doc_incremental_dedup",
 ]
 
 

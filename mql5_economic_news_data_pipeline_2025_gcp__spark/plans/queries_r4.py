@@ -1042,3 +1042,249 @@ def stream_unmatched_views(spark, sf_dir):
     from ..streaming.ingest import stream_view_purchase_unmatched
 
     return stream_view_purchase_unmatched(spark, sf_dir)
+
+
+@register(
+    "doc_length_batching",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS n_tok
+      FROM documents),
+    bucketed AS (
+      SELECT doc_id, source, n_tok, CAST(n_tok // 32 AS INT) AS bucket,
+             row_number() OVER (PARTITION BY source, n_tok // 32
+                                ORDER BY n_tok DESC, doc_id ASC) AS rn
+      FROM toks),
+    batches AS (
+      SELECT source, bucket, CAST((rn - 1) // 8 AS INT) AS batch_id,
+             count(*) AS n_docs, max(n_tok) AS max_len, sum(n_tok) AS sum_len
+      FROM bucketed GROUP BY source, bucket, (rn - 1) // 8)
+    SELECT source, bucket, batch_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_len AS BIGINT) AS max_len,
+           CAST(sum_len AS BIGINT) AS sum_len,
+           CAST(max_len * n_docs - sum_len AS BIGINT) AS padding_waste
+    FROM batches
+    """,
+    description=(
+        "length-bucketed dynamic batching (the padding-minimizing "
+        "batcher in every LLM training loader): docs bucket by "
+        "token-length div 32, batches of 8 form WITHIN (source, "
+        "bucket) by descending length, and each batch reports its "
+        "padding waste = max_len·n − Σlen (the tokens the GPU pads). "
+        "Sharding by source is the production shape — batching is "
+        "shard-local, so the window partitions by (shard, bucket), "
+        "never a global sort, and the skew of one popular length "
+        "range is divided across shards. One shuffle total; token "
+        "counts are map-side array lengths, the text itself never "
+        "shuffles"
+    ),
+    tags=("documents", "text", "batching", "training"),
+)
+def doc_length_batching(spark, sf_dir, bucket_width: int = 32, batch: int = 8):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    d = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tok")
+    ).withColumn(
+        "bucket", (F.col("n_tok") / bucket_width).cast("int")
+    )
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    b = d.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch).cast("int")
+    )
+    return b.groupBy("source", "bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("max_len"),
+        F.sum("n_tok").cast("bigint").alias("sum_len"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    cand AS (
+      SELECT DISTINCT i.doc_id, o.doc_id AS match_id
+      FROM banded i JOIN banded o
+        ON i.band = o.band AND i.bkey = o.bkey
+       AND i.doc_id % 5 = 0
+       AND o.doc_id <> i.doc_id
+       AND (o.doc_id % 5 <> 0 OR o.doc_id < i.doc_id)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_id, c.match_id, count(*) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id
+      JOIN sh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+      GROUP BY c.doc_id, c.match_id),
+    verified AS (
+      SELECT cm.doc_id, cm.match_id
+      FROM common cm
+      JOIN sizes sa ON sa.doc_id = cm.doc_id
+      JOIN sizes sb ON sb.doc_id = cm.match_id
+      WHERE cm.c / CAST(sa.sz + sb.sz - cm.c AS DOUBLE) >= 0.5),
+    ce AS (
+      SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id),
+    de AS (
+      SELECT doc_id, count(*) AS n_dups, min(match_id) AS best_match
+      FROM verified GROUP BY doc_id),
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+    SELECT i.doc_id,
+           CAST(coalesce(ce.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(de.n_dups, 0) AS BIGINT) AS n_dups,
+           CAST(de.best_match AS BIGINT) AS best_match,
+           (de.doc_id IS NOT NULL) AS is_dup
+    FROM inc i
+    LEFT JOIN ce ON ce.doc_id = i.doc_id
+    LEFT JOIN de ON de.doc_id = i.doc_id
+    """
+
+
+@register(
+    "doc_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    description=(
+        "incremental batch-vs-index dedup — the PRODUCTION dedup flow "
+        "(an indexed corpus exists; each ingest batch checks itself "
+        "against it): incoming docs (id on the 5-grid) LSH-band-join "
+        "against the index AND against already-accepted (lower-id) "
+        "batch peers, candidates get exact Jaccard ≥ 0.5 verification "
+        "restricted to the candidate pairs, and every incoming doc "
+        "reports (n_candidates, n_dups, best_match, is_dup). The scale "
+        "property this shape buys: per batch, only |batch| signatures "
+        "are computed fresh — the index side's band table is a "
+        "MATERIALIZED artifact in production (bucketed by band key, so "
+        "the probe reads only matching buckets); nothing ever joins "
+        "index-vs-index, and the verify join touches candidate pairs "
+        "only, never the corpus cross product"
+    ),
+    tags=("documents", "dedup", "lsh", "incremental"),
+)
+def doc_incremental_dedup(spark, sf_dir, threshold: float = 0.5):
+    from ..operators.dedup import (
+        minhash_signatures_mapside,
+        shingles,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8).repartition(
+        "doc_id"
+    )
+    bands, rows = 4, 2
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    # probe side: incoming only; build side: the whole band table (the
+    # index's banded signatures are a stored artifact in production)
+    i = banded.filter(F.col("doc_id") % 5 == 0).alias("i")
+    o = banded.alias("o")
+    cand = (
+        i.join(
+            o,
+            (F.col("i.band") == F.col("o.band"))
+            & (F.col("i.bkey") == F.col("o.bkey"))
+            & (F.col("o.doc_id") != F.col("i.doc_id"))
+            & (
+                (F.col("o.doc_id") % 5 != 0)
+                | (F.col("o.doc_id") < F.col("i.doc_id"))
+            ),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    sh = shingles(docs, n=3).withColumn("_shash", F.xxhash64("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # verify ONLY candidates: hash-join candidate pairs to both shingle
+    # sides (8-byte keys), count the intersection per pair
+    sa = sh.select(F.col("doc_id"), F.col("_shash"))
+    sb = sh.select(
+        F.col("doc_id").alias("_m"), F.col("_shash").alias("_shash_b")
+    )
+    common = (
+        cand.join(sa, "doc_id")
+        .join(
+            sb,
+            (F.col("match_id") == F.col("_m"))
+            & (F.col("_shash") == F.col("_shash_b")),
+        )
+        .groupBy("doc_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    verified = (
+        common.join(
+            sizes.select(F.col("doc_id"), F.col("sz").alias("sz_a")), "doc_id"
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("match_id"), F.col("sz").alias("sz_b")
+            ),
+            "match_id",
+        )
+        .filter(
+            F.col("c")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("c")).cast("double")
+            >= threshold
+        )
+        .select("doc_id", "match_id")
+    )
+    ce = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    de = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("match_id").alias("best_match"),
+    )
+    inc = docs.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    out = (
+        inc.join(ce, "doc_id", "left")
+        .join(de.withColumnRenamed("doc_id", "_d"), inc.doc_id == F.col("_d"), "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+        F.col("best_match").cast("bigint").alias("best_match"),
+        F.col("_d").isNotNull().alias("is_dup"),
+    )
