@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "stream_unmatched_views",
     "doc_length_batching",
     "doc_incremental_dedup",
+    "evt_holt_smoothing",
+    "evt_seasonal_profile",
+    "evt_markov_transitions",
+    "evt_chisq_independence",
+    "evt_quantile_normalize",
 ]
 
 

@@ -1288,3 +1288,404 @@ def doc_incremental_dedup(spark, sf_dir, threshold: float = 0.5):
         F.col("best_match").cast("bigint").alias("best_match"),
         F.col("_d").isNotNull().alias("is_dup"),
     )
+
+
+_HOLT_DEPTH = 10
+
+
+def _holt_oracle() -> str:
+    lvl_num, lvl_den, tr_num, tr_den = [], [], [], []
+    for j in range(_HOLT_DEPTH):
+        wt = 1 << (_HOLT_DEPTH - 1 - j)
+        lvl_num.append(f"coalesce(lag(value_c, {j}) OVER w * {wt}, 0)")
+        lvl_den.append(
+            f"CASE WHEN lag(value_c, {j}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+        )
+        d = f"(lag(value_c, {j}) OVER w - lag(value_c, {j + 1}) OVER w)"
+        tr_num.append(f"coalesce({d} * {wt}, 0)")
+        tr_den.append(f"CASE WHEN {d} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    sm AS (
+      SELECT user_id, event_type, event_id,
+             CAST({" + ".join(lvl_num)} AS BIGINT) AS lvl_num,
+             CAST({" + ".join(lvl_den)} AS BIGINT) AS lvl_den,
+             CAST({" + ".join(tr_num)} AS BIGINT) AS tr_num,
+             CAST({" + ".join(tr_den)} AS BIGINT) AS tr_den
+      FROM v
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY event_id ASC))
+    SELECT user_id, event_type, event_id, lvl_num, lvl_den, tr_num, tr_den,
+           round((CAST(lvl_num AS DOUBLE) / lvl_den) / 100.0, 6) AS level,
+           round((CAST(tr_num AS DOUBLE) / nullif(tr_den, 0)) / 100.0, 6)
+             AS trend,
+           round((CAST(lvl_num AS DOUBLE) / lvl_den) / 100.0
+                 + (CAST(tr_num AS DOUBLE) / nullif(tr_den, 0)) / 100.0, 6)
+             AS forecast_next
+    FROM sm
+    """
+
+
+@register(
+    "evt_holt_smoothing",
+    oracle=_holt_oracle(),
+    description=(
+        "truncated Holt double-exponential smoothing per series — the "
+        "level + trend forecaster one step up from the EWMA: level is "
+        "the dyadic-weight EWMA of the last 10 values, trend the same "
+        "EWMA over FIRST DIFFERENCES, and forecast_next = level + "
+        "trend (the one-step-ahead Holt forecast the reference's "
+        "monthly economic series would use as a baseline). All "
+        "numerators/denominators are exact integers in any aggregation "
+        "order (dyadic weights 2^9..2^0, presence-weighted ragged "
+        "starts, difference terms null until two observations exist); "
+        "only the final divisions are float, with identical trees both "
+        "engines. Shape: one shuffle on the series key; 21 stacked "
+        "lags share ONE window spec → Catalyst emits a single window "
+        "operator"
+    ),
+    tags=("events", "window", "timeseries", "forecast"),
+)
+def evt_holt_smoothing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").asc()
+    )
+    lvl_num = lvl_den = tr_num = tr_den = None
+    for j in range(_HOLT_DEPTH):
+        wt = 1 << (_HOLT_DEPTH - 1 - j)
+        lagged = F.lag("value_c", j).over(w)
+        d = F.lag("value_c", j).over(w) - F.lag("value_c", j + 1).over(w)
+        ln = F.coalesce(lagged * wt, F.lit(0))
+        ld = F.when(lagged.isNotNull(), wt).otherwise(0)
+        tn = F.coalesce(d * wt, F.lit(0))
+        td = F.when(d.isNotNull(), wt).otherwise(0)
+        lvl_num = ln if lvl_num is None else lvl_num + ln
+        lvl_den = ld if lvl_den is None else lvl_den + ld
+        tr_num = tn if tr_num is None else tr_num + tn
+        tr_den = td if tr_den is None else tr_den + td
+    sm = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        lvl_num.cast("bigint").alias("lvl_num"),
+        lvl_den.cast("bigint").alias("lvl_den"),
+        tr_num.cast("bigint").alias("tr_num"),
+        tr_den.cast("bigint").alias("tr_den"),
+    )
+    level_raw = (F.col("lvl_num").cast("double") / F.col("lvl_den")) / F.lit(
+        100.0
+    )
+    trend_raw = (
+        F.col("tr_num").cast("double") / F.nullif(F.col("tr_den"), F.lit(0))
+    ) / F.lit(100.0)
+    return sm.select(
+        "*",
+        F.round(level_raw, 6).alias("level"),
+        F.round(trend_raw, 6).alias("trend"),
+        F.round(level_raw + trend_raw, 6).alias("forecast_next"),
+    )
+
+
+@register(
+    "evt_seasonal_profile",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type,
+             CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT user_id, event_type, dow, value_c,
+             sum(value_c) OVER w AS sum_c,
+             count(*) OVER w AS cnt
+      FROM v
+      WINDOW w AS (PARTITION BY user_id, event_type, dow))
+    SELECT user_id, event_type, dow,
+           CAST(max(cnt) AS BIGINT) AS cnt,
+           CAST(max(sum_c) AS BIGINT) AS sum_c,
+           round((CAST(max(sum_c) AS DOUBLE) / max(cnt)) / 100.0, 6)
+             AS seasonal_mean,
+           CAST(sum(abs(cnt * value_c - sum_c)) AS BIGINT) AS absdev_num,
+           round((CAST(sum(abs(cnt * value_c - sum_c)) AS DOUBLE)
+                  / (max(cnt) * max(cnt))) / 100.0, 6) AS mae
+    FROM g GROUP BY user_id, event_type, dow
+    """,
+    description=(
+        "seasonal baseline profile — the seasonal-naive forecaster's "
+        "fit table: per (series, ISO day-of-week) mean plus the "
+        "in-sample MAE of forecasting every observation by its "
+        "seasonal mean. Integer-exactness trick: within a dow cell "
+        "the denominator is constant, so Σ|cnt·value − Σvalue| is an "
+        "exact integer (the float mean never enters the deviation "
+        "sum); mae = that / cnt² at the very end. Shape: ONE shuffle — "
+        "the window partition (series, dow) and the final groupBy "
+        "share the same key, so the aggregate rides the window's "
+        "exchange"
+    ),
+    tags=("events", "window", "timeseries", "forecast"),
+)
+def evt_seasonal_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select(
+        "user_id",
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("_dw"),
+        "value_c",
+    ).withColumn(
+        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+        "dow",
+        F.when(F.col("_dw") == 1, 7).otherwise(F.col("_dw") - 1).cast("int"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "dow")
+    g = v.select(
+        "user_id",
+        "event_type",
+        "dow",
+        "value_c",
+        F.sum("value_c").over(w).alias("sum_c"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return g.groupBy("user_id", "event_type", "dow").agg(
+        F.max("cnt").cast("bigint").alias("cnt"),
+        F.max("sum_c").cast("bigint").alias("sum_c"),
+        F.round(
+            (F.max("sum_c").cast("double") / F.max("cnt")) / F.lit(100.0), 6
+        ).alias("seasonal_mean"),
+        F.sum(F.abs(F.col("cnt") * F.col("value_c") - F.col("sum_c")))
+        .cast("bigint")
+        .alias("absdev_num"),
+        F.round(
+            (
+                F.sum(
+                    F.abs(F.col("cnt") * F.col("value_c") - F.col("sum_c"))
+                ).cast("double")
+                / (F.max("cnt") * F.max("cnt"))
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("mae"),
+    )
+
+
+@register(
+    "evt_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    tr AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    tot AS (
+      SELECT prev_type, sum(n) AS row_tot FROM tr GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(tot.row_tot AS BIGINT) AS row_tot,
+           round(CAST(t.n AS DOUBLE) / tot.row_tot, 6) AS p
+    FROM tr t JOIN tot ON tot.prev_type = t.prev_type
+    """,
+    description=(
+        "first-order Markov transition matrix over per-user event "
+        "sequences — the user-journey model behind next-action "
+        "prediction and funnel diagnostics: lag(event_type) within "
+        "each user's (ts, event_id) order, global (prev → next) "
+        "counts, row-normalized transition probabilities. Shape: one "
+        "shuffle on user_id for the sequence window, then the "
+        "transition aggregate collapses to |types|² rows — the "
+        "row-total join runs on that tiny frame (broadcast). At scale "
+        "the user window is the only real cost and it is the same "
+        "partitioning every per-user feature already pays"
+    ),
+    tags=("events", "window", "sequence", "markov"),
+)
+def evt_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("row_tot"))
+    return (
+        tr.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("row_tot").cast("bigint").alias("row_tot"),
+            F.round(F.col("n").cast("double") / F.col("row_tot"), 6).alias(
+                "p"
+            ),
+        )
+    )
+
+
+@register(
+    "evt_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant, event_type,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY user_id % 2, event_type),
+    m AS (
+      SELECT variant, event_type, observed,
+             sum(observed) OVER (PARTITION BY variant) AS row_tot,
+             sum(observed) OVER (PARTITION BY event_type) AS col_tot,
+             sum(observed) OVER () AS n
+      FROM cells)
+    SELECT variant, event_type, observed,
+           CAST(row_tot AS BIGINT) AS row_tot,
+           CAST(col_tot AS BIGINT) AS col_tot,
+           round(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS expected,
+           round(
+             (observed - CAST(row_tot AS DOUBLE) * col_tot / n)
+             * (observed - CAST(row_tot AS DOUBLE) * col_tot / n)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS chi2_term
+    FROM m
+    """,
+    description=(
+        "chi-square independence decomposition (the A/B experimentation "
+        "primitive): variant = user_id parity, contingency cells of "
+        "variant × event_type, expected counts from the margin "
+        "products, and the PER-CELL chi² contribution — emitted "
+        "per cell rather than globally summed, so every output value "
+        "has an order-independent expression tree (a cross-cell float "
+        "sum would be aggregation-order-dependent; the analyst sums "
+        "the 2×|types| rounded terms, or reads which cells drive the "
+        "effect — the more useful view anyway). Shape: one aggregate "
+        "to |variants|·|types| rows, then margins via windows over "
+        "that TINY frame — zero further data movement"
+    ),
+    tags=("events", "aggregate", "statistics", "ab-test"),
+)
+def evt_chisq_independence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    m = cells.select(
+        "variant",
+        "event_type",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("variant")).alias("row_tot"),
+        F.sum("observed")
+        .over(Window.partitionBy("event_type"))
+        .alias("col_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    expected_raw = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    )
+    return m.select(
+        "variant",
+        "event_type",
+        "observed",
+        F.col("row_tot").cast("bigint").alias("row_tot"),
+        F.col("col_tot").cast("bigint").alias("col_tot"),
+        F.round(expected_raw, 6).alias("expected"),
+        F.round(
+            (F.col("observed") - expected_raw)
+            * (F.col("observed") - expected_raw)
+            / expected_raw,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "evt_quantile_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, event_type, event_id, value_c,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value_c, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM v),
+    g AS (
+      SELECT row_number() OVER (ORDER BY value_c, event_id) AS gr,
+             value_c AS norm_c
+      FROM v),
+    tot AS (SELECT count(*) AS big_n FROM v)
+    SELECT r.user_id, r.event_type, r.event_id, r.value_c,
+           CAST(r.rn AS BIGINT) AS rn, CAST(r.n AS BIGINT) AS n,
+           CAST(g.norm_c AS BIGINT) AS norm_c
+    FROM r, tot
+    JOIN g ON g.gr = (r.rn * tot.big_n + r.n - 1) // r.n
+    """,
+    description=(
+        "quantile normalization — map every series onto the GLOBAL "
+        "value distribution by rank matching (nearest-rank upper: "
+        "global index ceil(rn·N/n), exact integer arithmetic "
+        "(rn·N + n−1) div n), the cross-series calibration step that "
+        "makes heterogeneous sensors comparable. Plan: a per-series "
+        "rank window, a global order-statistic table (rank → value), "
+        "and an equi-join on the computed index. The global "
+        "row_number IS a global sort — fine at profile SF; at 100 TB "
+        "the order-statistic table is built from approx quantiles or "
+        "a range-partitioned rank (zero-skew two-pass), and the join "
+        "key logic is unchanged — documented seam, same contract as "
+        "evt_chrono_split's quantile scale form"
+    ),
+    tags=("events", "window", "normalize", "quantile"),
+)
+def evt_quantile_normalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select("user_id", "event_type", "event_id", "value_c")
+    ws = Window.partitionBy("user_id", "event_type").orderBy(
+        "value_c", "event_id"
+    )
+    wn = Window.partitionBy("user_id", "event_type")
+    r = v.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value_c",
+        F.row_number().over(ws).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    wg = Window.orderBy("value_c", "event_id")
+    g = v.select(
+        F.row_number().over(wg).cast("bigint").alias("gr"),
+        F.col("value_c").alias("norm_c"),
+    )
+    big_n = v.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    idx = (F.col("rn") * F.col("big_n") + F.col("n") - 1) / F.col("n")
+    joined = (
+        r.crossJoin(F.broadcast(big_n))
+        .withColumn("_k", F.floor(idx).cast("bigint"))
+        .join(g, F.col("_k") == F.col("gr"))
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value_c",
+        "rn",
+        "n",
+        F.col("norm_c").cast("bigint").alias("norm_c"),
+    )
