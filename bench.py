@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "evt_markov_transitions",
     "evt_chisq_independence",
     "evt_quantile_normalize",
+    "evt_welch_ttest",
+    "evt_benford_audit",
 ]
 
 

@@ -1689,3 +1689,152 @@ def evt_quantile_normalize(spark, sf_dir):
         "n",
         F.col("norm_c").cast("bigint").alias("norm_c"),
     )
+
+
+@register(
+    "evt_welch_ttest",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+      FROM v GROUP BY event_type),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'view' THEN sx END) AS s1,
+        max(CASE WHEN event_type = 'view' THEN sxx END) AS q1,
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'purchase' THEN sx END) AS s2,
+        max(CASE WHEN event_type = 'purchase' THEN sxx END) AS q2
+      FROM s)
+    SELECT n1, n2, s1, s2, q1, q2,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0, 6)
+             AS mean_diff,
+           round(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                 + (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))),
+             6) AS t_stat
+    FROM w
+    """,
+    description=(
+        "Welch two-sample t-test (view vs purchase values) — the "
+        "unequal-variance experiment readout: per-group sufficient "
+        "statistics (n, Σx, Σx²) are EXACT integers from one "
+        "map-side-combined aggregate (the only corpus pass; "
+        "mergeable, so at 100 TB this is partial-agg + 2-row "
+        "combine), then mean difference and the t statistic are "
+        "single fixed float expression trees over six integers — "
+        "variance via the n·Σx² − (Σx)² form, never a second "
+        "deviation pass. One shuffle of two 3-long rows"
+    ),
+    tags=("events", "aggregate", "statistics", "ab-test"),
+)
+def evt_welch_ttest(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_c").cast("bigint").alias("sx"),
+        F.sum(F.col("value_c") * F.col("value_c")).cast("bigint").alias("sxx"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sx"))).alias("s1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sxx"))).alias("q1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
+            "n2"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sx"))).alias(
+            "s2"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sxx"))).alias(
+            "q2"
+        ),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    var1 = (
+        F.col("n1").cast("double") * F.col("q1")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+    var2 = (
+        F.col("n2").cast("double") * F.col("q2")
+        - F.col("s2").cast("double") * F.col("s2")
+    ) / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+    return w.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        "q1",
+        "q2",
+        F.round((m1 - m2) / F.lit(100.0), 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(var1 + var2), 6).alias("t_stat"),
+    )
+
+
+@register(
+    "evt_benford_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(substring(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS d
+      FROM events
+      WHERE value IS NOT NULL AND CAST(round(value*100) AS BIGINT) > 0),
+    obs AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY d),
+    tot AS (SELECT sum(n) AS big_n FROM obs)
+    SELECT o.d, o.n,
+           round(CAST(o.n AS DOUBLE) / tot.big_n, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / o.d), 6) AS benford_p,
+           round(CAST(o.n AS DOUBLE) / tot.big_n
+                 - log10(1.0 + 1.0 / o.d), 6) AS deviation
+    FROM obs o, tot
+    """,
+    description=(
+        "Benford first-digit audit — the forensic data-quality check "
+        "for economic/financial feeds (fabricated or unit-mangled "
+        "series betray themselves in the leading-digit law): "
+        "first digit of the positive cent values, observed share vs "
+        "log10(1 + 1/d), per-digit deviation. Shape: map-side digit "
+        "extraction (string head of the integer — no log/pow on the "
+        "hot path), one 9-row aggregate, scalar total broadcast. The "
+        "entire corpus cost is the one count-by-digit pass"
+    ),
+    tags=("events", "aggregate", "quality", "audit"),
+)
+def evt_benford_audit(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value_c") > 0)
+    )
+    v = ev.select(
+        F.substring(F.col("value_c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = v.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").alias("big_n"))
+    op = F.col("n").cast("double") / F.col("big_n")
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(op, 6).alias("observed_p"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(op - bp, 6).alias("deviation"),
+        )
+    )

@@ -208,3 +208,41 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     z_frac = span_fraction(z_dir, "value", lo, hi)
     assert lex_frac >= 0.9, lex_frac
     assert z_frac <= lex_frac / 2, (z_frac, lex_frac)
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL source contract: declared schema (no inference pass),
+    PERMISSIVE corrupt-line quarantine, and write→read round-trip
+    equality against the parquet documents table."""
+    import json as _json
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.jsonl import (
+        read_jsonl,
+        split_rejects,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p)
+    back, rejects = split_rejects(read_jsonl(spark, p))
+    assert rejects.count() == 0
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.select(*docs.columns).collect())
+    assert a == b
+
+    # hand-built file with two good lines and two corrupt ones
+    bad = tmp_path / "mixed.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2},
+        {"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3},
+    ]
+    with open(bad, "w") as fh:
+        fh.write(_json.dumps(rows[0]) + "\n")
+        fh.write("{not valid json\n")
+        fh.write(_json.dumps(rows[1]) + "\n")
+        fh.write('{"doc_id": "alpha"}\n')  # type mismatch → quarantined
+    clean, rej = split_rejects(read_jsonl(spark, str(bad)))
+    assert clean.count() == 2
+    assert rej.count() == 2
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
