@@ -320,9 +320,21 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("node")).withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    # iterate ONLY over edge-touched nodes: an isolated node's label is
+    # itself by definition and can never change, so it has no business
+    # inside the loop. Under LSH-candidate sparsity touched ≪ corpus
+    # (near-dups are the exception, not the rule), which turns each
+    # round's joins from |corpus|-sized to |touched|-sized — at 100 TB
+    # this is the difference between iterating over the corpus 10×
+    # and iterating over a few percent of it. Isolated nodes rejoin as
+    # their own singleton cluster at the end (one left join, outside
+    # the loop).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = (
@@ -359,7 +371,14 @@ def dedup_clusters(
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels, nodes[id_col] == labels.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------- simhash
