@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "evt_quantile_normalize",
     "evt_welch_ttest",
     "evt_benford_audit",
+    "evt_autocorrelation",
+    "doc_vocab_coverage",
 ]
 
 

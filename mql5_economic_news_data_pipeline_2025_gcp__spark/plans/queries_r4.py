@@ -1838,3 +1838,183 @@ def evt_benford_audit(spark, sf_dir):
             F.round(op - bp, 6).alias("deviation"),
         )
     )
+
+
+def _acf_oracle() -> str:
+    cols = []
+    for k in (1, 2, 3):
+        y = f"lag(value_c, {k}) OVER w"
+        p = f"CASE WHEN {y} IS NOT NULL THEN"
+        cols.append(
+            f"""
+             CAST(sum({p} 1 ELSE 0 END) AS BIGINT) AS n{k},
+             CAST(sum({p} value_c ELSE 0 END) AS BIGINT) AS sx{k},
+             CAST(sum(coalesce({y}, 0)) AS BIGINT) AS sy{k},
+             CAST(sum(coalesce(value_c * {y}, 0)) AS BIGINT) AS sxy{k},
+             CAST(sum({p} value_c * value_c ELSE 0 END) AS BIGINT) AS sxx{k},
+             CAST(sum(coalesce({y} * {y}, 0)) AS BIGINT) AS syy{k}"""
+        )
+        r = (
+            f"round((CAST(n{k} AS DOUBLE) * sxy{k} - CAST(sx{k} AS DOUBLE) * sy{k})"
+            f" / nullif(sqrt(CAST(n{k} AS DOUBLE) * sxx{k} - CAST(sx{k} AS DOUBLE) * sx{k})"
+            f" * sqrt(CAST(n{k} AS DOUBLE) * syy{k} - CAST(sy{k} AS DOUBLE) * sy{k}), 0), 6)"
+            f" AS r{k}"
+        )
+        cols.append(None)  # placeholder, r-exprs go in outer select
+        cols[-1] = r
+    inner = ",".join(c for c in cols if c.startswith("\n"))
+    outer = ", ".join(c for c in cols if not c.startswith("\n"))
+    return f"""
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events WHERE value IS NOT NULL),
+    lagged AS (
+      SELECT user_id, event_type, value_c,
+             lag(value_c, 1) OVER w AS y1,
+             lag(value_c, 2) OVER w AS y2,
+             lag(value_c, 3) OVER w AS y3
+      FROM v
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id ASC)),
+    s AS (
+      SELECT user_id, event_type,{inner.replace("lag(value_c, 1) OVER w", "y1").replace("lag(value_c, 2) OVER w", "y2").replace("lag(value_c, 3) OVER w", "y3")}
+      FROM lagged GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n1, n2, n3, {outer}
+    FROM s
+    """
+
+
+@register(
+    "evt_autocorrelation",
+    oracle=_acf_oracle(),
+    description=(
+        "per-series autocorrelation function at lags 1–3 (the ACF "
+        "diagnostic every forecaster reads before picking a model): "
+        "aligned (x_t, x_{t−k}) pairs from stacked lags in ONE window "
+        "operator, then six EXACT-integer sufficient statistics per "
+        "lag (n, Σx, Σy, Σxy, Σx², Σy² — conditional on pair "
+        "presence, so ragged series starts are correct) in one "
+        "aggregate riding the window's exchange; Pearson r per lag is "
+        "a single fixed float tree over the integers with "
+        "zero-variance guarded by nullif. One shuffle total"
+    ),
+    tags=("events", "window", "timeseries", "statistics"),
+)
+def evt_autocorrelation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").asc()
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "value_c",
+        *[F.lag("value_c", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        y = F.col(f"y{k}")
+        present = y.isNotNull()
+        x = F.col("value_c")
+        aggs += [
+            F.sum(F.when(present, 1).otherwise(0)).cast("bigint").alias(f"n{k}"),
+            F.sum(F.when(present, x).otherwise(0)).cast("bigint").alias(f"sx{k}"),
+            F.sum(F.coalesce(y, F.lit(0))).cast("bigint").alias(f"sy{k}"),
+            F.sum(F.coalesce(x * y, F.lit(0))).cast("bigint").alias(f"sxy{k}"),
+            F.sum(F.when(present, x * x).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxx{k}"),
+            F.sum(F.coalesce(y * y, F.lit(0))).cast("bigint").alias(f"syy{k}"),
+        ]
+    s = lagged.groupBy("user_id", "event_type").agg(*aggs)
+    rs = []
+    for k in (1, 2, 3):
+        n, sx, sy, sxy, sxx, syy = (
+            F.col(f"n{k}"),
+            F.col(f"sx{k}"),
+            F.col(f"sy{k}"),
+            F.col(f"sxy{k}"),
+            F.col(f"sxx{k}"),
+            F.col(f"syy{k}"),
+        )
+        num = n.cast("double") * sxy - sx.cast("double") * sy
+        den = F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx) * F.sqrt(
+            n.cast("double") * syy - sy.cast("double") * sy
+        )
+        rs.append(F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(f"r{k}"))
+    return s.select("user_id", "event_type", "n1", "n2", "n3", *rs)
+
+
+@register(
+    "doc_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE length(tok) > 0 GROUP BY tok),
+    ranked AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS total
+      FROM tf)
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, cnt,
+           CAST(cum AS BIGINT) AS cum_cnt,
+           round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+    FROM ranked WHERE rnk <= 200
+    """,
+    description=(
+        "vocabulary coverage curve — the tokenizer-design readout: "
+        "corpus token frequencies, frequency-ranked, with the "
+        "cumulative share of all corpus tokens covered by the top-V "
+        "vocabulary (the curve that answers 'how big must the vocab "
+        "be for 99% coverage / what OOV rate does a 32k vocab buy'). "
+        "Plan: one token explode + count (the only corpus-sized "
+        "shuffle), then ranking windows over the VOCAB-sized "
+        "aggregate — the global order is over distinct tokens, not "
+        "corpus rows (Zipf: vocab ≪ corpus), the same bounded-domain "
+        "exemption as the PMI vocabulary"
+    ),
+    tags=("documents", "text", "vocabulary"),
+)
+def doc_vocab_coverage(spark, sf_dir, top: int = 200):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.explode(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        )
+    ).alias("tok")
+    tf = (
+        docs.select(toks)
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wo = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = tf.select(
+        "tok",
+        "cnt",
+        F.row_number().over(wo).cast("bigint").alias("rnk"),
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("rnk") <= top).select(
+        "rnk",
+        "tok",
+        "cnt",
+        F.col("cum").cast("bigint").alias("cum_cnt"),
+        F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    )
