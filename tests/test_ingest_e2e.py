@@ -246,3 +246,56 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert clean.count() == 2
     assert rej.count() == 2
     assert {r.doc_id for r in clean.collect()} == {1, 2}
+
+
+def test_txn_table_commit_log(spark, tmp_path):
+    """Commit-log table format: atomic publish, snapshot isolation,
+    time travel, atomic compaction, CAS conflict on racing writers,
+    vacuum horizon."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    b = spark.range(100, 150).withColumnRenamed("id", "k")
+
+    v0 = txn.overwrite(a, root)
+    v1 = txn.append(b, root)
+    assert (v0, v1) == (0, 1)
+    assert txn.read(spark, root).count() == 150
+    # time travel: version 0 still sees only the first write
+    assert txn.read(spark, root, version=0).count() == 100
+
+    # snapshot isolation: a reader resolved at v1 survives a compaction
+    # commit AND keeps its numbers
+    snapshot = txn.read(spark, root, version=1)
+    v2 = txn.compact(spark, root)
+    assert v2 == 2
+    assert snapshot.count() == 150
+    assert txn.read(spark, root).count() == 150
+    assert len(txn.versions(root)) == 3
+
+    # CAS: manually stage a conflicting manifest for the next version,
+    # then watch append lose the race once and still commit the version
+    # after — with no rows lost from either writer
+    import json as _json
+    import os as _os
+
+    nxt = 3
+    other = {"version": nxt, "op": "append",
+             "files": txn._read_manifest(root, 2)["files"]}
+    txn._try_commit(root, nxt, other)
+    v4 = txn.append(spark.range(150, 160).withColumnRenamed("id", "k"), root)
+    assert v4 == 4
+    assert txn.read(spark, root).count() == 160
+
+    # vacuum: keep last 2 versions; older manifests and their
+    # now-unreferenced files disappear, survivors still read clean
+    removed = txn.vacuum(root, keep_last=2)
+    assert removed > 0
+    assert txn.versions(root) == [3, 4]
+    assert txn.read(spark, root).count() == 160
+    # direct create-if-absent conflict surfaces as CommitConflict
+    import pytest as _pytest
+
+    with _pytest.raises(txn.CommitConflict):
+        txn._try_commit(root, 4, {"version": 4, "op": "append", "files": []})
