@@ -299,3 +299,63 @@ def test_txn_table_commit_log(spark, tmp_path):
 
     with _pytest.raises(txn.CommitConflict):
         txn._try_commit(root, 4, {"version": 4, "op": "append", "files": []})
+
+
+def test_txn_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE against the txn table: untouched partitions carry into the
+    new manifest BY REFERENCE (same relative paths — zero bytes
+    rewritten), touched partitions keep-newest with incoming priority,
+    and the merged table equals the batch-computed expectation."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("event_date", F.to_date("ts").cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "event_date")
+    )
+    key = ["user_id", "event_type", "event_date"]
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    txn.merge_upsert(spark, root, base, key, "ts", "event_id", "event_date")
+    m0 = set(txn._read_manifest(root, 0)["files"])
+
+    incoming = ev.filter(
+        (F.col("event_id") % 3 == 0) & (F.dayofmonth("ts") >= 20)
+    ).withColumn("value", F.col("value") + 1)
+    touched = {
+        str(r[0]) for r in incoming.select("event_date").distinct().collect()
+    }
+    v = txn.merge_upsert(
+        spark, root, incoming, key, "ts", "event_id", "event_date"
+    )
+    m1 = set(txn._read_manifest(root, v)["files"])
+
+    untouched_base = {f for f in m0 if txn._file_partition(f) not in touched}
+    # carried by reference: every untouched base file is in the new
+    # manifest verbatim; every touched base file is gone from it
+    assert untouched_base <= m1
+    assert not {f for f in m0 if txn._file_partition(f) in touched} & m1
+
+    # semantic check vs a batch-computed merge
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(
+        F.col("_pri").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = (
+        base.withColumn("_pri", F.lit(0))
+        .unionByName(incoming.withColumn("_pri", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+    got = txn.read(spark, root).select(*expect.columns)
+    a = sorted(tuple(r) for r in expect.collect())
+    b = sorted(tuple(r) for r in got.collect())
+    assert a == b
