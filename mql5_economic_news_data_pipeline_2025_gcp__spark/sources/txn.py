@@ -30,8 +30,10 @@ What a manifest buys, concretely:
 Scale notes: manifests list files, not rows — a 100 TB table's
 manifest is MBs; resolution cost is one listing of ``_commits/``
 (object stores: one prefix list). File-level min/max pruning stats
-would ride the same manifest (not implemented — Spark re-reads parquet
-footers instead, which is correct just slower on cold metadata).
+ride the same manifest (``overwrite_with_stats`` + ``read_pruned``:
+the scan never lists pruned files, one step beyond footer-level
+skipping), and ``append_exactly_once`` makes the manifest chain an
+idempotence ledger for streaming ``foreachBatch`` sinks.
 """
 
 from __future__ import annotations
@@ -314,6 +316,141 @@ def merge_upsert(
                 root,
                 v,
                 {"version": v, "op": "merge", "files": carried + new_files},
+            )
+            return v
+        except CommitConflict:
+            continue
+
+
+# ------------------------------------- file-level stats / data skipping
+
+
+def _footer_stats(abs_path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` aggregated from parquet row-group
+    footer statistics (Spark writes them by default). Only int/float/str
+    survive JSON-serialization; other types are skipped."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and isinstance(lo, (int, float, str)):
+            out[c] = [lo, hi]
+    return out
+
+
+def overwrite_with_stats(
+    df: DataFrame,
+    root: str,
+    stat_cols: list[str],
+    sort_within: bool = True,
+    num_files: int | None = None,
+) -> int:
+    """Overwrite commit that records per-file min/max for ``stat_cols``
+    in the manifest — the data-skipping index the real formats carry.
+    ``sort_within`` range-partitions + sorts on the first stat column
+    so files hold disjoint ranges (stats are useless on shuffled data:
+    every file spans the whole domain)."""
+    from pyspark.sql import functions as F
+
+    if sort_within and stat_cols:
+        c = [F.col(x) for x in stat_cols]
+        df = (
+            df.repartitionByRange(num_files, *c)
+            if num_files
+            else df.repartitionByRange(*c)
+        ).sortWithinPartitions(*c)
+    files = _write_files(df, root)
+    stats = {
+        f: _footer_stats(os.path.join(root, f), stat_cols) for f in files
+    }
+    while True:
+        head = versions(root)
+        v = (head[-1] + 1) if head else 0
+        try:
+            _try_commit(
+                root,
+                v,
+                {
+                    "version": v,
+                    "op": "overwrite",
+                    "files": files,
+                    "stats": stats,
+                },
+            )
+            return v
+        except CommitConflict:
+            continue
+
+
+def read_pruned(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Snapshot read that opens ONLY files whose [min,max] for ``col``
+    overlaps [lo, hi] (manifest-level skipping — the scan never even
+    lists the pruned files). Returns (frame filtered exactly, files
+    scanned, files total). Files without stats are conservatively
+    scanned."""
+    from pyspark.sql import functions as F
+
+    vs = versions(root)
+    m = _read_manifest(root, vs[-1])
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            keep.append(os.path.join(root, f))
+    df = spark.read.parquet(*keep).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+    return df, len(keep), len(m["files"])
+
+
+# ------------------------------------------ exactly-once streaming sink
+
+
+def append_exactly_once(df: DataFrame, root: str, batch_id: int) -> int | None:
+    """Idempotent append for ``foreachBatch`` (at-least-once retries):
+    the manifest chain carries ``last_batch_id``; a replayed batch id
+    ≤ the committed head's is a no-op, and the CAS loop re-checks after
+    every conflict — so a retry racing its own original can commit at
+    most once. Returns the committed version, or None if skipped."""
+    new_files = None
+    while True:
+        head = versions(root)
+        last = (
+            _read_manifest(root, head[-1]).get("last_batch_id", -1)
+            if head
+            else -1
+        )
+        if batch_id <= last:
+            return None
+        if new_files is None:
+            new_files = _write_files(df, root)
+        base = _read_manifest(root, head[-1])["files"] if head else []
+        v = (head[-1] + 1) if head else 0
+        try:
+            _try_commit(
+                root,
+                v,
+                {
+                    "version": v,
+                    "op": "append",
+                    "files": base + new_files,
+                    "last_batch_id": batch_id,
+                },
             )
             return v
         except CommitConflict:

@@ -359,3 +359,57 @@ def test_txn_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     a = sorted(tuple(r) for r in expect.collect())
     b = sorted(tuple(r) for r in got.collect())
     assert a == b
+
+
+def test_txn_data_skipping_and_exactly_once_sink(spark, tmp_path):
+    """Manifest-level data skipping: a range predicate on the sort
+    column opens a strict subset of files and still returns exactly the
+    right rows; append_exactly_once: a replayed foreachBatch id is a
+    no-op against the manifest chain's batch ledger."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100_000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    ).repartition(16)
+    txn.overwrite_with_stats(df, root, stat_cols=["k"], num_files=16)
+    got, scanned, total = txn.read_pruned(spark, root, "k", 1000, 1999)
+    assert total >= 8
+    assert scanned < total  # skipping actually skipped
+    assert got.count() == 1000
+    assert got.agg(F.min("k"), F.max("k")).first() == (1000, 1999)
+
+    # exactly-once: batch 0 and 1 commit, replay of 1 is a no-op,
+    # batch 2 proceeds
+    r2 = str(tmp_path / "sink")
+    b = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    assert txn.append_exactly_once(b(0, 10), r2, batch_id=0) == 0
+    assert txn.append_exactly_once(b(10, 20), r2, batch_id=1) == 1
+    assert txn.append_exactly_once(b(10, 20), r2, batch_id=1) is None
+    assert txn.append_exactly_once(b(20, 30), r2, batch_id=2) == 2
+    assert txn.read(spark, r2).count() == 30
+
+    # end-to-end: a real streaming drain through foreachBatch lands in
+    # the txn table with one commit per micro-batch
+    import os as _os
+
+    src = str(tmp_path / "src")
+    spark.range(0, 1000).withColumnRenamed("id", "k").write.parquet(src)
+    sdf = spark.readStream.schema("k long").parquet(src)
+    r3 = str(tmp_path / "stream_tbl")
+
+    def _sink(batch_df, batch_id):
+        txn.append_exactly_once(batch_df, r3, batch_id)
+        # simulate the at-least-once retry storm: same id re-delivered
+        txn.append_exactly_once(batch_df, r3, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert txn.read(spark, r3).count() == 1000
