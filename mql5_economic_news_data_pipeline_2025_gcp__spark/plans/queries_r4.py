@@ -1522,18 +1522,18 @@ def evt_markov_transitions(spark, sf_dir):
     tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("row_tot"))
-    return (
-        tr.join(F.broadcast(tot), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            F.col("n").cast("bigint").alias("n"),
-            F.col("row_tot").cast("bigint").alias("row_tot"),
-            F.round(F.col("n").cast("double") / F.col("row_tot"), 6).alias(
-                "p"
-            ),
-        )
+    # row totals via a window over the |types|²-row aggregate — ONE
+    # lineage (a groupBy+join-back would re-derive tr from the corpus
+    # twice: Spark has no automatic CSE across DataFrame references)
+    row_tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return tr.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        row_tot.cast("bigint").alias("row_tot"),
+        F.round(
+            F.col("n").cast("double") / row_tot.cast("double"), 6
+        ).alias("p"),
     )
 
 

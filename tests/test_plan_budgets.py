@@ -1,0 +1,66 @@
+"""Shuffle-budget regression gate: each flagship query's executed plan
+must not grow new hash-partitioned exchanges.
+
+Why exchanges and not wall time: locally, timings are noise; exchange
+count is the structural quantity that predicts 100 TB behavior (every
+exchange is a full shuffle of its input). The budgets are the CURRENT
+measured counts — an edit that adds a shuffle to a flagship fails here
+and has to either justify a budget bump in the diff or restructure
+(window-lift / literal-dictionary / single-labeled-pass, see
+scripts/plan_audit.py). Going UNDER budget is silently fine.
+
+Budget ≠ total plan complexity: multi-table TPC-H shapes legitimately
+scan many tables; only hash exchanges are counted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: query → max allowed "Exchange hashpartitioning" occurrences in the
+#: executed plan (current measured count at the time the row was added).
+BUDGETS = {
+    "evt_metrics_r2_mse": 1,
+    "rel_pricing_summary": 1,
+    "evt_upsert_dedup": 1,
+    "evt_lag_features": 1,
+    "evt_ffill_bfill": 1,
+    "evt_chrono_split": 1,
+    "evt_minmax_normalize": 1,
+    "evt_sessionize": 1,
+    "evt_series_mad_fast": 2,
+    "evt_holt_smoothing": 1,
+    "evt_seasonal_profile": 1,
+    "evt_autocorrelation": 1,
+    "evt_markov_transitions": 3,
+    "evt_welch_ttest": 2,
+    "evt_benford_audit": 2,
+    "doc_exact_dedup": 1,
+    "doc_minhash_lsh_candidates": 2,
+    "doc_chunk_dedup": 2,
+    "doc_length_batching": 1,
+    "doc_token_stats": 1,
+    "emb_cosine_topk": 1,
+    "emb_sq_topk": 3,
+    "rel_forecast_revenue": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, name):
+    plan = (
+        REGISTRY[name]
+        .spark_fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} hash exchanges > budget {BUDGETS[name]} — a shuffle "
+        f"crept in; restructure or justify a budget bump\n{plan[:4000]}"
+    )
