@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "evt_benford_audit",
     "evt_autocorrelation",
     "doc_vocab_coverage",
+    "mm_payload_dedup",
+    "evt_calendar_features",
 ]
 
 

@@ -2018,3 +2018,120 @@ def doc_vocab_coverage(spark, sf_dir, top: int = 200):
             "coverage"
         ),
     )
+
+
+@register(
+    "mm_payload_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS content_hash,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    ranked AS (
+      SELECT asset_id, media_type, content_hash,
+             CAST(n_bytes AS BIGINT) AS n_bytes,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY asset_id ASC) AS rn,
+             count(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM m)
+    SELECT asset_id, media_type, content_hash, n_bytes,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+    description=(
+        "exact media payload dedup — the asset-level dedup every "
+        "multimodal corpus runs before any decode: content hash of the "
+        "raw BYTES (md5 over the binary column — container metadata "
+        "never parsed, identical files dedup across mimetypes/names), "
+        "lowest asset_id survives, with the copy count kept for the "
+        "popularity signal. Plan: hashing is map-side over payload "
+        "bytes; the only shuffle carries (hash, id, meta) — 16-byte "
+        "keys, never the payloads themselves (payload bytes stay in "
+        "the scan stage, exactly what you want when assets are MBs)"
+    ),
+    tags=("multimodal", "dedup"),
+)
+def mm_payload_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import documents_as_media
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    media = documents_as_media(docs)
+    h = media.select(
+        "asset_id",
+        "media_type",
+        F.md5("payload").alias("content_hash"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = h.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("asset_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "asset_id",
+        "media_type",
+        "content_hash",
+        "n_bytes",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+    )
+
+
+@register(
+    "evt_calendar_features",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS INT) AS year,
+           CAST(EXTRACT(quarter FROM ts) AS INT) AS quarter,
+           CAST(EXTRACT(month FROM ts) AS INT) AS month,
+           CAST(EXTRACT(day FROM ts) AS INT) AS day_of_month,
+           CAST(EXTRACT(isodow FROM ts) AS INT) AS iso_dow,
+           CAST(EXTRACT(week FROM ts) AS INT) AS iso_week,
+           (EXTRACT(isodow FROM ts) >= 6) AS is_weekend,
+           (CAST(ts AS DATE) = last_day(CAST(ts AS DATE))) AS is_month_end,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST((EXTRACT(hour FROM ts) * 4 + EXTRACT(minute FROM ts) // 15)
+                AS INT) AS quarter_hour_slot
+    FROM events
+    """,
+    description=(
+        "calendar feature builder — the deterministic feature block "
+        "every forecasting model gets for free (year/quarter/month/"
+        "day, ISO weekday + week, weekend and month-end flags, hour "
+        "and intraday quarter-hour slot for release-time effects). "
+        "Entirely map-side column expressions: zero shuffles, zero "
+        "joins, whole-stage codegen end to end — the shape feature "
+        "pipelines should bias toward before anything stateful"
+    ),
+    tags=("events", "features", "calendar"),
+)
+def evt_calendar_features(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    iso_dow = (
+        F.when(F.dayofweek("ts") == 1, 7)
+        .otherwise(F.dayofweek("ts") - 1)
+        .cast("int")
+    )
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("int").alias("year"),
+        F.quarter("ts").cast("int").alias("quarter"),
+        F.month("ts").cast("int").alias("month"),
+        F.dayofmonth("ts").cast("int").alias("day_of_month"),
+        iso_dow.alias("iso_dow"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (F.to_date("ts") == F.last_day("ts")).alias("is_month_end"),
+        F.hour("ts").cast("int").alias("hour"),
+        (F.hour("ts") * 4 + F.floor(F.minute("ts") / 15))
+        .cast("int")
+        .alias("quarter_hour_slot"),
+    )
