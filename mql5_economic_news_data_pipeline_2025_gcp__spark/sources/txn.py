@@ -455,3 +455,45 @@ def append_exactly_once(df: DataFrame, root: str, batch_id: int) -> int | None:
             return v
         except CommitConflict:
             continue
+
+
+# -------------------------------------- schema evolution / CDC / IVM
+
+
+def read_evolved(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with schema merging: commits may add columns over
+    time (parquet is additive-safe); older files' missing columns read
+    as null. Kept separate from :func:`read` because merging schemas
+    reads every file's footer up front — pay it only when the table
+    actually evolved."""
+    vs = versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no commits at {root}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(root, v)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def changes(
+    spark: SparkSession, root: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """File-diff change feed (coarse CDC, the Delta-CDF idea at file
+    granularity): all rows in files ADDED between ``since_version``
+    (exclusive) and ``to_version`` (inclusive). For append/
+    exactly-once commits this is exactly the inserted rows; for
+    merge commits it is the new state of every REWRITTEN partition
+    (consumer semantics: upsert-by-partition). Cost: reads only the
+    added files — never the table."""
+    vs = versions(root)
+    to_v = vs[-1] if to_version is None else to_version
+    base = set(
+        _read_manifest(root, since_version)["files"]
+    ) if since_version in vs else set()
+    cur = _read_manifest(root, to_v)["files"]
+    added = [os.path.join(root, f) for f in cur if f not in base]
+    if not added:
+        return spark.createDataFrame([], read(spark, root, to_v).schema)
+    return spark.read.parquet(*added)

@@ -413,3 +413,54 @@ def test_txn_data_skipping_and_exactly_once_sink(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert txn.read(spark, r3).count() == 1000
+
+
+def test_txn_schema_evolution_and_cdc_ivm(spark, tmp_path):
+    """Schema evolution: a later append adds a column; read_evolved
+    null-fills old rows. CDC: changes(since) returns exactly the rows
+    of files added after `since`; an incremental materialized view
+    folds ONLY the change feed and equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.incremental import (
+        merge_partials,
+        partial_agg,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    v0 = txn.overwrite(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ),
+        root,
+    )
+    v1 = txn.append(
+        spark.range(50, 80).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            F.lit("late").alias("note"),
+        ),
+        root,
+    )
+    evolved = txn.read_evolved(spark, root)
+    assert set(evolved.columns) == {"k", "g", "note"}
+    assert evolved.filter(F.col("note").isNull()).count() == 50
+
+    # CDC: rows added after v0 are exactly the v1 batch
+    delta = txn.changes(spark, root, since_version=v0)
+    assert delta.count() == 30
+    assert delta.agg(F.min("k"), F.max("k")).first() == (50, 79)
+
+    # IVM: fold only the change feed into per-group partials
+    view = partial_agg(
+        txn.read(spark, root, version=v0), keys=["g"], sums=["k"]
+    )
+    view = merge_partials(
+        view, partial_agg(delta.select("k", "g"), keys=["g"], sums=["k"]),
+        keys=["g"],
+    )
+    full = partial_agg(txn.read_evolved(spark, root), keys=["g"], sums=["k"])
+    a = sorted(tuple(r) for r in view.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b
