@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "doc_vocab_coverage",
     "mm_payload_dedup",
     "evt_calendar_features",
+    "evt_ks_drift",
+    "evt_ols_features",
+    "doc_repeated_spans",
+    "doc_bpe_train_merges",
 ]
 
 

@@ -2135,3 +2135,317 @@ def evt_calendar_features(spark, sf_dir):
         .cast("int")
         .alias("quarter_hour_slot"),
     )
+
+
+@register(
+    "evt_ks_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c,
+             CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END AS late
+      FROM events),
+    cnts AS (
+      SELECT event_type, value_c,
+             sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS c2
+      FROM base GROUP BY event_type, value_c),
+    cum AS (
+      SELECT event_type, value_c,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value_c) AS f1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value_c) AS f2,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+      FROM cnts)
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+           round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                 / (max(n1) * max(n2)), 6) AS ks_stat,
+           (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+              / (max(n1) * max(n2))
+            > 1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+                           / (CAST(max(n1) AS DOUBLE)
+                              * CAST(max(n2) AS DOUBLE)))) AS drift
+    FROM cum GROUP BY event_type
+    """,
+    description=(
+        "two-sample Kolmogorov-Smirnov drift test per event_type "
+        "(first half of the month vs second — the monitoring seam that "
+        "catches distribution shift PSI's fixed bins smooth over). The "
+        "KS numerator max|n2*F1(x) - n1*F2(x)| is computed entirely in "
+        "integers over the POOLED distinct values, so the statistic is "
+        "exact in any execution order; only the final /(n1*n2) and the "
+        "alpha=0.05 critical-value comparison are doubles, written as "
+        "identical expression trees in both engines. Shape: one "
+        "(type,value) count agg collapses |rows| to |distinct values| "
+        "BEFORE any window, then cumulative-sum windows on the tiny "
+        "aggregated set, one final per-type agg. The ECDF never "
+        "materializes per-row ranks over raw data — at 100 TB the agg "
+        "is map-side-combined and the windows see vocab-sized input"
+    ),
+    tags=("events", "statistics", "drift"),
+)
+def evt_ks_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        "value_c",
+        F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0).alias("late"),
+    )
+    cnts = base.groupBy("event_type", "value_c").agg(
+        F.sum(F.when(F.col("late") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("late") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("value_c")
+    w_all = Window.partitionBy("event_type")
+    cum = cnts.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+        .alias("ks_num"),
+    )
+    ks = F.col("ks_num").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("drift"),
+    )
+
+
+#: Cramer's-rule solution of the 3x3 normal equations, written ONCE as
+#: SQL text and evaluated by BOTH engines (Spark via ``F.expr``) so the
+#: double expression trees are identical token for token — the
+#: determinism contract's strongest form. a..f are the Gram matrix
+#: entries, g/h/i the RHS; every input is an exact bigint sum cast to
+#: double at the leaves.
+_OLS_CRAMER = """
+  CAST(n   AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b,
+  CAST(sx2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS d,
+  CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+  CAST(sy  AS DOUBLE) AS g, CAST(s1y AS DOUBLE) AS h,
+  CAST(s2y AS DOUBLE) AS i
+"""
+_OLS_DET = "(a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c))"
+_OLS_B0 = "(g*(d*f - e*e) - b*(h*f - e*i) + c*(h*e - d*i))"
+_OLS_B1 = "(a*(h*f - i*e) - g*(b*f - e*c) + c*(b*i - h*c))"
+_OLS_B2 = "(a*(d*i - h*e) - b*(b*i - h*c) + g*(b*e - d*c))"
+
+
+@register(
+    "evt_ols_features",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value*100) AS BIGINT) AS y,
+             lag(CAST(round(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS x1,
+             CAST(row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS BIGINT) AS x2
+      FROM events),
+    sums AS (
+      SELECT user_id, event_type,
+             count(*) AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y
+      FROM base WHERE x1 IS NOT NULL
+      GROUP BY user_id, event_type
+      HAVING count(*) >= 8),
+    gram AS (
+      SELECT user_id, event_type, n, {_OLS_CRAMER}
+      FROM sums)
+    SELECT user_id, event_type,
+           CAST(n AS BIGINT) AS n,
+           round({_OLS_B0} / {_OLS_DET}, 6) AS intercept,
+           round({_OLS_B1} / {_OLS_DET}, 6) AS beta_lag,
+           round({_OLS_B2} / {_OLS_DET}, 6) AS beta_idx
+    FROM gram
+    WHERE {_OLS_DET} <> 0.0
+    """,
+    description=(
+        "per-series two-feature OLS (y_t ~ 1 + y_(t-1) + t): the "
+        "AR(1)-with-drift fit every series gets before model routing, "
+        "solved in closed form by Cramer's rule on the 3x3 normal "
+        "equations. The Gram matrix entries are EXACT bigint sums of "
+        "cents products (max |sum| ~ 6e12 at sf1, far under 2^53), "
+        "cast to double only at the determinant leaves; the Cramer "
+        "polynomial is one shared SQL string evaluated by both engines "
+        "(Spark via F.expr) so the IEEE-754 op sequence is identical "
+        "token for token. Shape: ONE shuffle on the series key serves "
+        "lag + row_number (same window spec), then a map-side-combined "
+        "agg to 9 scalars per series — the regression itself costs "
+        "nothing at any scale; no matrix library, no Python"
+    ),
+    tags=("events", "statistics", "regression"),
+)
+def evt_ols_features(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value_c").alias("y"),
+        F.lag("value_c").over(w).alias("x1"),
+        F.row_number().over(w).cast("bigint").alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    sums = (
+        base.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    gram = sums.select("user_id", "event_type", "n", F.expr(f"struct({_OLS_CRAMER})").alias("m")).select(
+        "user_id", "event_type", "n", "m.*"
+    )
+    return gram.filter(F.expr(f"{_OLS_DET} <> 0.0")).select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(f"{_OLS_B0} / {_OLS_DET}"), 6).alias("intercept"),
+        F.round(F.expr(f"{_OLS_B1} / {_OLS_DET}"), 6).alias("beta_lag"),
+        F.round(F.expr(f"{_OLS_B2} / {_OLS_DET}"), 6).alias("beta_idx"),
+    )
+
+
+@register(
+    "doc_repeated_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i+4), ' ') AS gram
+      FROM toks, unnest(range(1, len(t)-3)) AS u(i)
+      WHERE len(t) >= 5),
+    dup AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS occ
+      FROM grams),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup WHERE occ >= 2),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS start_tok,
+             CAST(max(pos) + 4 AS BIGINT) AS end_tok,
+             CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, grp)
+    SELECT * FROM spans WHERE span_tokens >= 8
+    """,
+    description=(
+        "maximal duplicated-substring spans (the distributable "
+        "approximation of suffix-array substring dedup a la 'Deduplicating "
+        "Training Data Makes Language Models Better': any repeated "
+        "substring of >= n tokens appears as a RUN of repeated n-gram "
+        "positions). Per doc, positions whose 5-gram occurs >= 2 times "
+        "corpus-wide are coalesced into maximal islands via the "
+        "pos - row_number gaps-and-islands trick; emits spans covering "
+        ">= 8 tokens with their token extents — the cut list an exact "
+        "substring-level deduper consumes. Shape: map-side positional "
+        "shingling, ONE exchange on gram for the corpus-frequency "
+        "window (no count-agg + join-back, same fusion as "
+        "doc_dup_ngram_fraction), one exchange on doc_id for the "
+        "island numbering, then a shrinking (doc,island) agg. "
+        "All integers; no all-pairs, no suffix array materialized"
+    ),
+    tags=("documents", "dedup", "quality"),
+)
+def doc_repeated_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("t"),
+    ).filter(F.size("t") >= 5)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), "
+                "i -> struct(i AS pos, array_join(slice(t, i, 5), ' ') AS gram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = grams.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("occ") >= 2)
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("start_tok"),
+        (F.max("pos") + 4).cast("bigint").alias("end_tok"),
+        (F.max("pos") - F.min("pos") + 5).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+    )
+    return spans.filter(F.col("span_tokens") >= 8).select(
+        "doc_id", "start_tok", "end_tok", "span_tokens", "n_grams"
+    )
+
+
+@register(
+    "doc_bpe_train_merges",
+    oracle=None,  # iterative argmax loop is not SQL-expressible; the
+    # sequential-reference gate is tests/test_bpe.py::
+    # test_bpe_train_matches_sequential_reference (exact merge-table
+    # equality against a pure-Python Sennrich-style implementation)
+    description=(
+        "distributed BPE merge training (Sennrich-style) on the "
+        "word-frequency dictionary: ONE corpus-sized token agg "
+        "compresses the corpus to a Zipf-bounded (word, freq) table, "
+        "then each merge round is a pair-explode + map-side-combined "
+        "count agg (shuffle = |distinct pairs|, KBs) + a deterministic "
+        "1-row argmax collect + a map-only JVM fold applying the merge "
+        "greedily left-to-right. localCheckpoint every 4 rounds keeps "
+        "the plan flat. Emits the (rank, left, right, merged, "
+        "pair_count) merge table a tokenizer ships. Ties break "
+        "lexicographically — reproducible run to run"
+    ),
+    tags=("documents", "text", "tokenizer"),
+)
+def doc_bpe_train_merges(spark, sf_dir, num_merges: int = 20):
+    from ..operators.bpe import bpe_train
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return bpe_train(spark, docs, num_merges=num_merges)
