@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "evt_ols_features",
     "doc_repeated_spans",
     "doc_bpe_train_merges",
+    "evt_rank_auc",
+    "evt_attribution",
 ]
 
 

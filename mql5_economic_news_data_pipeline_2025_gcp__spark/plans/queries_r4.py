@@ -2449,3 +2449,188 @@ def doc_bpe_train_merges(spark, sf_dir, num_merges: int = 20):
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return bpe_train(spark, docs, num_merges=num_merges)
+
+
+@register(
+    "evt_rank_auc",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6 THEN 1 ELSE 0 END AS pos
+      FROM events),
+    cnts AS (
+      SELECT event_type, value_c,
+             sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS c1
+      FROM base GROUP BY event_type, value_c),
+    cum AS (
+      SELECT event_type, value_c, c0, c1, c0 + c1 AS c,
+             sum(c0 + c1) OVER (PARTITION BY event_type ORDER BY value_c)
+               - (c0 + c1) AS f_prev
+      FROM cnts),
+    agg AS (
+      SELECT event_type,
+             sum(c0) AS n0, sum(c1) AS n1,
+             sum(c1 * (2 * f_prev + c + 1)) AS r1_2x,
+             sum(c*c*c - c) AS ties
+      FROM cum GROUP BY event_type)
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+           CAST(ties AS BIGINT) AS tie_term,
+           round(CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * n0 * n1), 6) AS auc
+    FROM agg
+    """,
+    description=(
+        "Mann-Whitney rank-sum AUC per event_type (weekend vs weekday "
+        "values): the nonparametric location test AND the exact AUC a "
+        "quality-classifier evaluation needs (AUC = U/(n0*n1)), with "
+        "midrank tie handling kept INTEGER throughout — tied ranks "
+        "enter as 2x-midranks (a+b is an integer even when (a+b)/2 is "
+        "not), so U and the tie-correction term sum(t^3-t) are exact "
+        "bigints in any aggregation order. Same pooled-distinct-value "
+        "shape as evt_ks_drift: one map-side-combined (type,value) "
+        "count agg collapses rows to distinct values, cumulative-rank "
+        "window on the tiny aggregated set, one per-type agg. Never "
+        "ranks raw rows — at 100 TB the window input is vocab-sized"
+    ),
+    tags=("events", "statistics", "evaluation"),
+)
+def evt_rank_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    base = ev.select(
+        "event_type",
+        "value_c",
+        F.when(iso_dow >= 6, 1).otherwise(0).alias("pos"),
+    )
+    cnts = base.groupBy("event_type", "value_c").agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("value_c")
+    cum = cnts.select(
+        "event_type",
+        "c0",
+        "c1",
+        (F.col("c0") + F.col("c1")).alias("c"),
+        (
+            F.sum(F.col("c0") + F.col("c1")).over(w_cum)
+            - (F.col("c0") + F.col("c1"))
+        ).alias("f_prev"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c1") * (2 * F.col("f_prev") + F.col("c") + 1)).alias(
+            "r1_2x"
+        ),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    u1_2x = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        u1_2x.cast("bigint").alias("u1_2x"),
+        F.col("ties").cast("bigint").alias("tie_term"),
+        F.round(
+            u1_2x.cast("double") / (F.lit(2.0) * F.col("n0") * F.col("n1")), 6
+        ).alias("auc"),
+    )
+
+
+@register(
+    "evt_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c
+      FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value_c
+      FROM ev WHERE event_type = 'purchase'),
+    tch AS (
+      SELECT event_id AS touch_id, user_id, ts AS tts, event_type
+      FROM ev WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT p.purchase_id, p.value_c, t.touch_id, t.event_type,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY t.tts DESC, t.touch_id DESC) AS rnk,
+             count(*) OVER (PARTITION BY p.purchase_id) AS k
+      FROM p JOIN tch t ON p.user_id = t.user_id
+        AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 3 DAY)
+    SELECT purchase_id, touch_id, event_type,
+           CAST(value_c // k
+                + CASE WHEN rnk <= value_c % k THEN 1 ELSE 0 END
+                AS BIGINT) AS credit_c
+    FROM pairs
+    """,
+    description=(
+        "linear multi-touch attribution with EXACT integer credit "
+        "split: each purchase's cents are divided across the user's "
+        "view/click touches in the preceding 3 days by "
+        "largest-remainder — every touch gets value_c div k, the "
+        "value_c mod k leftover cents go to the most recent touches "
+        "(recency rank with event_id tie-break), so credits per "
+        "purchase sum to value_c EXACTLY, no floating-point "
+        "attribution leakage (asserted by "
+        "test_attribution_credits_conserve). Shape: one equi-join on "
+        "user_id carries the time-window pairing (the range predicate "
+        "rides the join as a post-condition, never a cross product), "
+        "then one window exchange on purchase_id for rank+count. "
+        "Touch fan-out is bounded by the 3-day window; at 100 TB the "
+        "user_id join uses the same skew rules as any hot key "
+        "(AQE skew split + operators/skew.py salting)"
+    ),
+    tags=("events", "attribution", "join"),
+)
+def evt_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value_c",
+    )
+    tch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    pairs = p.join(tch, "user_id").filter(
+        (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAY"))
+    )
+    w_rnk = Window.partitionBy("purchase_id").orderBy(
+        F.desc("tts"), F.desc("touch_id")
+    )
+    w_all = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "value_c",
+        "touch_id",
+        "event_type",
+        F.row_number().over(w_rnk).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    return ranked.select(
+        "purchase_id",
+        "touch_id",
+        "event_type",
+        (
+            F.expr("value_c div k")
+            + F.when(F.col("rnk") <= F.col("value_c") % F.col("k"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("credit_c"),
+    )

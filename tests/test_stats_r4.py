@@ -1,0 +1,125 @@
+"""Independent cross-checks for the round-4 statistics/attribution
+queries: scipy/numpy references where available, invariant gates
+otherwise (the DuckDB differential covers value equality; these check
+the MATH is the intended statistic)."""
+
+import numpy as np
+import pytest
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark_fn(spark, SF).toPandas()
+
+
+def test_ks_drift_matches_numpy_ecdf(spark):
+    out = _run(spark, "evt_ks_drift").set_index("event_type")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(round(value*100) AS BIGINT) AS v",
+            "day(ts) >= 16 AS late",
+        )
+        .toPandas()
+    )
+    for et, g in ev.groupby("event_type"):
+        a = np.sort(g.loc[~g.late, "v"].values)
+        b = np.sort(g.loc[g.late, "v"].values)
+        pooled = np.unique(np.concatenate([a, b]))
+        f1 = np.searchsorted(a, pooled, side="right")
+        f2 = np.searchsorted(b, pooled, side="right")
+        ks = np.max(np.abs(f1 / len(a) - f2 / len(b)))
+        row = out.loc[et]
+        assert row["n1"] == len(a) and row["n2"] == len(b)
+        assert row["ks_stat"] == pytest.approx(ks, abs=1e-6)
+
+
+def test_ols_features_matches_numpy_lstsq(spark):
+    out = _run(spark, "evt_ols_features")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "ts", "event_id",
+            "CAST(round(value*100) AS BIGINT) AS y",
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_type", "ts", "event_id"])
+    )
+    checked = 0
+    for (u, et), g in ev.groupby(["user_id", "event_type"]):
+        y = g["y"].values.astype(float)
+        if len(y) < 9:
+            continue
+        idx = np.arange(1, len(y) + 1, dtype=float)
+        X = np.column_stack([np.ones(len(y) - 1), y[:-1], idx[1:]])
+        beta, *_ = np.linalg.lstsq(X, y[1:], rcond=None)
+        row = out[(out.user_id == u) & (out.event_type == et)]
+        if row.empty:
+            continue
+        got = row.iloc[0]
+        assert got["intercept"] == pytest.approx(beta[0], abs=1e-4)
+        assert got["beta_lag"] == pytest.approx(beta[1], abs=1e-4)
+        assert got["beta_idx"] == pytest.approx(beta[2], abs=1e-4)
+        checked += 1
+    assert checked >= 10
+
+
+def test_rank_auc_matches_numpy(spark):
+    out = _run(spark, "evt_rank_auc").set_index("event_type")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(round(value*100) AS BIGINT) AS v",
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS pos",
+        )
+        .toPandas()
+    )
+    for et, g in ev.groupby("event_type"):
+        neg = g.loc[g.pos == 0, "v"].values
+        pos = g.loc[g.pos == 1, "v"].values
+        # AUC by pairwise comparison (ties count half) — O(n0*n1) is
+        # fine at sf0.001 and is the definitional cross-check
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        row = out.loc[et]
+        assert row["n0"] == len(neg) and row["n1"] == len(pos)
+        assert row["auc"] == pytest.approx(auc, abs=1e-6)
+
+
+def test_attribution_credits_conserve(spark):
+    out = _run(spark, "evt_attribution")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_id", "CAST(round(value*100) AS BIGINT) AS value_c",
+            "event_type",
+        )
+        .toPandas()
+    )
+    purchases = ev[ev.event_type == "purchase"].set_index("event_id")["value_c"]
+    got = out.groupby("purchase_id")["credit_c"].sum()
+    # every attributed purchase's credits sum EXACTLY to its cents
+    for pid, total in got.items():
+        assert total == purchases.loc[pid], pid
+    # and per-touch credits never differ by more than 1 cent
+    spread = out.groupby("purchase_id")["credit_c"].agg(lambda s: s.max() - s.min())
+    assert (spread <= 1).all()
+
+
+def test_repeated_spans_are_maximal_and_disjoint(spark):
+    out = _run(spark, "doc_repeated_spans")
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("start_tok")
+        # spans within a doc never overlap and are separated by >= 1
+        # non-duplicated gram position (maximality)
+        prev_end = -10
+        for _, r in g.iterrows():
+            assert r.start_tok > prev_end + 1 - 4  # gram-start gap > 1
+            assert r.span_tokens == r.end_tok - r.start_tok + 1
+            prev_end = r.end_tok
