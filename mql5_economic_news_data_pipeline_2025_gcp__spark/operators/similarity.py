@@ -500,3 +500,88 @@ def sq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k.
+
+    Retrieval that only maximizes query similarity returns near-duplicate
+    neighbors; MMR greedily picks argmax of
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    the standard diversity re-rank for retrieval-augmented training-data
+    selection.
+
+    Scale shape: the SCALE problem is candidate generation, and that
+    stays in the distributed exact/ANN path (`cosine_topk` here;
+    swap in `bucketed_ann_topk`/`ivf_topk` for big corpora). The greedy
+    loop itself is inherently sequential but BOUNDED — it sees only the
+    per-query pool (``pool`` rows), so it runs as an Arrow-batched
+    ``applyInPandas`` over query groups: per-group cost is pool^2 dot
+    products (microseconds), parallelism is |queries|, and nothing
+    driver-side ever sees a vector. Ties break on neighbor id —
+    deterministic, matches the numpy reference in
+    tests/test_stats_r4.py::test_mmr_matches_numpy_reference.
+    """
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    pooled = cand.join(nvec, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine_sim", "nv"
+    )
+
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, cosine_sim double, "
+        "mmr_score double, mmr_rank int"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack(pdf["nv"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        sims = Vn @ Vn.T  # pool x pool — bounded by construction
+        rel = pdf["cosine_sim"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            if selected:
+                red = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1.0 - lam) * red
+            # argmax with neighbor-id tie-break: remaining is already in
+            # (sim desc, id asc) order, so first max wins deterministically
+            j = int(np.argmax(mmr))
+            selected.append(remaining[j])
+            scores.append(float(mmr[j]))
+            remaining.pop(j)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[selected].to_numpy(),
+                "cosine_sim": rel[selected],
+                "mmr_score": np.round(scores, 6),
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+            }
+        )
+
+    return pooled.groupBy("query_id").applyInPandas(_greedy, out_schema)

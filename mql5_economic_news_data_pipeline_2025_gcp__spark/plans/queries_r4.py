@@ -2634,3 +2634,31 @@ def evt_attribution(spark, sf_dir):
             .otherwise(0)
         ).cast("bigint").alias("credit_c"),
     )
+
+
+@register(
+    "emb_mmr_rerank",
+    oracle=None,  # greedy argmax loop is not SQL-expressible; the
+    # reference gate is tests/test_stats_r4.py::
+    # test_mmr_matches_numpy_reference (exact selection + rank equality
+    # against a sequential numpy MMR over the same candidate pool)
+    description=(
+        "Maximal-Marginal-Relevance diversified top-5 over a top-20 "
+        "candidate pool (lambda=0.7): the standard diversity re-rank "
+        "for retrieval-augmented data selection, where pure cosine "
+        "top-k returns near-duplicates. Candidate generation stays in "
+        "the distributed exact/ANN path; the inherently-sequential "
+        "greedy loop runs Arrow-batched per QUERY group "
+        "(applyInPandas), seeing only its bounded pool — pool^2 dot "
+        "products per group, |queries|-way parallel, no driver "
+        "traffic. Deterministic: pool order (sim desc, id asc) makes "
+        "argmax ties break on neighbor id"
+    ),
+    tags=("embeddings", "similarity", "rerank"),
+)
+def emb_mmr_rerank(spark, sf_dir):
+    from ..operators.similarity import mmr_rerank
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)

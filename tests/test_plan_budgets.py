@@ -47,6 +47,11 @@ BUDGETS = {
     "emb_cosine_topk": 1,
     "emb_sq_topk": 3,
     "rel_forecast_revenue": 1,
+    "evt_ks_drift": 2,
+    "evt_rank_auc": 2,
+    "evt_ols_features": 1,
+    "doc_repeated_spans": 2,
+    "evt_attribution": 2,
 }
 
 

@@ -123,3 +123,44 @@ def test_repeated_spans_are_maximal_and_disjoint(spark):
             assert r.start_tok > prev_end + 1 - 4  # gram-start gap > 1
             assert r.span_tokens == r.end_tok - r.start_tok + 1
             prev_end = r.end_tok
+
+
+def test_mmr_matches_numpy_reference(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    out = REGISTRY["emb_mmr_rerank"].spark_fn(spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.itertuples()}
+
+    lam, k, pool = 0.7, 5, 20
+    for qid in range(10):
+        q = vecs[qid]
+        qn = q / np.linalg.norm(q)
+        sims = {}
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            sims[vid] = round(float(np.dot(qn, v / np.linalg.norm(v))), 6)
+        cand = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]
+        ids = [c[0] for c in cand]
+        rel = np.array([c[1] for c in cand])
+        V = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        S = V @ V.T
+        selected, remaining = [], list(range(len(ids)))
+        while remaining and len(selected) < k:
+            red = (
+                S[np.ix_(remaining, selected)].max(axis=1)
+                if selected
+                else np.zeros(len(remaining))
+            )
+            mmr = lam * rel[remaining] - (1 - lam) * red
+            j = int(np.argmax(mmr))
+            selected.append(remaining[j])
+            remaining.pop(j)
+        want = [ids[s] for s in selected]
+        got = (
+            out[out.query_id == qid]
+            .sort_values("mmr_rank")["neighbor_id"]
+            .tolist()
+        )
+        assert got == want, f"query {qid}: {got} != {want}"
