@@ -2662,3 +2662,373 @@ def emb_mmr_rerank(spark, sf_dir):
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
+
+
+@register(
+    "doc_rake_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents),
+    tokpos AS (
+      SELECT doc_id, i + 1 AS pos, t[i + 1] AS w
+      FROM toks, unnest(range(len(t))) AS u(i)
+      WHERE t[i + 1] <> ''),
+    content AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM tokpos
+      WHERE w NOT IN ('the','a','an','and','or','of','to','in','is','it')),
+    members AS (
+      SELECT doc_id, grp, pos, w,
+             count(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM content),
+    wstats AS (
+      SELECT w, count(*) AS freq, sum(phrase_len) AS deg
+      FROM members GROUP BY w),
+    wscore AS (
+      SELECT w,
+             CAST(round(CAST(deg AS DOUBLE) * 1000000 / freq) AS BIGINT)
+               AS sw_micro
+      FROM wstats),
+    phrases AS (
+      SELECT m.doc_id, m.grp,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(s.sw_micro) AS BIGINT) AS score_micro
+      FROM members m JOIN wscore s ON m.w = s.w
+      GROUP BY m.doc_id, m.grp
+      HAVING count(*) >= 2),
+    ranked AS (
+      SELECT doc_id, phrase, n_words, score_micro,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, phrase ASC) AS rnk
+      FROM phrases)
+    SELECT doc_id, phrase, n_words, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    description=(
+        "RAKE keyword extraction (Rose et al.): candidate phrases are "
+        "maximal runs of non-stopword tokens (gaps-and-islands on "
+        "stopword positions), word scores are degree/frequency over "
+        "the phrase co-occurrence graph, phrase score = sum of member "
+        "word scores; emits each doc's top-3 multi-word keyphrases. "
+        "Determinism: word scores deg/freq are quantized to integer "
+        "MICRO-UNITS before the per-phrase sum (the unigram-logprob "
+        "trick), so aggregation order cannot perturb ranking; rank "
+        "ties break on phrase text. Shape: token explode, one doc_id "
+        "window for islands, a (doc,island) window for phrase length, "
+        "a Zipf-bounded word-stats agg joined back on w (vocab-sized "
+        "-> broadcast at scale), one phrase agg, one per-doc top-k "
+        "window. No all-pairs graph materialization — RAKE's "
+        "word-cooccurrence degree is exactly sum(phrase_len) per word"
+    ),
+    tags=("documents", "text", "keywords"),
+)
+def doc_rake_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.textops import EN_STOPWORDS
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tokpos = (
+        docs.select("doc_id", F.posexplode(toks).alias("i", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "w")
+    )
+    content = tokpos.filter(~F.col("w").isin(*EN_STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    members = content.withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")),
+    )
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("deg"),
+        )
+        .select(
+            "w",
+            F.round(F.col("deg").cast("double") * 1000000 / F.col("freq"))
+            .cast("bigint")
+            .alias("sw_micro"),
+        )
+    )
+    phrases = (
+        members.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("sw_micro").cast("bigint").alias("score_micro"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+    ranked = phrases.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("score_micro"), F.asc("phrase")
+            )
+        )
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= 3).select(
+        "doc_id", "phrase", "n_words", "score_micro", "rnk"
+    )
+
+
+@register(
+    "rel_referential_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_partkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem_suppkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer_nationkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation_regionkey_fk',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    description=(
+        "Deequ-style cross-table constraint suite over the star "
+        "schema: five FK orphan checks (LEFT joins counting unmatched "
+        "probes — dimension sides are broadcast at any realistic dim/"
+        "fact ratio), two PK uniqueness checks (count - count "
+        "distinct, one agg each), and two domain/range checks "
+        "(conditional sums, map-side). One row per constraint with "
+        "(checked, violations) — the audit artifact a nightly 100 TB "
+        "pipeline gates promotion on. The fact table is scanned once "
+        "PER FK check here for clarity; the single-pass variant "
+        "(multi-broadcast + one labeled agg) is the documented "
+        "restructure if lineitem scans dominate"
+    ),
+    tags=("relational", "quality", "join"),
+)
+def rel_referential_audit(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+
+    def fk(name, fact, fk_col, dim, pk_col):
+        d = F.broadcast(dim.select(F.col(pk_col).alias("_pk")))
+        j = fact.select(F.col(fk_col).alias("_fk")).join(
+            d, F.col("_fk") == F.col("_pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    def pk_unique(name, df, col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct(col))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    def domain(name, df, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    checks = [
+        fk("orders_custkey_fk", orders, "o_custkey", cust, "c_custkey"),
+        fk("lineitem_orderkey_fk", li, "l_orderkey", orders, "o_orderkey"),
+        fk("lineitem_partkey_fk", li, "l_partkey", part, "p_partkey"),
+        fk("lineitem_suppkey_fk", li, "l_suppkey", supp, "s_suppkey"),
+        fk("customer_nationkey_fk", cust, "c_nationkey", nation, "n_nationkey"),
+        fk("nation_regionkey_fk", nation, "n_regionkey", region, "r_regionkey"),
+        pk_unique("customer_pk_unique", cust, "c_custkey"),
+        pk_unique("orders_pk_unique", orders, "o_orderkey"),
+        domain(
+            "orders_status_domain",
+            orders,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        domain(
+            "lineitem_qty_range",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@register(
+    "evt_walk_forward_mae",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS y,
+             sum(CAST(round(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_sum,
+             count(*) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_cnt,
+             lag(CAST(round(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS y_prev
+      FROM events),
+    scored AS (
+      SELECT user_id, event_type, y,
+             CAST(round(CAST(prev_sum AS DOUBLE) * 1000000 / prev_cnt)
+                  AS BIGINT) AS fc_mean_micro,
+             y_prev * 1000000 AS fc_naive_micro
+      FROM base WHERE prev_cnt >= 5)
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(abs(y * 1000000 - fc_mean_micro)) AS BIGINT)
+             AS ae_mean_micro,
+           CAST(sum(abs(y * 1000000 - fc_naive_micro)) AS BIGINT)
+             AS ae_naive_micro,
+           CAST(sum(abs(y * 1000000 - fc_mean_micro)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS mae_mean,
+           CAST(sum(abs(y * 1000000 - fc_naive_micro)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS mae_naive,
+           (sum(abs(y * 1000000 - fc_mean_micro))
+              < sum(abs(y * 1000000 - fc_naive_micro))) AS mean_wins
+    FROM scored GROUP BY user_id, event_type
+    """,
+    description=(
+        "walk-forward backtest per series: every point after a "
+        "5-observation warm-up is forecast by (a) the EXPANDING-window "
+        "mean of all prior points and (b) naive last-value carry, "
+        "with absolute errors accumulated in integer micro-cents "
+        "(forecast quantized BEFORE the error sum — aggregation-order-"
+        "proof) and a per-series champion flag. This is the evaluation "
+        "harness behind the reference's walk-forward automate loop "
+        "(PUSH/TRAIN orchestration), expressed as pure windows: the "
+        "expanding sums, the lag, and the final per-series agg all "
+        "ride ONE exchange on the series key. No refitting loop, no "
+        "per-split jobs — 100 TB of backtest in one pass"
+    ),
+    tags=("events", "forecast", "evaluation"),
+)
+def evt_walk_forward_mae(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value_c").alias("y"),
+        F.sum("value_c").over(w_prev).alias("prev_sum"),
+        F.count(F.lit(1)).over(w_prev).alias("prev_cnt"),
+        F.lag("value_c").over(w).alias("y_prev"),
+    )
+    scored = base.filter(F.col("prev_cnt") >= 5).select(
+        "user_id",
+        "event_type",
+        "y",
+        F.round(
+            F.col("prev_sum").cast("double") * 1000000 / F.col("prev_cnt")
+        )
+        .cast("bigint")
+        .alias("fc_mean_micro"),
+        (F.col("y_prev") * 1000000).alias("fc_naive_micro"),
+    )
+    ae_mean = F.sum(F.abs(F.col("y") * 1000000 - F.col("fc_mean_micro")))
+    ae_naive = F.sum(F.abs(F.col("y") * 1000000 - F.col("fc_naive_micro")))
+    return scored.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        ae_mean.cast("bigint").alias("ae_mean_micro"),
+        ae_naive.cast("bigint").alias("ae_naive_micro"),
+        # raw division, NOT rounded: the operands are exact integers in
+        # double form and the division tree is identical in both engines,
+        # so the quotient is bit-equal — while round(x, 6) can land on a
+        # half-microunit tie and diverge (observed: 1 cell in 741)
+        (ae_mean.cast("double") / F.count(F.lit(1)) / F.lit(1000000.0))
+        .alias("mae_mean"),
+        (ae_naive.cast("double") / F.count(F.lit(1)) / F.lit(1000000.0))
+        .alias("mae_naive"),
+        (ae_mean < ae_naive).alias("mean_wins"),
+    )
