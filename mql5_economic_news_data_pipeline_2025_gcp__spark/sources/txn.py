@@ -497,3 +497,130 @@ def changes(
     if not added:
         return spark.createDataFrame([], read(spark, root, to_v).schema)
     return spark.read.parquet(*added)
+
+
+# ------------------------------------------- row-level DELETE / OPTIMIZE
+
+
+def delete_where(
+    spark: SparkSession, root: str, predicate: str
+) -> tuple[int, int, int]:
+    """Row-level DELETE (the GDPR/right-to-erasure path): rewrite ONLY
+    the files that actually CONTAIN matching rows; every other file
+    carries into the new manifest by reference — zero bytes rewritten
+    for them, O(matching files) not O(table).
+
+    Protocol: one predicate scan tagged with ``input_file_name`` finds
+    the hit files (the collect is bounded by |files in manifest|, never
+    rows); hit files are re-read, anti-filtered, and rewritten; commit
+    publishes carried ∪ rewritten atomically. Old versions still
+    time-travel to the pre-delete data until ``vacuum`` — which is the
+    real erasure point, so a compliance delete is ``delete_where`` +
+    ``vacuum(keep_last=1)``. CAS loss retries against the new head
+    (serializable: the read-set is re-resolved).
+
+    If the manifest carries ``stats`` (``overwrite_with_stats``), the
+    hit-file scan could be pre-pruned by min/max; at file granularity
+    the predicate scan is already column-pruned to the predicate's
+    columns, so the extra plumbing is deliberately omitted here.
+
+    Returns (version, n_files_rewritten, n_files_carried).
+    """
+    from pyspark.sql import functions as F
+
+    while True:
+        head = versions(root)
+        if not head:
+            raise FileNotFoundError(f"no commits at {root}")
+        base = _read_manifest(root, head[-1])["files"]
+        paths = [os.path.join(root, f) for f in base]
+        tagged = spark.read.parquet(*paths).withColumn(
+            "_f", F.input_file_name()
+        )
+        hit_abs = {
+            r[0].replace("file://", "")
+            for r in tagged.filter(F.expr(predicate))
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+        hit = [
+            f for f in base if os.path.join(os.path.abspath(root), f) in
+            {os.path.abspath(p) for p in hit_abs}
+        ]
+        carried = [f for f in base if f not in set(hit)]
+        if not hit:
+            return head[-1], 0, len(carried)
+        kept = (
+            spark.read.parquet(*[os.path.join(root, f) for f in hit])
+            .filter(~F.expr(predicate))
+        )
+        new_files = [] if kept.isEmpty() else _write_files(kept, root)
+        v = head[-1] + 1
+        try:
+            _try_commit(
+                root,
+                v,
+                {
+                    "version": v,
+                    "op": "delete",
+                    "predicate": predicate,
+                    "files": carried + new_files,
+                },
+            )
+            return v, len(hit), len(carried)
+        except CommitConflict:
+            continue
+
+
+def optimize_files(
+    spark: SparkSession, root: str, target_file_mb: int = 128
+) -> tuple[int, int, int]:
+    """Bin-packing small-file compaction (OPTIMIZE semantics): greedily
+    pack files SMALLER than the target into ~target-size bins and
+    rewrite each bin as one file; files already at/above target carry
+    by reference, untouched. Unlike :func:`compact` (full rewrite),
+    cost is O(small files) — the steady-state maintenance op for a
+    table fed by streaming appends, where each micro-batch leaves a
+    small file and periodic OPTIMIZE folds them together.
+
+    Returns (version, n_files_packed, n_files_carried); returns the
+    current head unchanged when <2 small files exist (nothing to fold).
+    """
+    target_b = target_file_mb * 1024 * 1024
+    while True:
+        head = versions(root)
+        if not head:
+            raise FileNotFoundError(f"no commits at {root}")
+        base = _read_manifest(root, head[-1])["files"]
+        sized = [(f, os.path.getsize(os.path.join(root, f))) for f in base]
+        small = [(f, s) for f, s in sized if s < target_b]
+        carried = [f for f, s in sized if s >= target_b]
+        if len(small) < 2:
+            return head[-1], 0, len(base)
+        # greedy first-fit over size-descending small files
+        bins: list[list[str]] = []
+        bin_sz: list[int] = []
+        for f, s in sorted(small, key=lambda t: -t[1]):
+            for i in range(len(bins)):
+                if bin_sz[i] + s <= target_b:
+                    bins[i].append(f)
+                    bin_sz[i] += s
+                    break
+            else:
+                bins.append([f])
+                bin_sz.append(s)
+        new_files: list[str] = []
+        for b in bins:
+            df = spark.read.parquet(*[os.path.join(root, f) for f in b])
+            new_files += _write_files(df.coalesce(1), root)
+        v = head[-1] + 1
+        try:
+            _try_commit(
+                root,
+                v,
+                {"version": v, "op": "optimize", "files": carried + new_files},
+            )
+            return v, len(small), len(carried)
+        except CommitConflict:
+            continue

@@ -464,3 +464,91 @@ def test_txn_schema_evolution_and_cdc_ivm(spark, tmp_path):
     a = sorted(tuple(r) for r in view.collect())
     b = sorted(tuple(r) for r in full.collect())
     assert a == b
+
+
+def test_txn_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """Row-level DELETE: files without matching rows carry into the new
+    manifest by reference (same relative paths, byte-identical); hit
+    files are anti-filtered and rewritten; time travel still sees the
+    pre-delete rows until vacuum — and vacuum is the erasure point."""
+    import hashlib
+    import os
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    # 4 range-disjoint files on k: the delete predicate hits exactly one
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    txn.overwrite_with_stats(df, root, ["k"], num_files=4)
+    m0 = txn._read_manifest(root, 0)
+    assert len(m0["files"]) == 4
+
+    def digest(relf):
+        with open(os.path.join(root, relf), "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    pre = {f: digest(f) for f in m0["files"]}
+
+    v, n_hit, n_carried = txn.delete_where(spark, root, "k >= 50 AND k < 60")
+    assert v == 1 and n_hit == 1 and n_carried == 3
+
+    m1 = txn._read_manifest(root, 1)
+    carried = [f for f in m1["files"] if f in pre]
+    assert len(carried) == 3
+    for f in carried:  # untouched files: same path, same bytes
+        assert digest(f) == pre[f]
+
+    got = {r[0] for r in txn.read(spark, root).collect()}
+    assert got == set(range(0, 50)) | set(range(60, 400))
+    # time travel: v0 still holds the deleted rows (erasure = vacuum)
+    assert txn.read(spark, root, version=0).count() == 400
+    txn.vacuum(root, keep_last=1)
+    assert txn.versions(root) == [1]
+
+    # no-match delete: head unchanged, nothing rewritten
+    v2, n_hit2, _ = txn.delete_where(spark, root, "k = 999999")
+    assert (v2, n_hit2) == (1, 0)
+    assert len(txn.versions(root)) == 1
+
+
+def test_txn_optimize_packs_small_files_carries_large(spark, tmp_path):
+    """OPTIMIZE: small files fold into ~target-size bins; files already
+    at/above target carry by reference untouched; data is unchanged."""
+    import os
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    # one big (>1 MB: incompressible md5 payload) file + tiny appends
+    big_df = (
+        spark.range(0, 60000)
+        .withColumnRenamed("id", "k")
+        .withColumn("payload", F.md5(F.col("k").cast("string")))
+        .coalesce(1)
+    )
+    txn.overwrite(big_df, root)
+    for i in range(4):
+        txn.append(
+            spark.range(200000 + i * 10, 200000 + i * 10 + 10)
+            .withColumnRenamed("id", "k")
+            .withColumn("payload", F.md5(F.col("k").cast("string")))
+            .coalesce(1),
+            root,
+        )
+    base = txn._read_manifest(root, txn.versions(root)[-1])["files"]
+    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in base}
+    big = max(sizes, key=sizes.get)
+
+    # 1 MB target sits between the tiny appends and the big file, so
+    # ONLY the tiny files pack
+    assert sizes[big] >= 1024 * 1024
+    v, n_packed, n_carried = txn.optimize_files(spark, root, target_file_mb=1)
+    m = txn._read_manifest(root, v)
+    assert n_packed == 4 and big in m["files"]
+    assert len(m["files"]) < len(base)
+    assert txn.read(spark, root).count() == 60040
+    # idempotent: a second optimize finds nothing to fold
+    v2, n2, _ = txn.optimize_files(spark, root, target_file_mb=1)
+    assert (v2, n2) == (v, 0)
