@@ -552,3 +552,47 @@ def test_txn_optimize_packs_small_files_carries_large(spark, tmp_path):
     # idempotent: a second optimize finds nothing to fold
     v2, n2, _ = txn.optimize_files(spark, root, target_file_mb=1)
     assert (v2, n2) == (v, 0)
+
+
+def test_txn_row_diff_cdc_semantics(spark, tmp_path):
+    """Row-level CDC between versions: inserts/deletes/updates carry
+    Delta-CDF ops; carried (immutable) files cancel without being read;
+    a pure OPTIMIZE/compaction commit yields an EMPTY diff."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    txn.overwrite_with_stats(base, root, ["k"], num_files=4)  # v0
+
+    # v1: delete k in [10,20) — one file rewritten
+    txn.delete_where(spark, root, "k >= 10 AND k < 20")
+    d1 = txn.row_diff(spark, root, ["k"], v_from=0, v_to=1).toPandas()
+    assert set(d1["_op"]) == {"delete"}
+    assert sorted(d1["k"]) == list(range(10, 20))
+
+    # v2: append new keys + an updated copy of k=5 via merge-less append
+    # (append duplicates the key; use overwrite to model an update)
+    cur = txn.read(spark, root)
+    updated = cur.withColumn(
+        "v", F.when(F.col("k") == 5, F.lit(999)).otherwise(F.col("v"))
+    ).unionByName(
+        spark.range(1000, 1003).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    txn.overwrite_with_stats(updated, root, ["k"], num_files=4)  # v2
+    d2 = txn.row_diff(spark, root, ["k"], v_from=1, v_to=2).toPandas()
+    ops = d2.groupby("_op")["k"].apply(list).to_dict()
+    assert sorted(ops["insert"]) == [1000, 1001, 1002]
+    assert ops["update_pre"] == [5] and ops["update_post"] == [5]
+    assert d2[d2["_op"] == "update_post"]["v"].iloc[0] == 999
+    assert "delete" not in ops
+
+    # v3: OPTIMIZE-style rewrite with identical rows -> EMPTY diff
+    txn.overwrite_with_stats(txn.read(spark, root), root, ["k"], num_files=2)
+    d3 = txn.row_diff(spark, root, ["k"], v_from=2, v_to=3)
+    assert d3.count() == 0
