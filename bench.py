@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     "doc_bpe_train_merges",
     "evt_rank_auc",
     "evt_attribution",
+    "doc_rake_keywords",
+    "rel_referential_audit",
+    "evt_walk_forward_mae",
+    "emb_mmr_rerank",
+    "evt_cms_heavy_hitters",
 ]
 
 

@@ -3032,3 +3032,57 @@ def evt_walk_forward_mae(spark, sf_dir):
         .alias("mae_naive"),
         (ae_mean < ae_naive).alias("mean_wins"),
     )
+
+
+@register(
+    "evt_cms_heavy_hitters",
+    oracle=None,  # sketch cells depend on xxhash64 (engine-specific by
+    # design, same class as evt_sketch_profile); the accuracy gate is
+    # tests/test_stats_r4.py::test_cms_bounds_vs_exact (one-sided
+    # overestimate + eps*N error bound against exact counts)
+    description=(
+        "count-min-sketch heavy hitters over (user_id, event_type) "
+        "keys: the fixed-memory substitute for exact distinct-key "
+        "counting when the key domain explodes — the shuffle carries "
+        "a d x w counter grid (map-side-combined, <= d*w rows per "
+        "partition) instead of one row per distinct key, and sketches "
+        "merge cell-wise for incremental maintenance. Emits the "
+        "sketch estimate next to the exact count for the true top-20 "
+        "keys, demonstrating the one-sided error: est >= true always, "
+        "est <= true + eps*N w.h.p."
+    ),
+    tags=("events", "sketch", "aggregate"),
+)
+def evt_cms_heavy_hitters(spark, sf_dir):
+    from ..operators.cms import cms_build, cms_estimate
+
+    ev = keyed_events(spark, sf_dir).withColumn(
+        "hh_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    sketch = cms_build(ev, "hh_key", d=4, w=2048)
+    exact = ev.groupBy("hh_key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    from pyspark.sql import Window
+
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k then a 20-row merge at the driver side of the exchange) —
+    # no global sort; the rank window then runs over 20 rows only
+    top = (
+        exact.orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+            ),
+        )
+    )
+    est = cms_estimate(sketch, top, "hh_key", d=4, w=2048)
+    return (
+        top.join(est, top.hh_key == est.key)
+        .select(
+            "hh_key",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("est").cast("bigint").alias("cms_est"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

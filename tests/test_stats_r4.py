@@ -164,3 +164,46 @@ def test_mmr_matches_numpy_reference(spark):
             .tolist()
         )
         assert got == want, f"query {qid}: {got} != {want}"
+
+
+def test_cms_bounds_vs_exact(spark):
+    """CMS guarantees vs exact counts on real data: one-sided
+    overestimate everywhere, and error within eps*N for the top keys
+    (w=2048 -> eps = e/w ~ 0.0013)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("hh_key", F.concat_ws("|", "user_id", "event_type"))
+    )
+    n_total = ev.count()
+    exact = {
+        r.hh_key: r.cnt
+        for r in ev.groupBy("hh_key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    sketch = cms_build(ev, "hh_key", d=4, w=2048)
+    cand = ev.select("hh_key").distinct()
+    est = {
+        r.key: r.est
+        for r in cms_estimate(sketch, cand, "hh_key", d=4, w=2048).collect()
+    }
+    eps_n = (2.718281828 / 2048) * n_total
+    for k, true in exact.items():
+        assert est[k] >= true, k  # one-sided: never underestimates
+        assert est[k] <= true + max(eps_n, 1) * 4, k  # loose w.h.p. bound
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B) cell-wise
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(a, "hh_key", d=4, w=2048), cms_build(b, "hh_key", d=4, w=2048)
+    )
+    whole = cms_build(ev, "hh_key", d=4, w=2048)
+    mp = {(r.depth, r.bucket): r.cnt for r in merged.collect()}
+    wp = {(r.depth, r.bucket): r.cnt for r in whole.collect()}
+    assert mp == wp
