@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "evt_walk_forward_mae",
     "emb_mmr_rerank",
     "evt_cms_heavy_hitters",
+    "evt_theilsen_trend",
 ]
 
 

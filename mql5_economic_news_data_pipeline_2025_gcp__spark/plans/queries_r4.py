@@ -3086,3 +3086,103 @@ def evt_cms_heavy_hitters(spark, sf_dir):
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "evt_theilsen_trend",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS y,
+             CAST(row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS BIGINT) AS idx
+      FROM events),
+    slopes AS (
+      SELECT a.user_id, a.event_type,
+             CAST(round(CAST((b.y - a.y) * 1000000 AS DOUBLE)
+                        / (b.idx - a.idx)) AS BIGINT) AS slope_micro
+      FROM base a JOIN base b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+       AND b.idx - a.idx BETWEEN 1 AND 30),
+    ranked AS (
+      SELECT user_id, event_type, slope_micro,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY slope_micro) AS rn,
+             count(*) OVER (
+               PARTITION BY user_id, event_type) AS n_pairs
+      FROM slopes)
+    SELECT user_id, event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_micro AS ts_slope_micro
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2 AND n_pairs >= 10
+    """,
+    description=(
+        "banded Theil-Sen robust trend per series: the median of "
+        "pairwise slopes over index gaps <= 30 — outlier-resistant "
+        "where OLS's squared loss is not, and the band turns the "
+        "estimator's O(n^2) pair set into O(30n) (the standard "
+        "windowed variant; full Theil-Sen would be quadratic in "
+        "series length and is deliberately NOT offered). Slopes are "
+        "integer micro-cents-per-step (exact: cents delta x 1e6 over "
+        "an integer gap, one shared rounding tree), the median is "
+        "nearest-rank row selection — no doubles aggregated anywhere. "
+        "Shape: ONE shuffle on the series key serves the index "
+        "window, the banded self-join (both sides arrive "
+        "co-partitioned), and the rank/count windows on the slope "
+        "set. Fan-out bounded at 30x rows"
+    ),
+    tags=("events", "statistics", "regression"),
+)
+def evt_theilsen_trend(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value_c").alias("y"),
+        F.row_number().over(w).cast("bigint").alias("idx"),
+    )
+    a = base.select(
+        "user_id", "event_type", F.col("y").alias("ya"), F.col("idx").alias("ia")
+    )
+    b = base.select(
+        "user_id", "event_type", F.col("y").alias("yb"), F.col("idx").alias("ib")
+    )
+    slopes = (
+        a.join(b, ["user_id", "event_type"])
+        .filter(
+            (F.col("ib") - F.col("ia") >= 1) & (F.col("ib") - F.col("ia") <= 30)
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round(
+                ((F.col("yb") - F.col("ya")) * 1000000).cast("double")
+                / (F.col("ib") - F.col("ia"))
+            )
+            .cast("bigint")
+            .alias("slope_micro"),
+        )
+    )
+    w_rank = Window.partitionBy("user_id", "event_type").orderBy("slope_micro")
+    w_all = Window.partitionBy("user_id", "event_type")
+    ranked = slopes.select(
+        "user_id",
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    return ranked.filter(
+        (F.col("rn") == F.expr("(n_pairs + 1) div 2")) & (F.col("n_pairs") >= 10)
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope_micro").alias("ts_slope_micro"),
+    )
