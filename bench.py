@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "emb_mmr_rerank",
     "evt_cms_heavy_hitters",
     "evt_theilsen_trend",
+    "stream_heavy_hitters",
 ]
 
 

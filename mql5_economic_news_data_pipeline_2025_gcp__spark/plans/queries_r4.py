@@ -3186,3 +3186,27 @@ def evt_theilsen_trend(spark, sf_dir):
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.col("slope_micro").alias("ts_slope_micro"),
     )
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=None,  # sketch cells depend on xxhash64 (engine-specific);
+    # the gate is tests/test_streaming_semantics.py::
+    # test_stream_cms_equals_batch — the streamed sketch must be
+    # CELL-IDENTICAL to the batch sketch, so the readout equals
+    # evt_cms_heavy_hitters exactly
+    description=(
+        "streaming count-min heavy hitters: micro-batches feed "
+        "cell-count partials into a batch-id-versioned parquet sketch "
+        "state (at-least-once replays skipped, atomic symlink "
+        "publish); the d x w grid never grows, so streaming state is "
+        "FIXED-SIZE forever — the property that lets a heavy-hitter "
+        "monitor run unbounded on an unbounded stream. Mergeability "
+        "makes the drained sketch cell-identical to the batch sketch"
+    ),
+    tags=("events", "streaming", "sketch"),
+)
+def stream_heavy_hitters_q(spark, sf_dir):
+    from ..streaming.ingest import stream_heavy_hitters
+
+    return stream_heavy_hitters(spark, sf_dir)

@@ -657,3 +657,84 @@ def stream_stream_view_purchase_join(
         F.sum("n_pairs").alias("n_pairs"),
         F.sum("pair_checksum").alias("pair_checksum"),
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Count-min sketch maintained ACROSS micro-batches: the streaming
+    twin of the batch CMS heavy-hitter query.
+
+    The sketch's mergeability is exactly what incremental streaming
+    state wants — each micro-batch contributes cell-count partials and
+    the state table (a d×w grid, fixed size forever) absorbs them via
+    the same batch-id-versioned ``ParquetRollupState`` as the rollup
+    stream (at-least-once replays skipped, atomic symlink publish). The
+    stream side is STATELESS map work: key → d (depth, bucket) probes;
+    the fold's partial agg collapses each batch to ≤ d·w cells before
+    the state merge. After a full drain the streamed sketch is
+    CELL-IDENTICAL to the batch-built sketch (asserted in
+    tests/test_streaming_semantics.py::test_stream_cms_equals_batch),
+    so the heavy-hitter readout matches the batch query exactly.
+    """
+    from ..operators.cms import cms_estimate
+
+    state = ParquetRollupState(
+        spark,
+        _scratch_dir("cms_state_"),
+        keys=("depth", "bucket"),
+        sums=("wt",),
+    )
+    ev = _events_stream(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.concat_ws("|", "user_id", "event_type").alias("_k"),
+        )
+        .select(
+            "_k",
+            F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("_k"), F.col("depth")), F.lit(w)))
+        .withColumn("wt", F.lit(1).cast("bigint"))
+    )
+    with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            cells.writeStream.foreachBatch(state.fold)
+            .option("checkpointLocation", _scratch_dir("cms_ckpt_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sketch = state.read().select(
+        "depth", "bucket", F.col("sum_wt").alias("cnt")
+    )
+
+    # readout: sketch estimates for the true top-20 keys (exact counts
+    # from the batch table — the sketch never sees them)
+    from ..sources.tables import load_table
+
+    ev_b = load_table(spark, sf_dir, "events").withColumn(
+        "hh_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    exact = ev_b.groupBy("hh_key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    from pyspark.sql import Window
+
+    top = (
+        exact.orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+            ),
+        )
+    )
+    est = cms_estimate(sketch, top, "hh_key", d=d, w=w)
+    return top.join(est, top.hh_key == est.key).select(
+        "hh_key",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("est").cast("bigint").alias("cms_est"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

@@ -212,3 +212,20 @@ def test_rollup_state_retry_is_idempotent(spark, tmp_path):
     }
     assert state.applied_batch() == 1
     assert out["a"] == (115, 3) and out["b"] == (1, 1)
+
+
+def test_stream_cms_equals_batch(spark):
+    """The streamed (micro-batch-merged) CMS sketch readout must equal
+    the batch CMS query exactly — mergeability + exactly-once fold."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    streamed = (
+        REGISTRY["stream_heavy_hitters"].spark_fn(spark, sf).toPandas()
+        .sort_values("rnk").reset_index(drop=True)
+    )
+    batch = (
+        REGISTRY["evt_cms_heavy_hitters"].spark_fn(spark, sf).toPandas()
+        .sort_values("rnk").reset_index(drop=True)
+    )
+    assert streamed.equals(batch)
