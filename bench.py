@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "evt_cms_heavy_hitters",
     "evt_theilsen_trend",
     "stream_heavy_hitters",
+    "evt_hll_rollup_distinct",
+    "emb_centroid_drift",
 ]
 
 

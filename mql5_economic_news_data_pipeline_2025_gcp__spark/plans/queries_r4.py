@@ -3210,3 +3210,141 @@ def stream_heavy_hitters_q(spark, sf_dir):
     from ..streaming.ingest import stream_heavy_hitters
 
     return stream_heavy_hitters(spark, sf_dir)
+
+
+@register(
+    "evt_hll_rollup_distinct",
+    oracle=None,  # HLL sketch binaries are engine-specific; the gates
+    # are tests/test_stats_r4.py::test_hll_rollup_accuracy (within-rsd
+    # vs exact countDistinct) and test_hll_union_equals_direct (daily
+    # union == direct whole-range sketch — merge associativity)
+    description=(
+        "HLL distinct-count ROLLUP (Apache DataSketches via Spark's "
+        "hll_sketch_agg/hll_union_agg): per-(event_type, day) user "
+        "sketches union up to per-type monthly distincts WITHOUT "
+        "rescanning rows — the pre-aggregated distinct-count cube "
+        "plain counts cannot provide (distinct is not summable; "
+        "sketches are). At 100 TB the daily sketch table is the only "
+        "thing ever re-read: KB-sized binaries per group, union cost "
+        "independent of row count. Emits estimate next to exact for "
+        "the readout; lgk=14 -> rsd ~0.8%"
+    ),
+    tags=("events", "sketch", "aggregate"),
+)
+def evt_hll_rollup_distinct(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    monthly = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+            "est_distinct_users"
+        ),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct_users")
+    )
+    return monthly.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_rows",
+        F.col("est_distinct_users").cast("bigint").alias("est_distinct_users"),
+        "exact_distinct_users",
+    )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id * 2 < (SELECT max(vec_id) + 1 FROM embeddings)
+                  THEN 0 ELSE 1 END AS half,
+             i AS dim,
+             CAST(round(embedding[i + 1] * 1000000) AS BIGINT) AS comp_micro
+      FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+    sums AS (
+      SELECT label, half, dim,
+             sum(comp_micro) AS s, count(*) AS n
+      FROM q GROUP BY label, half, dim),
+    wide AS (
+      SELECT a.label, a.dim,
+             CAST(a.s AS DOUBLE) / a.n AS m0,
+             CAST(b.s AS DOUBLE) / b.n AS m1,
+             a.n AS n0, b.n AS n1
+      FROM sums a JOIN sums b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1)
+    SELECT label,
+           CAST(max(n0) AS BIGINT) AS n0,
+           CAST(max(n1) AS BIGINT) AS n1,
+           CAST(count(*) AS BIGINT) AS dims,
+           round(sqrt(sum((m0 - m1) * (m0 - m1))) / 1000000.0, 6)
+             AS centroid_shift
+    FROM wide GROUP BY label
+    """,
+    description=(
+        "embedding-space drift monitor: per-label centroid shift "
+        "(L2 distance between the mean vectors of the first and "
+        "second id-halves of the corpus) — the linear-kernel MMD "
+        "statistic that catches representation drift between data "
+        "snapshots before any model does. Determinism: components "
+        "quantize to integer MICRO-UNITS before summation (float "
+        "sums are order-dependent; integer sums are exact in any "
+        "plan), means and the final sqrt share one expression tree. "
+        "Shape: one per-(label, half, dim) integer agg over exploded "
+        "components (map-side combined), then a dims-sized join and a "
+        "label-sized agg — row count never survives the first agg"
+    ),
+    tags=("embeddings", "drift", "statistics"),
+)
+def emb_centroid_drift(spark, sf_dir):
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    mx = emb.agg((F.max("vec_id") + 1).alias("m"))
+    q = (
+        emb.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            F.when(F.col("vec_id") * 2 < F.col("m"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.posexplode("embedding").alias("dim", "comp"),
+        )
+        .select(
+            "label",
+            "half",
+            "dim",
+            F.round(F.col("comp").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("comp_micro"),
+        )
+    )
+    sums = q.groupBy("label", "half", "dim").agg(
+        F.sum("comp_micro").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n")).alias("m0"),
+        F.col("n").alias("n0"),
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n")).alias("m1"),
+        F.col("n").alias("n1"),
+    )
+    wide = a.join(b, ["label", "dim"])
+    return wide.groupBy("label").agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("dims"),
+        F.round(
+            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))))
+            / F.lit(1000000.0),
+            6,
+        ).alias("centroid_shift"),
+    )

@@ -207,3 +207,37 @@ def test_cms_bounds_vs_exact(spark):
     mp = {(r.depth, r.bucket): r.cnt for r in merged.collect()}
     wp = {(r.depth, r.bucket): r.cnt for r in whole.collect()}
     assert mp == wp
+
+
+def test_hll_rollup_accuracy(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    out = REGISTRY["evt_hll_rollup_distinct"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        err = abs(r.est_distinct_users - r.exact_distinct_users)
+        assert err <= max(3, 0.02 * r.exact_distinct_users), dict(r)
+
+
+def test_hll_union_equals_direct(spark):
+    """Union of daily sketches must estimate identically to one sketch
+    built over the whole range — the mergeability that makes the
+    rollup table valid at any grain."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_type", "user_id", "to_date(ts) AS day")
+    )
+    via_days = (
+        ev.groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est")
+    )
+    a = {r.event_type: r.est for r in via_days.collect()}
+    b = {r.event_type: r.est for r in direct.collect()}
+    assert a == b
