@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "stream_heavy_hitters",
     "evt_hll_rollup_distinct",
     "emb_centroid_drift",
+    "evt_calibration_bins",
+    "doc_temperature_mix",
 ]
 
 

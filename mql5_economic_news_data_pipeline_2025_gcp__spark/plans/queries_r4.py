@@ -3348,3 +3348,170 @@ def emb_centroid_drift(spark, sf_dir):
             6,
         ).alias("centroid_shift"),
     )
+
+
+@register(
+    "evt_calibration_bins",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             event_id,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6 THEN 1 ELSE 0 END AS pos
+      FROM events),
+    scored AS (
+      SELECT event_type, pos,
+             CAST(round(CAST((rank() OVER (
+               PARTITION BY event_type
+               ORDER BY value_c, event_id) - 1) * 1000000 AS DOUBLE)
+               / (count(*) OVER (PARTITION BY event_type) - 1))
+               AS BIGINT) AS score_micro
+      FROM base),
+    binned AS (
+      SELECT event_type,
+             CAST(score_micro * 10 // 1000001 AS BIGINT) AS bin,
+             count(*) AS n,
+             sum(pos) AS n_pos,
+             sum(score_micro) AS s_score
+      FROM scored GROUP BY event_type, bin)
+    SELECT event_type, bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(round(CAST(s_score AS DOUBLE) / n) AS BIGINT)
+             AS mean_score_micro,
+           CAST(round(CAST(n_pos * 1000000 AS DOUBLE) / n) AS BIGINT)
+             AS obs_rate_micro
+    FROM binned
+    """,
+    description=(
+        "reliability-diagram calibration bins: a score (per-type "
+        "percent-rank of value, integer micro-units with an event_id "
+        "tie-break) against a binary outcome (weekend), bucketed into "
+        "10 equal-width score bins with per-bin mean score vs observed "
+        "positive rate — the calibration audit every quality/toxicity "
+        "classifier gating a corpus filter needs before its threshold "
+        "is trusted. All integers end to end (rank->micro quantization "
+        "before any aggregation; rates are rounded integer micro "
+        "ratios). Shape: one exchange on event_type services the rank "
+        "and count windows, then a map-side-combined (type, bin) agg"
+    ),
+    tags=("events", "evaluation", "statistics"),
+)
+def evt_calibration_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    base = ev.select(
+        "event_type",
+        "value_c",
+        "event_id",
+        F.when(iso_dow >= 6, 1).otherwise(0).alias("pos"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value_c", "event_id")
+    w_all = Window.partitionBy("event_type")
+    scored = base.select(
+        "event_type",
+        "pos",
+        F.round(
+            ((F.rank().over(w_rank) - 1) * 1000000).cast("double")
+            / (F.count(F.lit(1)).over(w_all) - 1)
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    binned = scored.groupBy(
+        "event_type",
+        F.expr("score_micro * 10 div 1000001").cast("bigint").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("score_micro").alias("s_score"),
+    )
+    return binned.select(
+        "event_type",
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(F.col("s_score").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_score_micro"),
+        F.round((F.col("n_pos") * 1000000).cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("obs_rate_micro"),
+    )
+
+
+@register(
+    "doc_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) AS wt FROM c),
+    tot AS (
+      SELECT sum(wt) AS wsum, sum(n) AS ntotal FROM w),
+    rates AS (
+      SELECT w.lang, w.n,
+             least(1.0,
+                   (w.wt / t.wsum) * (CAST(t.ntotal AS DOUBLE) / 2.0)
+                   / w.n) AS r
+      FROM w CROSS JOIN tot t),
+    drawn AS (
+      SELECT d.doc_id, d.lang, d.n_chars, r.r, r.n,
+             CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM drawn WHERE u < r
+    GROUP BY lang
+    """,
+    description=(
+        "temperature-weighted multilingual mixing (the mT5/XLM-R "
+        "alpha=0.3 recipe): per-language sampling shares proportional "
+        "to count^alpha flatten the head languages and lift the tail, "
+        "targeting half the corpus; each doc accepts iff "
+        "md5-uniform(doc_id) < its language's rate (capped at 1). "
+        "Reproducible across engines/runs because the uniform draw AND "
+        "the rate are identical expression trees (same md5->hex->2^32 "
+        "contract as doc_importance_sample). Shape: a Zipf-bounded "
+        "lang-count agg + a broadcast scalar + a broadcast rate join "
+        "-> a pure map-side accept filter; rows are touched once"
+    ),
+    tags=("documents", "sampling", "text"),
+)
+def doc_temperature_mix(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "lang", "n", F.pow(F.col("n").cast("double"), F.lit(0.3)).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").alias("wsum"), F.sum("n").alias("ntotal"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0),
+            (F.col("wt") / F.col("wsum"))
+            * (F.col("ntotal").cast("double") / F.lit(2.0))
+            / F.col("n"),
+        ).alias("r"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    drawn = docs.join(F.broadcast(rates), "lang").withColumn("u", u)
+    return (
+        drawn.filter(F.col("u") < F.col("r"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+    )
