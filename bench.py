@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "emb_centroid_drift",
     "evt_calibration_bins",
     "doc_temperature_mix",
+    "emb_random_projection",
 ]
 
 

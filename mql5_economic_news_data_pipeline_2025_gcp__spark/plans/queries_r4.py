@@ -3264,7 +3264,7 @@ def evt_hll_rollup_distinct(spark, sf_dir):
              CASE WHEN vec_id * 2 < (SELECT max(vec_id) + 1 FROM embeddings)
                   THEN 0 ELSE 1 END AS half,
              i AS dim,
-             CAST(round(embedding[i + 1] * 1000000) AS BIGINT) AS comp_micro
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS comp_micro
       FROM embeddings, unnest(range(len(embedding))) AS u(i)),
     sums AS (
       SELECT label, half, dim,
@@ -3514,4 +3514,89 @@ def doc_temperature_mix(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
             F.sum("n_chars").cast("bigint").alias("chars_sampled"),
         )
+    )
+
+
+@register(
+    "emb_random_projection",
+    oracle="""
+    WITH r AS (
+      SELECT i, j,
+             CASE WHEN CAST(('0x' || substring(
+                      md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                      1, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM range(64) t(i), range(16) u(j)),
+    comp AS (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS c_micro
+      FROM embeddings, unnest(range(len(embedding))) AS u(i))
+    SELECT c.vec_id, r.j,
+           CAST(sum(c.c_micro * r.sgn) AS BIGINT) AS out_micro
+    FROM comp c JOIN r ON c.dim = r.i
+    GROUP BY c.vec_id, r.j
+    """,
+    description=(
+        "sparse random projection (Johnson-Lindenstrauss, Achlioptas "
+        "+-1 variant): 64-dim embeddings project to 16 dims through a "
+        "DERIVED +-1 matrix whose signs come from md5(i_j) parity — "
+        "no RNG state, both engines and every retry generate the "
+        "identical matrix, and quantized integer components make each "
+        "output coordinate an exact bigint dot product. Distance "
+        "preservation (the point of JL) is gated by "
+        "test_random_projection_preserves_distances. Shape: the 1024-"
+        "cell sign matrix is a broadcast literal-free dictionary; the "
+        "projection is one map-side-combined (vec, j) agg over "
+        "exploded components — embarrassingly parallel, no shuffle of "
+        "vectors, the standard pre-step before ANN at very high dim"
+    ),
+    tags=("embeddings", "projection", "similarity"),
+)
+def emb_random_projection(spark, sf_dir):
+    d_in, d_out = 64, 16
+    r = (
+        spark.range(d_in)
+        .withColumnRenamed("id", "i")
+        .crossJoin(spark.range(d_out).withColumnRenamed("id", "j"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("i").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "c")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("c").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    return (
+        comp.join(F.broadcast(r), comp.dim == r.i)
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("c_micro") * F.col("sgn")).cast("bigint").alias("out_micro"))
     )

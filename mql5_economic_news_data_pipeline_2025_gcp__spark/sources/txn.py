@@ -703,3 +703,42 @@ def row_diff(
     pre = upd.select(F.col("_row_o.*"), F.lit("update_pre").alias("_op"))
     post = upd.select(F.col("_row_n.*"), F.lit("update_post").alias("_op"))
     return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
+def clone(src_root: str, dest_root: str, version: int | None = None) -> int:
+    """Zero-copy table clone at a version (the dev/test-branch and
+    reproducible-experiment primitive): the destination gets its own
+    commit log whose v0 manifest lists HARDLINKS to the source's data
+    files — metadata-only work, no bytes copied, instant at any table
+    size. Unlike a Delta shallow clone (which references the source by
+    path and dangles if the source vacuums), hardlinked inodes survive
+    the source's vacuum: each table owns an independent name for the
+    same immutable bytes, and immutability is exactly what the commit
+    log already guarantees. Falls back to a real copy across
+    filesystems. Returns the destination's version (always 0)."""
+    import shutil
+
+    vs = versions(src_root)
+    if not vs:
+        raise FileNotFoundError(f"no commits at {src_root}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(src_root, v)
+    os.makedirs(dest_root, exist_ok=True)
+    for rel in m["files"]:
+        src = os.path.join(src_root, rel)
+        dst = os.path.join(dest_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    manifest = {
+        "version": 0,
+        "op": "clone",
+        "files": list(m["files"]),
+        "cloned_from": {"root": os.path.abspath(src_root), "version": v},
+    }
+    if "stats" in m:
+        manifest["stats"] = m["stats"]
+    _try_commit(dest_root, 0, manifest)
+    return 0

@@ -596,3 +596,34 @@ def test_txn_row_diff_cdc_semantics(spark, tmp_path):
     txn.overwrite_with_stats(txn.read(spark, root), root, ["k"], num_files=2)
     d3 = txn.row_diff(spark, root, ["k"], v_from=2, v_to=3)
     assert d3.count() == 0
+
+
+def test_txn_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone: hardlinked data files (no bytes copied), fully
+    independent histories — writes to the clone don't touch the source,
+    and vacuuming the source cannot break the clone."""
+    import os
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources import txn
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txn.overwrite(spark.range(0, 500).withColumnRenamed("id", "k"), src)
+    txn.append(spark.range(500, 600).withColumnRenamed("id", "k"), src)
+
+    # clone at the OLD version: time-travel semantics carry over
+    assert txn.clone(src, dst, version=0) == 0
+    assert txn.read(spark, dst).count() == 500
+    # zero-copy: every cloned file shares its inode with the source
+    for rel in txn._read_manifest(dst, 0)["files"]:
+        assert os.stat(os.path.join(dst, rel)).st_nlink >= 2
+
+    # independence: writing to the clone leaves the source untouched
+    txn.append(spark.range(900, 910).withColumnRenamed("id", "k"), dst)
+    assert txn.read(spark, dst).count() == 510
+    assert txn.read(spark, src).count() == 600
+
+    # source vacuum keeps the clone readable (hardlinks own the bytes)
+    txn.overwrite(spark.range(0, 10).withColumnRenamed("id", "k"), src)
+    txn.vacuum(src, keep_last=1)
+    assert txn.read(spark, dst).count() == 510

@@ -241,3 +241,33 @@ def test_hll_union_equals_direct(spark):
     a = {r.event_type: r.est for r in via_days.collect()}
     b = {r.event_type: r.est for r in direct.collect()}
     assert a == b
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: pairwise L2 distances in the 16-dim projection
+    (scaled by 1/sqrt(16)) approximate the 64-dim distances. With a
+    +-1 matrix the distortion concentrates around 1; assert a generous
+    [0.4, 1.9] band on real pairs and a tight band on the MEAN."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    out = REGISTRY["emb_random_projection"].spark_fn(spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.itertuples()}
+    proj = {
+        vid: g.sort_values("j")["out_micro"].to_numpy() / 1e6
+        for vid, g in out.groupby("vec_id")
+    }
+    rng_ids = sorted(orig)[:30]
+    ratios = []
+    for a in rng_ids:
+        for b in rng_ids:
+            if a >= b:
+                continue
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(proj[a] - proj[b]) / np.sqrt(16)
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert len(ratios) > 300
+    assert ((ratios > 0.4) & (ratios < 1.9)).mean() > 0.99
+    assert 0.9 < ratios.mean() < 1.1
