@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "evt_calibration_bins",
     "doc_temperature_mix",
     "emb_random_projection",
+    "evt_poisson_bootstrap_ci",
+    "mm_phash_near_dup",
 ]
 
 

@@ -325,3 +325,90 @@ def chunk_audio(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_chunk, schema=AUDIO_CHUNK_SCHEMA)
+
+
+#: Output schema of the perceptual-hash stage.
+PHASH_SCHEMA = "asset_id long, media_type string, phash long"
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """Perceptual 64-bit hash per asset (``mapInPandas`` decode-side
+    stage): real deployments compute pHash/aHash on decoded pixels or
+    audio chroma; the stub computes a SIMHASH over the payload's byte
+    4-grams — which is the same estimator family (locality-sensitive:
+    similar payloads → small hamming distance), deterministic, and
+    exercises the identical Arrow plumbing. Near-dup pairing on the
+    result is REAL pipeline logic either way: band the 64 bits into
+    4×16-bit keys, equi-join on (band, key), verify hamming ≤ radius."""
+    import hashlib
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = p if p is not None else b""
+                acc = [0] * 64
+                for i in range(max(0, len(b) - 3)):
+                    h = int.from_bytes(
+                        hashlib.md5(b[i : i + 4]).digest()[:8], "big"
+                    )
+                    for j in range(64):
+                        acc[j] += 1 if (h >> j) & 1 else -1
+                v = 0
+                for j in range(64):
+                    if acc[j] > 0:
+                        v |= 1 << j
+                # two's-complement into a signed 64-bit long
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_phash, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashed: DataFrame, radius: int = 6) -> DataFrame:
+    """Banded near-dup pairing on 64-bit perceptual hashes: any two
+    hashes within hamming ``radius`` ≤ 15 share at least one intact
+    16-bit band (pigeonhole over 4 bands), so the candidate join is an
+    equi-join on (band, 16-bit key) — never all-pairs — and the
+    verify step is a JVM ``bit_count(xor)`` on candidates only."""
+    bands = [
+        hashed.select(
+            F.col("asset_id"),
+            F.col("phash"),
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bkey"),
+        )
+        for b in range(4)
+    ]
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "bkey",
+    )
+    b = banded.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).filter(F.col("hamming") <= radius).select("id_a", "id_b", "hamming")

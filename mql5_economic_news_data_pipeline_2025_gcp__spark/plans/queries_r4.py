@@ -3600,3 +3600,165 @@ def emb_random_projection(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("c_micro") * F.col("sgn")).cast("bigint").alias("out_micro"))
     )
+
+
+#: Inverse-CDF thresholds of Poisson(1) on a uniform draw, shared
+#: verbatim by both engines: P(X<=k) for k = 0..4; draws beyond 0.9963
+#: clamp to 5 (P(X>=6) ~ 0.06%, negligible and still deterministic).
+_POIS1 = (
+    "CASE WHEN u < 0.3678794411714423 THEN 0 "
+    "WHEN u < 0.7357588823428846 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "evt_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT b FROM range(100) t(b)),
+    drawn AS (
+      SELECT e.event_type, r.b,
+             CAST(round(e.value*100) AS BIGINT) AS value_c,
+             CAST(CAST('0x' || substring(
+                 md5(CAST(e.event_id AS VARCHAR) || '#' ||
+                     CAST(r.b AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS u
+      FROM events e CROSS JOIN reps r),
+    weighted AS (
+      SELECT event_type, b, value_c, {_POIS1} AS w FROM drawn),
+    rep_means AS (
+      SELECT event_type, b,
+             CAST(round(CAST(sum(value_c * w) * 1000000 AS DOUBLE)
+                        / sum(w)) AS BIGINT) AS mean_micro
+      FROM weighted GROUP BY event_type, b HAVING sum(w) > 0),
+    ranked AS (
+      SELECT event_type, mean_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_micro, b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM rep_means)
+    SELECT event_type,
+           CAST(max(nb) AS BIGINT) AS n_replicas,
+           CAST(max(CASE WHEN rn = (nb * 5 + 99) // 100 THEN mean_micro END)
+                AS BIGINT) AS p05_micro,
+           CAST(max(CASE WHEN rn = (nb * 50 + 99) // 100 THEN mean_micro END)
+                AS BIGINT) AS p50_micro,
+           CAST(max(CASE WHEN rn = (nb * 95 + 99) // 100 THEN mean_micro END)
+                AS BIGINT) AS p95_micro
+    FROM ranked GROUP BY event_type
+    """,
+    description=(
+        "Poisson bootstrap confidence intervals (the resampling scheme "
+        "that works on data too big to resample: each row's weight in "
+        "replica b is Poisson(1), drawn DETERMINISTICALLY by inverting "
+        "the Poisson CDF on md5(event_id # b) — no RNG state, no "
+        "with-replacement pass over the data, replicas are "
+        "embarrassingly parallel). 100 replicas of the per-type mean "
+        "(integer micro, exact weighted sums) -> nearest-rank p05/p50/"
+        "p95 over replica means = the CI. Shape: a 100x map-side "
+        "fan-out (no shuffle of raw rows beyond the (type, b) agg), "
+        "one tiny rank window over 100 rows per type. The ceil-rank "
+        "selection and CDF thresholds are shared expression text in "
+        "both engines"
+    ),
+    tags=("events", "statistics", "evaluation"),
+)
+def evt_poisson_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    reps = spark.range(100).withColumnRenamed("id", "b")
+    drawn = ev.select("event_type", "event_id", "value_c").crossJoin(
+        F.broadcast(reps)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    weighted = drawn.withColumn("u", u).withColumn("w", F.expr(_POIS1))
+    rep_means = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("value_c") * F.col("w")).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round((F.col("sw") * 1000000).cast("double") / F.col("nw"))
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("mean_micro", "b")
+    w_all = Window.partitionBy("event_type")
+    ranked = rep_means.select(
+        "event_type",
+        "mean_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nb"),
+    )
+    def pick(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(nb * {q} + 99) div 100"),
+                F.col("mean_micro"),
+            )
+        ).cast("bigint")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_replicas"),
+        pick(5).alias("p05_micro"),
+        pick(50).alias("p50_micro"),
+        pick(95).alias("p95_micro"),
+    )
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=None,  # the simhash lives in a Python media stage (the
+    # decode seam); gates: tests/test_stats_r4.py::
+    # test_phash_pairs_are_textually_similar (pairs must be real
+    # near-dups vs a Jaccard floor) and test_phash_identical_payloads
+    # (exact dups always pair at hamming 0)
+    description=(
+        "perceptual-hash near-duplicate detection for media payloads: "
+        "a 64-bit simhash per asset from an Arrow-batched decode-side "
+        "stage (pHash/aHash seat; stub hashes payload byte 4-grams — "
+        "same locality-sensitive estimator family), then banded "
+        "pairing: hamming <= 6 within 64 bits guarantees an intact "
+        "16-bit band (pigeonhole), so candidates come from an "
+        "equi-join on (band, key) — never all-pairs — and the verify "
+        "is JVM bit_count(xor) on candidates only. The media twin of "
+        "the text MinHash-LSH chain, completing multimodal dedup "
+        "beyond exact payload hashing"
+    ),
+    tags=("multimodal", "dedup"),
+)
+def mm_phash_near_dup(spark, sf_dir):
+    from ..operators.multimodal import (
+        documents_as_media,
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    hashed = phash_media(documents_as_media(docs))
+    return phash_near_dup_pairs(hashed, radius=6)

@@ -271,3 +271,69 @@ def test_random_projection_preserves_distances(spark):
     assert len(ratios) > 300
     assert ((ratios > 0.4) & (ratios < 1.9)).mean() > 0.99
     assert 0.9 < ratios.mean() < 1.1
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    out = (
+        REGISTRY["evt_poisson_bootstrap_ci"].spark_fn(spark, SF)
+        .toPandas().set_index("event_type")
+    )
+    truth = {
+        r.event_type: r.m
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) * 1000000
+             / F.count(F.lit(1))).alias("m")
+        )
+        .collect()
+    }
+    for et, row in out.iterrows():
+        assert row.p05_micro <= row.p50_micro <= row.p95_micro
+        # 90% CI over 100 replicas should bracket the plug-in mean
+        assert row.p05_micro <= truth[et] <= row.p95_micro, (et, dict(row))
+
+
+def test_phash_identical_payloads(spark):
+    """Byte-identical payloads must always pair at hamming 0."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.multimodal import (
+        phash_media,
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "image", b"the same payload bytes the same payload bytes"),
+         (2, "image", b"the same payload bytes the same payload bytes"),
+         (3, "image", b"completely different content with other words here")],
+        "asset_id long, media_type string, payload binary",
+    )
+    pairs = phash_near_dup_pairs(phash_media(df)).toPandas()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs.itertuples()] == [(1, 2, 0)]
+
+
+def test_phash_pairs_are_textually_similar(spark):
+    """Emitted near-dup pairs must be REAL near-dups: their payload
+    4-gram Jaccard must clear a floor that random pairs do not."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    pairs = REGISTRY["mm_phash_near_dup"].spark_fn(spark, SF).toPandas()
+    assert len(pairs) > 0
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def jac(a, b):
+        ga = {a[i : i + 4] for i in range(len(a) - 3)}
+        gb = {b[i : i + 4] for i in range(len(b) - 3)}
+        return len(ga & gb) / max(1, len(ga | gb))
+
+    sims = [jac(docs[r.id_a], docs[r.id_b]) for r in pairs.itertuples()]
+    assert min(sims) > 0.3
+    # baseline: consecutive-id pairs (mostly unrelated) sit far lower
+    base = [jac(docs[i], docs[i + 1]) for i in range(0, 60, 2)]
+    assert sum(sims) / len(sims) > 2 * (sum(base) / len(base))
