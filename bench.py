@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "emb_random_projection",
     "evt_poisson_bootstrap_ci",
     "mm_phash_near_dup",
+    "doc_dedup_spans_removal",
 ]
 
 

@@ -3762,3 +3762,131 @@ def mm_phash_near_dup(spark, sf_dir):
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     hashed = phash_media(documents_as_media(docs))
     return phash_near_dup_pairs(hashed, radius=6)
+
+
+@register(
+    "doc_dedup_spans_removal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+      FROM documents),
+    tokpos AS (
+      SELECT doc_id, i + 1 AS pos, t[i + 1] AS w
+      FROM toks, unnest(range(len(t))) AS u(i)),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i+4), ' ') AS gram
+      FROM toks, unnest(range(1, len(t)-3)) AS u(i)
+      WHERE len(t) >= 5),
+    dup AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS occ
+      FROM grams),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup WHERE occ >= 2),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl GROUP BY doc_id, grp
+      HAVING max(pos) - min(pos) + 5 >= 8),
+    cuts AS (
+      SELECT DISTINCT doc_id, s + k AS cut_pos
+      FROM spans, unnest(range(e - s + 1)) AS u(k)),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.w
+      FROM tokpos tp LEFT JOIN cuts c
+        ON tp.doc_id = c.doc_id AND tp.pos = c.cut_pos
+      WHERE c.cut_pos IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - count(k.pos) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS cleaned_text
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+    description=(
+        "substring-dedup applied end to end: the repeated-span cut "
+        "lists (doc_repeated_spans semantics, >= 8-token runs of "
+        "corpus-duplicated 5-grams) are excised from every document "
+        "and the surviving tokens re-joined — the RefinedWeb-style "
+        "aggressive variant that removes ALL copies of duplicated "
+        "boilerplate (the keep-first-occurrence variant needs a "
+        "global first-occurrence rank on the gram key; same plan + "
+        "one more window — documented, not duplicated here). Shape: "
+        "the span derivation is doc_repeated_spans' plan; cut "
+        "positions explode bounded by total span length; removal is a "
+        "left-anti join on (doc, pos); reassembly is one ordered "
+        "per-doc string agg. Everything integers/strings — hash-exact"
+    ),
+    tags=("documents", "dedup", "text"),
+)
+def doc_dedup_spans_removal(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("t"),
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("i", "w")
+    ).select("doc_id", (F.col("i") + 1).alias("pos"), "w")
+    grams = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4), "
+                    "i -> struct(i AS pos, array_join(slice(t, i, 5), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = grams.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("occ") >= 2)
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 4).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= 8)
+    )
+    cuts = spans.select(
+        "doc_id", F.explode(F.expr("sequence(s, e)")).alias("cut_pos")
+    ).distinct()
+    kept = tokpos.join(
+        cuts,
+        (tokpos.doc_id == cuts.doc_id) & (tokpos.pos == cuts.cut_pos),
+        "left_anti",
+    )
+    sizes = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return sizes.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
