@@ -16,8 +16,9 @@ from . import queries_r4  # noqa: E402,F401
 # functions, upsert/merge, split, metrics, streaming, dedup
 # (exact/MinHash-LSH/SimHash/CC), ANN (cosine/LSH/IVF), text corpus
 # (quality/BM25/tf-idf/decontaminate), multimodal, and advanced SQL
-# (grouping sets / pivot / SCD2).  Everything else keeps its original
-# relative order after the priority block.  The full 152-query
+# (grouping sets / pivot / SCD2), plus the round-4 statistics/
+# substring-dedup/constraint-audit flagships.  Everything else keeps its original
+# relative order after the priority block.  The full 200-query
 # differential gate (scripts/diffcheck.py, tests/test_oracle.py) is
 # order-independent and still covers every entry.
 _PRIORITY: tuple[str, ...] = (
@@ -32,10 +33,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_chrono_split",
     "evt_minmax_normalize",
     "evt_group_mean_impute",
-    "evt_model_routing",
     "evt_latest_per_group",
     "evt_routed_inference",
-    "evt_normalize_train_params",
     "evt_sequence_build",
     "evt_sessionize",
     "evt_monthly_rollup",
@@ -61,10 +60,13 @@ _PRIORITY: tuple[str, ...] = (
     # dedup family
     "doc_exact_dedup",
     "doc_minhash_lsh_candidates",
-    "doc_jaccard_near_dup",
-    "doc_simhash",
     "doc_dedup_clusters",
     "doc_dedup_pipeline",
+    "doc_repeated_spans",
+    # statistics / evaluation family (round-4 session 2)
+    "evt_ks_drift",
+    "evt_ols_features",
+    "rel_referential_audit",
     # ANN / embeddings family
     "emb_cosine_topk",
     "emb_bucketed_ann_topk",
