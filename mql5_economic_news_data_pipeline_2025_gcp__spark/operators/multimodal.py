@@ -377,20 +377,26 @@ def phash_near_dup_pairs(hashed: DataFrame, radius: int = 6) -> DataFrame:
     16-bit band (pigeonhole over 4 bands), so the candidate join is an
     equi-join on (band, 16-bit key) — never all-pairs — and the
     verify step is a JVM ``bit_count(xor)`` on candidates only."""
-    bands = [
-        hashed.select(
-            F.col("asset_id"),
-            F.col("phash"),
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("phash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("bkey"),
-        )
-        for b in range(4)
-    ]
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # ONE pass over the Python hash stage: a union-of-selects would
+    # re-derive the mapInPandas lineage once per band per join side
+    # (8 Arrow seams measured); the explode keeps it to one per side
+    banded = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("asset_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = banded.select(
         F.col("asset_id").alias("id_a"),
         F.col("phash").alias("ha"),

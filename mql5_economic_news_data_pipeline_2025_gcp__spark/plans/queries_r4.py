@@ -3322,22 +3322,28 @@ def emb_centroid_drift(spark, sf_dir):
             .alias("comp_micro"),
         )
     )
-    sums = q.groupBy("label", "half", "dim").agg(
-        F.sum("comp_micro").alias("s"), F.count(F.lit(1)).alias("n")
+    # single labeled pass: conditional sums pivot the halves in ONE
+    # (label, dim) agg — the a/b filter + self-join form re-derived the
+    # explode lineage twice (plan audit: 4 scans, 3 exchanges → 2/1)
+    wide = (
+        q.groupBy("label", "dim")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("comp_micro"))).alias("s0"),
+            F.sum(F.when(F.col("half") == 1, F.col("comp_micro"))).alias("s1"),
+            F.count(F.when(F.col("half") == 0, F.lit(1))).alias("n0"),
+            F.count(F.when(F.col("half") == 1, F.lit(1))).alias("n1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))  # = the oracle's
+        # inner join: a (label, dim) missing either half drops
+        .select(
+            "label",
+            "dim",
+            (F.col("s0").cast("double") / F.col("n0")).alias("m0"),
+            (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+            "n0",
+            "n1",
+        )
     )
-    a = sums.filter(F.col("half") == 0).select(
-        "label",
-        "dim",
-        (F.col("s").cast("double") / F.col("n")).alias("m0"),
-        F.col("n").alias("n0"),
-    )
-    b = sums.filter(F.col("half") == 1).select(
-        "label",
-        "dim",
-        (F.col("s").cast("double") / F.col("n")).alias("m1"),
-        F.col("n").alias("n1"),
-    )
-    wide = a.join(b, ["label", "dim"])
     return wide.groupBy("label").agg(
         F.max("n0").cast("bigint").alias("n0"),
         F.max("n1").cast("bigint").alias("n1"),
