@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "evt_poisson_bootstrap_ci",
     "mm_phash_near_dup",
     "doc_dedup_spans_removal",
+    "doc_dupgraph_triangles",
 ]
 
 

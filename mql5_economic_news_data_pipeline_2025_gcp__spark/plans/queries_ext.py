@@ -1976,3 +1976,124 @@ def doc_pmi_collocations(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+@register(
+    "doc_dupgraph_triangles",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT id_a AS id FROM pairs
+        UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+    e AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.id_a < p.id_b)
+                  THEN p.id_a ELSE p.id_b END AS src,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.id_a < p.id_b)
+                  THEN p.id_b ELSE p.id_a END AS dst,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.id_a < p.id_b)
+                  THEN db.d ELSE da.d END AS dd
+      FROM pairs p
+      JOIN deg da ON da.id = p.id_a
+      JOIN deg db ON db.id = p.id_b),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1 JOIN e e2
+        ON e1.src = e2.src
+       AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    members AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST(max(d.d) AS BIGINT) AS degree
+    FROM members m JOIN deg d ON d.id = m.doc_id
+    GROUP BY m.doc_id
+    """,
+    description=(
+        "distributed triangle counting on the near-dup candidate graph "
+        "(the density diagnostic that separates boilerplate CLIQUES "
+        "from chain-shaped false-positive runs before clustering): "
+        "edges orient low->high by (degree, id) — the classic trick "
+        "that bounds wedge fan-out by the max OUT-degree ~ sqrt(|E|) "
+        "regardless of hub size — then one wedge self-join on the "
+        "source + one closing equi-join on (dst, dst). Per-node "
+        "triangle membership via a 3-way union. No tuple windows, no "
+        "global order; every join is an equi-join on node ids. "
+        "Candidates come from the standard MinHash-LSH chain (one "
+        "band-key exchange), so the whole thing is posting-list-scale"
+    ),
+    tags=("documents", "dedup", "graph"),
+)
+def doc_dupgraph_triangles(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    e = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.when(lower_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+            F.when(lower_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    e1 = e.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db_")
+    )
+    e2 = e.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("dd").alias("dc_")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("db_") < F.col("dc_"))
+        | ((F.col("db_") == F.col("dc_")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        members.join(deg, members.doc_id == deg.id)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+            F.max("d").cast("bigint").alias("degree"),
+        )
+    )

@@ -3419,8 +3419,11 @@ def evt_calibration_bins(spark, sf_dir):
     scored = base.select(
         "event_type",
         "pos",
+        # rank is INT; widen BEFORE the *1e6 (int32 overflows past
+        # ~2147 rows-per-type × 1e6 — bit at sf1, invisible at sf0.01)
         F.round(
-            ((F.rank().over(w_rank) - 1) * 1000000).cast("double")
+            ((F.rank().over(w_rank) - 1).cast("bigint") * 1000000)
+            .cast("double")
             / (F.count(F.lit(1)).over(w_all) - 1)
         )
         .cast("bigint")
@@ -3624,14 +3627,17 @@ _POIS1 = (
     "evt_poisson_bootstrap_ci",
     oracle=f"""
     WITH reps AS (SELECT b FROM range(100) t(b)),
+    seeded AS (
+      SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events),
     drawn AS (
-      SELECT e.event_type, r.b,
-             CAST(round(e.value*100) AS BIGINT) AS value_c,
-             CAST(CAST('0x' || substring(
-                 md5(CAST(e.event_id AS VARCHAR) || '#' ||
-                     CAST(r.b AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
-               / 4294967296.0 AS u
-      FROM events e CROSS JOIN reps r),
+      SELECT s.event_type, r.b, s.value_c,
+             CAST((s.h * (2 * r.b + 1) + r.b * 2654435761) % 4294967296
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM seeded s CROSS JOIN reps r),
     weighted AS (
       SELECT event_type, b, value_c, {_POIS1} AS w FROM drawn),
     rep_means AS (
@@ -3659,7 +3665,9 @@ _POIS1 = (
         "Poisson bootstrap confidence intervals (the resampling scheme "
         "that works on data too big to resample: each row's weight in "
         "replica b is Poisson(1), drawn DETERMINISTICALLY by inverting "
-        "the Poisson CDF on md5(event_id # b) — no RNG state, no "
+        "the Poisson CDF on a per-replica integer mix of ONE md5 per "
+        "row (odd-multiplier + Knuth-offset mod 2^32 — hashing per "
+        "(row, replica) was 95% of the cost) — no RNG state, no "
         "with-replacement pass over the data, replicas are "
         "embarrassingly parallel). 100 replicas of the per-type mean "
         "(integer micro, exact weighted sums) -> nearest-rank p05/p50/"
@@ -3676,24 +3684,21 @@ def evt_poisson_bootstrap_ci(spark, sf_dir):
 
     ev = keyed_events(spark, sf_dir)
     reps = spark.range(100).withColumnRenamed("id", "b")
-    drawn = ev.select("event_type", "event_id", "value_c").crossJoin(
-        F.broadcast(reps)
+    # ONE md5 per row, then 100 replica uniforms by integer mixing
+    # (odd multiplier + Knuth-constant offset mod 2^32) — the md5 was
+    # 95% of the query's cost when computed per (row, replica)
+    seeded = ev.select(
+        "event_type",
+        "value_c",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
+    drawn = seeded.crossJoin(F.broadcast(reps))
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#",
-                        F.col("event_id").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
+        F.pmod(
+            F.col("h") * (2 * F.col("b") + 1) + F.col("b") * F.lit(2654435761),
+            F.lit(4294967296),
         ).cast("double")
         / F.lit(4294967296.0)
     )
