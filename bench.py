@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "mm_phash_near_dup",
     "doc_dedup_spans_removal",
     "doc_dupgraph_triangles",
+    "evt_km_retention",
 ]
 
 

@@ -70,15 +70,14 @@ def _merge_fold(l: str, r: str, col: str = "s") -> Column:
     return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
-def _pair_counts(wf: DataFrame, sign: int = 1) -> DataFrame:
-    """(l, r, cnt) over adjacent symbol pairs, weighted by word freq
-    (× ``sign`` for delta subtraction). Map-side-combined agg — shuffle
-    is |distinct pairs|, bounded by symbol-alphabet adjacency, not by
-    vocab or corpus size."""
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    """(l, r, cnt) over adjacent symbol pairs, weighted by word freq.
+    Map-side-combined agg — shuffle is |distinct pairs|, bounded by
+    symbol-alphabet adjacency, not by vocab or corpus size."""
     return (
         wf.filter(F.size("s") >= 2)
         .select(
-            (F.col("freq") * sign).alias("freq"),
+            "freq",
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(s) - 1), "

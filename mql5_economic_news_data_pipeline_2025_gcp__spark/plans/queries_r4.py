@@ -3683,10 +3683,11 @@ def evt_poisson_bootstrap_ci(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = keyed_events(spark, sf_dir)
-    reps = spark.range(100).withColumnRenamed("id", "b")
     # ONE md5 per row, then 100 replica uniforms by integer mixing
-    # (odd multiplier + Knuth-constant offset mod 2^32) — the md5 was
-    # 95% of the query's cost when computed per (row, replica)
+    # (odd multiplier + Knuth-constant offset mod 2^32). The replica
+    # axis is explode(sequence(0,99)) — stays inside whole-stage
+    # codegen; the broadcast-cross-join form ran the same rows through
+    # BroadcastNestedLoopJoin at ~2x the wall time
     seeded = ev.select(
         "event_type",
         "value_c",
@@ -3694,7 +3695,9 @@ def evt_poisson_bootstrap_ci(spark, sf_dir):
         .cast("bigint")
         .alias("h"),
     )
-    drawn = seeded.crossJoin(F.broadcast(reps))
+    drawn = seeded.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(99)))
+    )
     u = (
         F.pmod(
             F.col("h") * (2 * F.col("b") + 1) + F.col("b") * F.lit(2654435761),
@@ -3900,4 +3903,74 @@ def doc_dedup_spans_removal(spark, sf_dir):
         .cast("bigint")
         .alias("n_removed"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+@register(
+    "evt_km_retention",
+    oracle="""
+    WITH snap AS (SELECT max(ts) AS mx FROM events),
+    users AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime,
+             (max(ts) < (SELECT mx FROM snap) - INTERVAL 3 DAY) AS churned
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT lifetime AS t,
+             sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN churned THEN 0 ELSE 1 END) AS c
+      FROM users GROUP BY lifetime)
+    SELECT CAST(t AS BIGINT) AS t_day,
+           CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored
+    FROM per_day
+    """,
+    description=(
+        "Kaplan-Meier retention life table: per-user lifetime (first to "
+        "last active day), churn = no activity in the trailing 3 days "
+        "of the observation window, censoring otherwise; emits the "
+        "(at-risk, events, censored) counts per lifetime day — the "
+        "EXACT integer sufficient statistics of the KM estimator. The "
+        "survival curve itself is a cumulative product of per-row "
+        "rationals (deliberately left to the consumer: float products "
+        "are order-dependent, integer numerator/denominator products "
+        "overflow — the life table is the principled distributed "
+        "artifact). Shape: one user-key agg, one tiny day-level "
+        "cumulative window over <= |distinct lifetimes| rows. The "
+        "reverse-cumulative at-risk count is the gaps-free identity "
+        "at_risk(t) = |lifetime >= t| (censoring only at lifetime)"
+    ),
+    tags=("events", "statistics", "retention"),
+)
+def evt_km_retention(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    snap = ev.agg(F.max("ts").alias("mx"))
+    users = (
+        ev.crossJoin(F.broadcast(snap))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+                "lifetime"
+            ),
+            (F.max("ts") < F.max(F.col("mx") - F.expr("INTERVAL 3 DAY"))).alias(
+                "churned"
+            ),
+        )
+    )
+    per_day = users.groupBy(F.col("lifetime").alias("t")).agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).alias("c"),
+    )
+    w = Window.orderBy(F.desc("t")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("t").cast("bigint").alias("t_day"),
+        F.sum(F.col("d") + F.col("c")).over(w).cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
     )
