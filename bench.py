@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "doc_dedup_spans_removal",
     "doc_dupgraph_triangles",
     "evt_km_retention",
+    "evt_max_concurrency",
 ]
 
 

@@ -3974,3 +3974,108 @@ def evt_km_retention(spark, sf_dir):
         F.col("d").cast("bigint").alias("n_churned"),
         F.col("c").cast("bigint").alias("n_censored"),
     )
+
+
+@register(
+    "evt_max_concurrency",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type, user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY event_type, user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT event_type, user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM gaps),
+    numbered AS (
+      SELECT event_type, user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT event_type, user_id, session_id,
+             min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY event_type, user_id, session_id),
+    deltas AS (
+      SELECT event_type, s AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT event_type, e, -1 FROM sessions),
+    swept AS (
+      SELECT event_type, t, delta,
+             sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrency
+      FROM deltas)
+    SELECT event_type,
+           CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept GROUP BY event_type
+    """,
+    description=(
+        "sweep-line peak concurrency: sessionize each (type, user) "
+        "stream (30-min gap), then count simultaneously-open sessions "
+        "per event_type by the classic +1/-1 endpoint sweep — a "
+        "cumulative sum over the endpoint stream, with ends sorting "
+        "BEFORE starts at equal timestamps (delta ASC) so touching "
+        "sessions don't double-count (end-exclusive semantics). The "
+        "capacity-planning primitive interval JOINS can't express "
+        "(overlap is against ALL other intervals, not a probe side). "
+        "Shape: the session windows ride one (type, user) exchange; "
+        "the sweep is one window over 2x|sessions| endpoint rows per "
+        "type — the raw stream never re-shuffles. All integers"
+    ),
+    tags=("events", "session", "interval"),
+)
+def evt_max_concurrency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    flagged = gaps.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("event_type", "user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = sessions.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w_sweep = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.withColumn("concurrency", F.sum("delta").over(w_sweep))
+    return swept.groupBy("event_type").agg(
+        F.max("concurrency").cast("bigint").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+    )
