@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "doc_dupgraph_triangles",
     "evt_km_retention",
     "evt_max_concurrency",
+    "emb_pca_project",
 ]
 
 

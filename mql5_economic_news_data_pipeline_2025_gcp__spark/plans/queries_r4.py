@@ -4079,3 +4079,30 @@ def evt_max_concurrency(spark, sf_dir):
         F.max("concurrency").cast("bigint").alias("peak_concurrency"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+@register(
+    "emb_pca_project",
+    oracle=None,  # the eigendecomposition is a bounded driver-side fit
+    # (same contract as PQ codebooks); the gate is tests/test_stats_r4
+    # ::test_pca_matches_numpy (projections + explained variance vs a
+    # full-data numpy PCA, exact up to the shared sign convention)
+    description=(
+        "distributed PCA (top-8 of 64 dims): ONE Arrow pass computes "
+        "per-partition covariance partials as INTEGER micro-unit sums "
+        "(exact int64, order-independent merge — the float-sum "
+        "nondeterminism of naive distributed PCA never appears); the "
+        "driver collects only the d x d Gram cells (bounded by "
+        "dimension^2, asserted — never by rows), eigendecomposes once, "
+        "and ships components back as plan literals for a MAP-ONLY "
+        "projection. The dimensionality-reduction step before "
+        "clustering/ANN when JL's randomness is not wanted"
+    ),
+    tags=("embeddings", "projection", "statistics"),
+)
+def emb_pca_project(spark, sf_dir):
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    comps, _, mean = pca_fit(spark, emb, k=8)
+    return pca_project(emb, comps, mean)

@@ -337,3 +337,47 @@ def test_phash_pairs_are_textually_similar(spark):
     # baseline: consecutive-id pairs (mostly unrelated) sit far lower
     base = [jac(docs[i], docs[i + 1]) for i in range(0, 60, 2)]
     assert sum(sims) / len(sims) > 2 * (sum(base) / len(base))
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed integer-partial PCA == full-data numpy PCA: same
+    explained variances, same projections (shared sign convention)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.pca import (
+        MICRO,
+        pca_fit,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    comps, ev, mean = pca_fit(spark, emb_df, k=8)
+
+    pdf = emb_df.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    Q = np.rint(V * MICRO) / MICRO  # same quantization as the operator
+    m = Q.mean(axis=0)
+    cov = np.cov(Q.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    ref_ev = w[order]
+    ref_comps = v[:, order].T
+    for c in ref_comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+
+    assert np.allclose(ev, ref_ev, rtol=1e-9, atol=1e-12)
+    assert np.allclose(mean, m, atol=1e-12)
+    assert np.allclose(comps, ref_comps, atol=1e-8)
+
+    out = (
+        REGISTRY["emb_pca_project"].spark_fn(spark, SF).toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    # the operator projects the RAW vectors (quantization exists only
+    # to make the fit exact), so compare against V with a tolerance
+    # covering the micro-quantization of the mean (~1e-6 * sqrt(d))
+    ref_proj = (V - m) @ ref_comps.T
+    got = out[[f"pc{i}" for i in range(8)]].to_numpy()
+    assert np.allclose(got, ref_proj, atol=1e-4)
+    # variance actually concentrates: top-8 capture a nontrivial share
+    assert ev.sum() / w.sum() > 0.2
