@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "evt_km_retention",
     "evt_max_concurrency",
     "emb_pca_project",
+    "evt_ccf_lead_lag",
 ]
 
 

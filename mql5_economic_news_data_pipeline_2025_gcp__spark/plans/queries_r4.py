@@ -4106,3 +4106,89 @@ def emb_pca_project(spark, sf_dir):
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     comps, _, mean = pca_fit(spark, emb, k=8)
     return pca_project(emb, comps, mean)
+
+
+@register(
+    "evt_ccf_lead_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    lags AS (SELECT l FROM range(-2, 3) t(l)),
+    paired AS (
+      SELECT g.l, a.x, b.y
+      FROM lags g
+      JOIN daily a ON true
+      JOIN daily b ON a.user_id = b.user_id
+        AND b.day = a.day + CAST(g.l AS INTEGER)),
+    stats AS (
+      SELECT l, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM paired GROUP BY l)
+    SELECT CAST(l AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n,
+           CAST(sxy AS BIGINT) AS sxy,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS ccf
+    FROM stats
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    description=(
+        "lead-lag cross-correlation (CCF at day lags -2..+2) between "
+        "per-user daily view and purchase activity — the diagnostic "
+        "that tells you WHICH DIRECTION and at what delay one series "
+        "drives another (ACF's two-series sibling; lag 0 = plain "
+        "correlation, positive lags = views leading purchases). All "
+        "sufficient statistics are exact integer sums per lag; the "
+        "final Pearson ratio is one shared expression tree, emitted "
+        "raw (unrounded — identical-tree doubles are bit-equal, while "
+        "round() can diverge on half-ties). Shape: one (user, day) "
+        "count agg collapses the stream, the 5 lags broadcast against "
+        "it, one equi-join on (user, shifted day), one per-lag agg — "
+        "the raw stream is never joined or re-shuffled"
+    ),
+    tags=("events", "statistics", "timeseries"),
+)
+def evt_ccf_lead_lag(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    lags = spark.range(-2, 3).withColumnRenamed("id", "l")
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("user_id"), F.col("day").alias("bday"), F.col("y").alias("by")
+    )
+    paired = a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (F.col("bday") == F.expr("date_add(day, CAST(l AS INT))")),
+    ).select("l", "x", F.col("by").alias("y"))
+    stats = paired.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.filter((varx > 0) & (vary > 0)).select(
+        F.col("l").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sxy").cast("bigint").alias("sxy"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        ).alias("ccf"),
+    )
