@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "evt_max_concurrency",
     "emb_pca_project",
     "evt_ccf_lead_lag",
+    "emb_knn_eval",
+    "evt_markov_entropy",
 ]
 
 

@@ -4192,3 +4192,192 @@ def evt_ccf_lead_lag(spark, sf_dir):
             / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
         ).alias("ccf"),
     )
+
+
+@register(
+    "emb_knn_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS neigh_label,
+             round(list_cosine_similarity(q.e, c.e), 6) AS sim,
+             c.vec_id AS neighbor_id
+      FROM v q JOIN v c ON c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, true_label, neigh_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT k.k, r.query_id, r.true_label, r.neigh_label,
+             count(*) AS n_votes
+      FROM ranked r JOIN (SELECT unnest([1, 3, 5]) AS k) k
+        ON r.rnk <= k.k
+      GROUP BY 1, 2, 3, 4),
+    winners AS (
+      SELECT k, query_id, true_label, neigh_label,
+             row_number() OVER (PARTITION BY k, query_id
+                                ORDER BY n_votes DESC, neigh_label ASC)
+               AS vrnk
+      FROM votes)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN neigh_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM winners WHERE vrnk = 1
+    GROUP BY k
+    """,
+    description=(
+        "k-NN classifier evaluation on the embedding table (leave-one-"
+        "out): for every vector, its k nearest cosine neighbors vote "
+        "on the label (majority, ties to the smallest label) and "
+        "accuracy is tallied for k in {1,3,5} — the standard probe of "
+        "embedding quality before anything trains. Exact integers end "
+        "to end (votes, winners, correct counts); neighbor ranks tie-"
+        "break on id. Shape: brute-force scoring here (every vector "
+        "is a query — the eval WANTS leave-one-out over the full "
+        "table); at corpus scale the candidate generation swaps to "
+        "the ANN paths (bucketed/IVF) unchanged downstream of the "
+        "rank window. Rank + vote + winner are three shrinking "
+        "windows/aggs over k*|vectors| rows"
+    ),
+    tags=("embeddings", "evaluation", "similarity"),
+)
+def emb_knn_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, cosine
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neigh_label"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neigh_label",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("sim"), F.asc("neighbor_id")
+            )
+        ),
+    ).filter(F.col("rnk") <= 5)
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k")
+    )
+    votes = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k", "query_id", "true_label", "neigh_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    winners = votes.withColumn(
+        "vrnk",
+        F.row_number().over(
+            Window.partitionBy("k", "query_id").orderBy(
+                F.desc("n_votes"), F.asc("neigh_label")
+            )
+        ),
+    ).filter(F.col("vrnk") == 1)
+    return winners.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(
+            F.when(F.col("neigh_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(F.col("k").cast("bigint").alias("k"), "n_queries", "n_correct")
+
+
+@register(
+    "evt_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n_ij
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    rowtot AS (
+      SELECT src, dst, n_ij,
+             sum(n_ij) OVER (PARTITION BY src) AS n_i
+      FROM trans)
+    SELECT src,
+           CAST(max(n_i) AS BIGINT) AS n_i,
+           CAST(count(*) AS BIGINT) AS n_dst,
+           CAST(-sum(n_ij * CAST(round(
+                  ln(CAST(n_ij AS DOUBLE) / n_i) * 1000000) AS BIGINT))
+                AS BIGINT) AS h_sum_micro,
+           (CAST(-sum(n_ij * CAST(round(
+                  ln(CAST(n_ij AS DOUBLE) / n_i) * 1000000) AS BIGINT))
+                 AS DOUBLE) / max(n_i) / 1000000.0) AS h_nats
+    FROM rowtot GROUP BY src
+    """,
+    description=(
+        "per-state entropy rate of the user-journey Markov chain: "
+        "H_i = -sum_j P_ij ln P_ij from the transition counts — the "
+        "predictability diagnostic that says which states' next steps "
+        "are near-deterministic (routing/caching opportunities) vs "
+        "uniform (no signal). Per-transition log-probabilities are "
+        "quantized to integer MICRO-NATS before the weighted sum "
+        "(the unigram-logprob trick: exact bigint in any aggregation "
+        "order); the final normalization is one shared division tree, "
+        "emitted raw. Shape: one series-key window for transitions, "
+        "one (src,dst) count agg, a src window on the tiny matrix, "
+        "one per-src agg"
+    ),
+    tags=("events", "statistics", "markov"),
+)
+def evt_markov_entropy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n_ij"))
+    rowtot = trans.withColumn(
+        "n_i", F.sum("n_ij").over(Window.partitionBy("src"))
+    )
+    lp_micro = F.round(
+        F.log(F.col("n_ij").cast("double") / F.col("n_i")) * 1000000
+    ).cast("bigint")
+    agg = rowtot.groupBy("src").agg(
+        F.max("n_i").cast("bigint").alias("n_i"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dst"),
+        (-F.sum(F.col("n_ij") * lp_micro)).cast("bigint").alias("h_sum_micro"),
+    )
+    return agg.select(
+        "src",
+        "n_i",
+        "n_dst",
+        "h_sum_micro",
+        (
+            F.col("h_sum_micro").cast("double")
+            / F.col("n_i")
+            / F.lit(1000000.0)
+        ).alias("h_nats"),
+    )
