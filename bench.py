@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     "evt_ccf_lead_lag",
     "emb_knn_eval",
     "evt_markov_entropy",
+    "evt_topk_paths",
+    "evt_windowed_funnel",
+    "evt_audience_overlap",
+    "evt_markov_attribution",
 ]
 
 

@@ -9,6 +9,7 @@ from . import queries_core  # noqa: E402,F401
 from . import queries_ext  # noqa: E402,F401
 from . import queries_r3  # noqa: E402,F401
 from . import queries_r4  # noqa: E402,F401
+from . import queries_r4b  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order), so the head of the registry must hold one flagship

@@ -1,0 +1,375 @@
+"""Round-4 (session 3) additions: journey analytics — frequent event
+paths, gap-constrained funnels, audience overlap, and Markov
+removal-effect attribution.
+
+All follow the determinism contract in ``registry`` — integer-exact
+counting, identical division trees on both engines, deterministic
+tie-breaks.  Reference parity: these extend the reference's
+event-sequence surface (PUSH's per-(Currency,Event) series shape) with
+the journey queries a production event pipeline runs next; none exist
+in the reference, all are Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import keyed_events
+from .registry import register
+
+
+@register(
+    "evt_topk_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events),
+    p AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1),
+    r AS (
+      SELECT path, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT)
+               AS rnk
+      FROM p)
+    SELECT path, n, rnk FROM r WHERE rnk <= 10
+    """,
+    description=(
+        "top-10 most frequent length-3 event-type paths across user "
+        "journeys (sequence-mining lite): two leads within each user's "
+        "(ts, event_id) order build the trigram, a global count "
+        "collapses to at most |types|³ rows, and the final rank runs "
+        "on that tiny frame. Shape: ONE shuffle on user_id for the "
+        "window; the path aggregate is map-side-combinable (125 "
+        "distinct trigrams max here), so the top-k never sorts the "
+        "event log — the classic mistake is ranking the raw sequence "
+        "table. Deterministic tie-break: (n DESC, path ASC)"
+    ),
+    tags=("events", "window", "sequence", "topk"),
+)
+def evt_topk_paths(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    p = seq.groupBy(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # rank over the ≤|types|³-row aggregate only
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    )
+    return (
+        p.select("path", F.col("n").cast("bigint").alias("n"),
+                 rnk.cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "evt_windowed_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS tv
+      FROM events),
+    s2 AS (
+      SELECT user_id, event_type, ts, tv,
+             min(CASE WHEN event_type = 'click' AND ts > tv
+                       AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS tc
+      FROM s1),
+    s3 AS (
+      SELECT user_id, tv, tc,
+             min(CASE WHEN event_type = 'purchase' AND ts > tc
+                       AND ts <= tc + INTERVAL 48 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS tp
+      FROM s2),
+    u AS (
+      SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+      FROM s3 GROUP BY user_id)
+    SELECT
+      CAST(count(tv) AS BIGINT) AS n_view,
+      CAST(count(tc) AS BIGINT) AS n_click_24h,
+      CAST(count(tp) AS BIGINT) AS n_purchase_48h
+    FROM u
+    """,
+    description=(
+        "gap-constrained ordered funnel (view → click within 24 h → "
+        "purchase within 48 h), greedy-first-chain semantics: the "
+        "anchor is each user's FIRST view, the click must land inside "
+        "(tv, tv+24h], the purchase inside (tc, tc+48h]. Shape: three "
+        "stacked whole-partition windows on user_id — each stage's "
+        "threshold is a conditional min over the SAME partitioning, so "
+        "Catalyst chains all three Window operators behind ONE "
+        "exchange (asserted by test_windowed_funnel_single_exchange); "
+        "the per-stage self-join formulation (the classic funnel "
+        "anti-pattern) would pay k shuffled joins over the event log. "
+        "The per-user collapse reuses the partitioning; the final fold "
+        "is a 3-counter global agg"
+    ),
+    tags=("events", "window", "funnel"),
+)
+def evt_windowed_funnel(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "tv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("tv"))
+                & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 24 HOUR")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("tc"))
+                & (F.col("ts") <= F.col("tc") + F.expr("INTERVAL 48 HOUR")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("tv").alias("tv"),
+        F.max("tc").alias("tc"),
+        F.max("tp").alias("tp"),
+    )
+    return u.agg(
+        F.count("tv").cast("bigint").alias("n_view"),
+        F.count("tc").cast("bigint").alias("n_click_24h"),
+        F.count("tp").cast("bigint").alias("n_purchase_48h"),
+    )
+
+
+@register(
+    "evt_audience_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           round(CAST(p.n_both AS DOUBLE)
+                 / (sa.n + sb.n - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+    description=(
+        "pairwise audience overlap between event types — the "
+        "segment-intersection question behind campaign planning. NOT "
+        "the textbook distinct+self-join (that shape costs 3 shuffles "
+        "and re-scans the log for the size table): ONE collect_set "
+        "aggregation per user dedups types in the combiner, a "
+        "map-side double-explode emits each user's ordered type pairs "
+        "(a ≤ b, fan-out bounded by |types|²), and a == b rows double "
+        "as the per-type audience sizes — so pair counts AND sizes "
+        "come out of a single |types|²-row aggregate in one lineage. "
+        "Sizes are then window-lifted onto the pairs (two windows "
+        "over ≤|types|² rows — no join-back, no second scan). Exact "
+        "Jaccard from |A∩B|/(|A|+|B|−|A∩B|). At 100 TB the per-user "
+        "set is bounded by the type vocabulary; when type cardinality "
+        "is unbounded, the HLL inclusion-exclusion variant "
+        "(evt_hll_rollup_distinct's sketch machinery) replaces the "
+        "pair explosion with mergeable per-type sketches"
+    ),
+    tags=("events", "aggregate", "set", "overlap"),
+)
+def evt_audience_overlap(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    sets = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    # ordered pairs incl. the diagonal: (a,a) rows carry audience sizes
+    pairs = (
+        sets.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
+        .filter(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # window-lift the diagonal counts onto each pair: (a,a) lives in
+    # both the partitionBy(type_a) and partitionBy(type_b) groups of
+    # every (a,b) pair — two tiny windows, one lineage, no join-back
+    n_a = F.max(
+        F.when(F.col("type_a") == F.col("type_b"), F.col("n"))
+    ).over(Window.partitionBy("type_a"))
+    n_b = F.max(
+        F.when(F.col("type_a") == F.col("type_b"), F.col("n"))
+    ).over(Window.partitionBy("type_b"))
+    out = (
+        pairs.withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n").cast("bigint").alias("n_both"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "evt_markov_attribution",
+    oracle=None,  # linear-system solve is not SQL-expressible; gated by
+    # tests/test_markov_attribution.py's pure-python reference instead
+    description=(
+        "Markov removal-effect attribution over user journeys: "
+        "journeys truncate at the first purchase (absorbing "
+        "conversion) or end in a NULL absorber; transition counts "
+        "(START → first, state → next) aggregate distributed — ONE "
+        "user_id window shuffle, |states|² output — then the "
+        "absorption probability P(conv | START) solves a tiny dense "
+        "linear system on the driver (numpy, ≤(|types|+1)² — same "
+        "bounded out-of-band pattern as emb_pca_project's d² "
+        "covariance). Removal effect per channel c = 1 − p(without "
+        "c)/p(base), the standard data-driven attribution measure. "
+        "The distributed part scales with the event log; the solve is "
+        "O(|types|³) regardless of data size"
+    ),
+    tags=("events", "sequence", "markov", "attribution", "driver-solve"),
+)
+def evt_markov_attribution(spark, sf_dir):
+    counts = _markov_transition_counts(spark, sf_dir)
+    rows = counts.collect()  # bounded: ≤ (|types|+1) × (|types|+2)
+    assert len(rows) <= 2048, "transition matrix unexpectedly large"
+    effects = _removal_effects(
+        [(r["src"], r["dst"], r["n"]) for r in rows]
+    )
+    out = spark.createDataFrame(
+        effects, "channel string, p_base double, removal_effect double"
+    )
+    return out.select(
+        "channel",
+        F.round("p_base", 6).alias("p_base"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+    )
+
+
+def _markov_transition_counts(spark, sf_dir):
+    """Distributed transition counts with START / purchase / NULL
+    absorbers; journeys truncate at the first purchase."""
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    # first-purchase row per user (NULL → journey never converts)
+    first_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("rn"))
+    ).over(Window.partitionBy("user_id"))
+    kept = (
+        rn.withColumn("first_p", first_p)
+        .filter(
+            F.col("first_p").isNull() | (F.col("rn") <= F.col("first_p"))
+        )
+    )
+    # src of each kept row: previous kept row's type, or START at rn=1
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    stepped = kept.select(
+        "user_id",
+        "event_type",
+        "first_p",
+        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias(
+            "src"
+        ),
+        F.lead("event_type").over(wk).alias("nxt"),
+    )
+    # state → state transitions (purchase rows emit no outgoing edge —
+    # they are absorbing by construction of the truncation)
+    inner = stepped.select(
+        "src", F.col("event_type").alias("dst")
+    )
+    # terminal NULL edge for non-converting journeys: last kept row has
+    # nxt IS NULL and is not a purchase
+    nulls = stepped.filter(
+        F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.lit("NULL").alias("dst"))
+    return (
+        inner.unionByName(nulls)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _removal_effects(triples):
+    """Absorption-probability solve + per-channel removal effects.
+
+    ``triples``: (src, dst, n) counts, src ∈ channels ∪ {START},
+    dst ∈ channels ∪ {purchase, NULL}.  Pure driver-side numpy on a
+    ≤(|types|+1)-state system.
+    """
+    import numpy as np
+
+    srcs = sorted({s for s, _, _ in triples})
+    by_src: dict[str, dict[str, int]] = {}
+    for s, d, n in triples:
+        by_src.setdefault(s, {})[d] = by_src.setdefault(s, {}).get(d, 0) + n
+
+    def p_conv(removed: str | None) -> float:
+        # transient states: START + channels (minus the removed one)
+        trans = [s for s in srcs if s != removed]
+        idx = {s: i for i, s in enumerate(trans)}
+        k = len(trans)
+        A = np.eye(k)
+        b = np.zeros(k)
+        for s in trans:
+            row = by_src.get(s, {})
+            tot = sum(row.values())
+            if tot == 0:
+                continue
+            for d, n in row.items():
+                p = n / tot
+                if d == "purchase":
+                    b[idx[s]] += p
+                elif d in idx:  # transient → transient
+                    A[idx[s], idx[d]] -= p
+                # d == NULL, or d == removed: contributes 0 (lost)
+        x = np.linalg.solve(A, b)
+        return float(x[idx["START"]])
+
+    base = p_conv(None)
+    out = []
+    for ch in srcs:
+        if ch == "START":
+            continue
+        eff = 0.0 if base == 0.0 else 1.0 - p_conv(ch) / base
+        out.append((ch, base, eff))
+    return sorted(out)

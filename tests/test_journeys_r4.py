@@ -1,0 +1,157 @@
+"""Correctness gates for the round-4 journey-analytics operators.
+
+``evt_markov_attribution`` has no SQL oracle (linear-system solve), so
+its gate is a pure-python reference implementation checked end-to-end
+against the distributed transition counts at sf0.001, plus a hand-sized
+fixture where the absorption probabilities are known in closed form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.queries_r4b import (
+    _markov_transition_counts,
+    _removal_effects,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_journeys(sf_dir: str):
+    """Pure-python journey builder from the raw parquet (no Spark)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, event_type
+        FROM read_parquet('{sf_dir}/events.parquet')
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    journeys: dict[int, list[str]] = {}
+    for uid, et in rows:
+        journeys.setdefault(uid, []).append(et)
+    out = []
+    for uid, seq in journeys.items():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        out.append(seq)
+    return out
+
+
+def _reference_counts(journeys):
+    counts: dict[tuple[str, str], int] = {}
+
+    def bump(s, d):
+        counts[(s, d)] = counts.get((s, d), 0) + 1
+
+    for seq in journeys:
+        prev = "START"
+        for et in seq:
+            bump(prev, et)
+            prev = et
+        if seq[-1] != "purchase":
+            bump(seq[-1], "NULL")
+    return counts
+
+
+def test_transition_counts_match_pure_python(spark):
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in _markov_transition_counts(spark, SF).collect()
+    }
+    want = _reference_counts(_reference_journeys(SF))
+    assert got == want
+
+
+def test_removal_effects_closed_form():
+    """Two-channel chain with known absorption probabilities.
+
+    START -> A (always).  A -> purchase w.p. 0.5, A -> B w.p. 0.5.
+    B -> purchase w.p. 0.5, B -> NULL w.p. 0.5.
+    p_base = 0.5 + 0.5*0.5 = 0.75.
+    Remove A: START's only edge is lost -> p = 0, effect 1.
+    Remove B: p = 0.5, effect = 1 - 0.5/0.75 = 1/3.
+    """
+    triples = [
+        ("START", "A", 4),
+        ("A", "purchase", 2),
+        ("A", "B", 2),
+        ("B", "purchase", 1),
+        ("B", "NULL", 1),
+    ]
+    effects = {ch: (pb, eff) for ch, pb, eff in _removal_effects(triples)}
+    assert effects["A"][0] == pytest.approx(0.75)
+    assert effects["A"][1] == pytest.approx(1.0)
+    assert effects["B"][1] == pytest.approx(1.0 / 3.0)
+
+
+def test_markov_attribution_end_to_end(spark):
+    """The registered query equals the pure-python pipeline at sf0.001."""
+    got = {
+        r["channel"]: (r["p_base"], r["removal_effect"])
+        for r in REGISTRY["evt_markov_attribution"].spark_fn(spark, SF).collect()
+    }
+    counts = _reference_counts(_reference_journeys(SF))
+    want = {
+        ch: (round(pb, 6), round(eff, 6))
+        for ch, pb, eff in _removal_effects(
+            [(s, d, n) for (s, d), n in counts.items()]
+        )
+    }
+    assert got == want
+    # every removal effect is a probability-ratio quantity
+    for pb, eff in got.values():
+        assert 0.0 <= pb <= 1.0
+        assert eff <= 1.0
+
+
+def test_windowed_funnel_single_data_exchange(spark):
+    """The three stage-threshold windows chain behind ONE user_id
+    exchange (the per-stage self-join anti-pattern would pay three);
+    the only other exchange is the final single-partition 3-counter
+    fold."""
+    df = REGISTRY["evt_windowed_funnel"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_audience_overlap_single_scan(spark):
+    """Pair counts AND audience sizes come out of one lineage: one
+    parquet scan, one data-sized exchange (collect_set), the rest are
+    |types|²-row frames."""
+    df = REGISTRY["evt_audience_overlap"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_audience_overlap_diagonal_consistency(spark):
+    """n_both ≤ min(n_a, n_b) and Jaccard ∈ (0, 1] on real data."""
+    rows = REGISTRY["evt_audience_overlap"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_removal_effect_bounds_random():
+    """Removal effects from random count matrices stay ≤ 1 and the
+    solve never diverges (A is strictly diagonally dominant for
+    sub-stochastic transient blocks)."""
+    rng = np.random.default_rng(7)
+    chans = ["a", "b", "c"]
+    for _ in range(25):
+        triples = [("START", c, int(rng.integers(1, 10))) for c in chans]
+        for s in chans:
+            for d in chans + ["purchase", "NULL"]:
+                n = int(rng.integers(0, 10))
+                if n and d != s:
+                    triples.append((s, d, n))
+        for ch, pb, eff in _removal_effects(triples):
+            assert 0.0 <= pb <= 1.0
+            assert eff <= 1.0 + 1e-12

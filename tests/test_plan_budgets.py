@@ -52,6 +52,9 @@ BUDGETS = {
     "evt_ols_features": 1,
     "doc_repeated_spans": 2,
     "evt_attribution": 2,
+    "evt_topk_paths": 2,
+    "evt_windowed_funnel": 1,
+    "evt_audience_overlap": 4,
 }
 
 
