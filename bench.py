@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "evt_windowed_funnel",
     "evt_audience_overlap",
     "evt_markov_attribution",
+    "evt_activity_islands",
+    "doc_phrase_search",
+    "emb_knn_communities",
 ]
 
 

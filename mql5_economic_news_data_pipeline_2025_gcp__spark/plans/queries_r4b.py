@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import keyed_events
+from .common import fan_out, keyed_events, t
 from .registry import register
 
 
@@ -373,3 +373,182 @@ def _removal_effects(triples):
         eff = 0.0 if base == 0.0 else 1.0 - p_conv(ch) / base
         out.append((ch, base, eff))
     return sorted(out)
+
+
+@register(
+    "evt_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY d) AS INTEGER) AS grp
+      FROM days),
+    i AS (
+      SELECT user_id, grp, count(*) AS run_len
+      FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS active_days
+    FROM i GROUP BY user_id
+    """,
+    description=(
+        "gaps-and-islands over per-user activity days: distinct active "
+        "dates, the date − row_number() constant-per-run trick groups "
+        "consecutive days into islands, then per-user island count / "
+        "longest streak / total active days. Shape: the distinct "
+        "collapses the log to ≤|users|·|days| rows FIRST (map-side "
+        "combined), so the window and both aggregates run on the "
+        "reduced frame; the final groupBy(user) reuses the window's "
+        "user partitioning. The classic mistake — windowing the raw "
+        "event log then deduping — pays the shuffle at log size"
+    ),
+    tags=("events", "window", "islands"),
+)
+def evt_activity_islands(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("active_days"),
+    )
+
+
+@register(
+    "doc_phrase_search",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(s)),
+                             i -> s[i] = 'table' AND s[i+1] = 'window'))
+               AS n_occ
+      FROM sp)
+    SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+    FROM hits WHERE n_occ > 0
+    """,
+    description=(
+        "exact phrase search ('table window') over the corpus: token "
+        "adjacency via lead() within each document's position order — "
+        "ONE scan, ONE shuffle on doc_id for the position window, "
+        "map-side-combined per-doc occurrence counts. The distinct-"
+        "word bigram makes occurrences non-overlapping, so the count "
+        "is well-defined in both engines. At serving scale the same "
+        "adjacency predicate runs as a positional-postings "
+        "intersection against a MATERIALIZED (term, doc, pos) index — "
+        "term filters prune the posting scan (doc_bm25_search builds "
+        "that index shape); built on the fly, the lead() form is "
+        "strictly cheaper because it avoids a second corpus scan"
+    ),
+    tags=("documents", "text", "search", "window"),
+)
+def doc_phrase_search(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = toks.withColumn("nxt", F.lead("tok").over(w))
+    return (
+        adj.filter((F.col("tok") == "table") & (F.col("nxt") == "window"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+
+
+@register(
+    "emb_knn_communities",
+    oracle=None,  # iterative mode-label propagation is not
+    # SQL-expressible; gated by test_journeys_r4's pure-python twin
+    description=(
+        "label-propagation communities over the k-NN graph (k=5, 5 "
+        "synchronous rounds): init label = vec_id; each round every "
+        "node adopts the most frequent label among its neighbors "
+        "(ties → smallest label, via max(struct(n, −label))), which "
+        "finds denser groupings than connected components (CC merges "
+        "anything touching; LPA needs plurality). Distributed shape "
+        "per round: edges ⋈ labels on dst (broadcast — the label "
+        "frame is |V| rows of two longs), count aggregate on (src, "
+        "label) with map-side combine, argmax per src; labels "
+        "localCheckpoint each round so the plan stays flat (the same "
+        "iterative-lineage discipline as dedup's CC). At 100 TB the "
+        "k-NN edges come from the bucketed-ANN path, edges stay "
+        "partitioned by src across rounds, and only the |V|-row label "
+        "state moves"
+    ),
+    tags=("embeddings", "graph", "iterative", "communities"),
+)
+def emb_knn_communities(spark, sf_dir, k: int = 5, rounds: int = 5):
+    edges = _knn_edges(spark, sf_dir, k).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = edges.join(
+            F.broadcast(labels), edges.dst == labels.node
+        ).select("src", "label")
+        counts = nbr.groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        best = counts.groupBy("src").agg(
+            F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias(
+                "m"
+            )
+        )
+        labels = best.select(
+            F.col("src").alias("node"), (-F.col("m.neg")).alias("label")
+        ).localCheckpoint()
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("label").alias("community"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def _knn_edges(spark, sf_dir, k: int):
+    """Symmetrized k-NN edges over the embeddings table (deterministic:
+    cosine rounded to 1e-6, ties by neighbor_id)."""
+    from ..operators.similarity import _as_double, cosine
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("src"), _as_double("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("dst"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst").asc()
+    )
+    knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    # symmetrize: an undirected neighborhood propagates labels both ways
+    fwd = knn.select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).distinct()

@@ -155,3 +155,39 @@ def test_removal_effect_bounds_random():
         for ch, pb, eff in _removal_effects(triples):
             assert 0.0 <= pb <= 1.0
             assert eff <= 1.0 + 1e-12
+
+
+def test_knn_communities_match_pure_python(spark):
+    """The registered LPA query equals a pure-python twin run on the
+    same collected edges (mode label, ties -> smallest, 5 synchronous
+    rounds)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.queries_r4b import (
+        _knn_edges,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in _knn_edges(spark, SF, 5).collect()]
+    nbrs: dict[int, list[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    labels = {n: n for n in nbrs}
+    for _ in range(5):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for d in ns:
+                counts[labels[d]] = counts.get(labels[d], 0) + 1
+            # plurality, ties -> smallest label
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    want: dict[int, int] = {}
+    for lab in labels.values():
+        want[lab] = want.get(lab, 0) + 1
+    got = {
+        r["community"]: r["n_members"]
+        for r in REGISTRY["emb_knn_communities"].spark_fn(spark, SF).collect()
+    }
+    assert got == want
+    # sanity: plurality propagation found real structure (not all
+    # singletons, not one blob)
+    assert 1 < len(got) < len(labels)

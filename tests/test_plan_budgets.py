@@ -55,6 +55,8 @@ BUDGETS = {
     "evt_topk_paths": 2,
     "evt_windowed_funnel": 1,
     "evt_audience_overlap": 4,
+    "evt_activity_islands": 3,
+    "doc_phrase_search": 2,
 }
 
 
