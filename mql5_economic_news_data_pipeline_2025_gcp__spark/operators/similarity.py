@@ -585,3 +585,122 @@ def mmr_rerank(
         )
 
     return pooled.groupBy("query_id").applyInPandas(_greedy, out_schema)
+
+
+# ----------------------------------------------------- all-pairs k-NN
+
+
+#: Hard cap on the broadcast side of :func:`allpairs_knn_topk`.  The
+#: all-pairs form is an EVAL-SAMPLE operator (leave-one-out k-NN,
+#: k-NN-graph construction): the whole table is both query set and
+#: corpus, so it must be a bounded sample — never a 100 TB corpus.
+#: Corpus-scale neighbor search goes through the bucketed/IVF ANN paths.
+ALLPAIRS_MAX_ROWS = 200_000
+
+
+def allpairs_knn_topk(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """Exact leave-one-out k-NN over a bounded embedding table:
+    ``(query_id[, true_label], neighbor_id[, neigh_label], sim)`` with
+    the global top-``k`` neighbors per query.
+
+    Two-phase top-k with Arrow-batched BLAS scoring — the fast exact
+    path that replaces the interpreted ``aggregate``-HOF cross join
+    (measured 10.4 s → see bench for the k-NN eval at sf0.1):
+
+    1. The full matrix (bounded — asserted ≤ :data:`ALLPAIRS_MAX_ROWS`,
+       same broadcast posture the HOF form already had) ships to every
+       executor once.
+    2. Each candidate partition scores itself against ALL queries with
+       one ``C @ Qᵀ`` matmul and emits only its LOCAL top-k per query.
+       Ordering is done on int64 keys ``s6·2³² − neighbor_id`` where
+       ``s6 = round(sim·10⁶)`` (HALF_UP, away from zero) — integer
+       comparison, so partition-local selection, the final merge
+       window, and a SQL oracle that sorts on (round(sim,6) DESC, id
+       ASC) order IDENTICALLY; float summation-order differences are
+       absorbed by the same 1e-6 quantization the HOF form relied on.
+    3. One ``row_number`` window over the ≤ partitions·k·|Q| survivors
+       picks the global top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    sess = emb.sparkSession
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    rows = emb.select(*cols).limit(ALLPAIRS_MAX_ROWS + 1).collect()
+    assert len(rows) <= ALLPAIRS_MAX_ROWS, (
+        f"allpairs_knn_topk is an eval-sample operator (≤"
+        f"{ALLPAIRS_MAX_ROWS} rows); sample first or use the ANN paths"
+    )
+    qids = np.array([r[id_col] for r in rows], dtype="int64")
+    Q = np.array([r[vec_col] for r in rows], dtype="float64")
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qlab = (
+        np.array([r[label_col] for r in rows], dtype="int64")
+        if label_col
+        else None
+    )
+    bc = sess.sparkContext.broadcast((qids, Q / qn[:, None], qlab))
+
+    with_labels = label_col is not None
+    out_schema = (
+        "query_id long, true_label long, neighbor_id long, "
+        "neigh_label long, sim double"
+        if with_labels
+        else "query_id long, neighbor_id long, sim double"
+    )
+
+    def _score(batches):
+        b_qids, b_Qn, b_qlab = bc.value
+        nq = len(b_qids)
+        kmin = np.iinfo("int64").min
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy().astype("int64")
+            C = np.array(list(pdf[vec_col]), dtype="float64")
+            if C.size == 0:
+                continue
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = (C / cn[:, None]) @ b_Qn.T  # (B, nq)
+            # HALF_UP 1e-6 quantization inside int64 ordering keys
+            s6 = (np.floor(np.abs(S) * 1e6 + 0.5) * np.sign(S)).astype(
+                "int64"
+            )
+            key = s6 * (1 << 32) - cids[:, None]
+            key[cids[:, None] == b_qids[None, :]] = kmin  # self-match
+            B = len(cids)
+            kk = min(k, B)
+            sel = np.argpartition(-key, kk - 1, axis=0)[:kk]  # (kk, nq)
+            kq = np.take_along_axis(key, sel, axis=0)
+            keep = kq.ravel(order="F") != kmin
+            q_idx = np.repeat(np.arange(nq), kk)
+            c_idx = sel.ravel(order="F")
+            s_val = np.take_along_axis(s6, sel, axis=0).ravel(order="F")
+            data = {
+                "query_id": b_qids[q_idx][keep],
+                "neighbor_id": cids[c_idx][keep],
+                "sim": s_val[keep] / 1e6,
+            }
+            if with_labels:
+                clab = pdf[label_col].to_numpy().astype("int64")
+                data["true_label"] = b_qlab[q_idx][keep]
+                data["neigh_label"] = clab[c_idx][keep]
+            yield pd.DataFrame(data)[
+                [f.split(" ")[0] for f in out_schema.split(", ")]
+            ]
+
+    partial = emb.select(*cols).mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

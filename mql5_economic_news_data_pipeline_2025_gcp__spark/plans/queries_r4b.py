@@ -523,32 +523,14 @@ def emb_knn_communities(spark, sf_dir, k: int = 5, rounds: int = 5):
 
 def _knn_edges(spark, sf_dir, k: int):
     """Symmetrized k-NN edges over the embeddings table (deterministic:
-    cosine rounded to 1e-6, ties by neighbor_id)."""
-    from ..operators.similarity import _as_double, cosine
+    cosine quantized to 1e-6, ties by neighbor_id — the int64-key
+    ordering of allpairs_knn_topk)."""
+    from ..operators.similarity import allpairs_knn_topk
 
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        F.col("vec_id").alias("src"), _as_double("embedding").alias("qv")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("dst"), _as_double("embedding").alias("cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("sim").desc(), F.col("dst").asc()
-    )
-    knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
+    knn = allpairs_knn_topk(emb, k=k, label_col=None).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     # symmetrize: an undirected neighborhood propagates labels both ways
-    fwd = knn.select("src", "dst")
     rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return knn.unionByName(rev).distinct()
