@@ -333,9 +333,12 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        # lazy: round 0's convergence action materializes it — no
+        # pre-loop job just to snapshot the (trivially known) identity
+        # labeling; prev_sum starts unknown and round 0 always runs
+        .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -442,7 +445,9 @@ def dedup_clusters_star(
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    edges = e.distinct().localCheckpoint()
+    # lazy: the baseline _sig action right below materializes it —
+    # one job instead of two before the loop starts
+    edges = e.distinct().localCheckpoint(eager=False)
 
     def _sig(df: DataFrame) -> int:
         # order-insensitive edge-set signature (canonical orientation)
