@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "evt_activity_islands",
     "doc_phrase_search",
     "emb_knn_communities",
+    "mm_scene_cuts",
+    "evt_hll_audience_overlap",
 ]
 
 

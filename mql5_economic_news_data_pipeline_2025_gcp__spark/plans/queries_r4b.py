@@ -534,3 +534,147 @@ def _knn_edges(spark, sf_dir, k: int):
     # symmetrize: an undirected neighborhood propagates labels both ways
     rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return knn.unionByName(rev).distinct()
+
+
+@register(
+    "mm_scene_cuts",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS asset_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2),
+    framed AS (
+      SELECT asset_id, text,
+             least((5000 + n % 600000) // 1000, 8) AS n_frames
+      FROM media),
+    frames AS (
+      SELECT asset_id, CAST(u.i AS INT) AS frame_idx,
+             md5(text || ':' || CAST(u.i AS VARCHAR)) AS fc
+      FROM framed, unnest(range(0, n_frames)) AS u(i)),
+    hashed AS (
+      SELECT asset_id, frame_idx,
+             CAST(('0x' || substring(fc, 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substring(fc, 9, 8)) AS BIGINT) AS h2
+      FROM frames),
+    lagged AS (
+      SELECT asset_id, frame_idx, h1, h2,
+             lag(h1) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS p1,
+             lag(h2) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS p2
+      FROM hashed),
+    dist AS (
+      SELECT asset_id, frame_idx,
+             CASE WHEN p1 IS NULL THEN NULL
+                  ELSE bit_count(xor(h1, p1)) + bit_count(xor(h2, p2))
+             END AS hamming
+      FROM lagged)
+    SELECT asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(CASE WHEN hamming > 36 THEN 1 END) AS BIGINT)
+             AS n_cuts,
+           CAST(count(CASE WHEN hamming > 36 THEN 1 END) + 1 AS BIGINT)
+             AS n_scenes
+    FROM dist GROUP BY asset_id
+    """,
+    description=(
+        "video scene-cut detection over sampled frames: the "
+        "frame-sampling Arrow stage (one-to-many mapInPandas, stub "
+        "fingerprints — real deployments hash decoded pixels at the "
+        "same seam) feeds a pure-JVM change detector — per-frame "
+        "64-bit signatures as two 32-bit hex halves, lag() hamming "
+        "distance between consecutive frames via bit_count(xor), cut "
+        "where distance > 36 bits. Shape: fan-out bounded by the "
+        "frame cap, ONE asset_id window shuffle over frame rows (≤8 "
+        "per asset), per-asset scene counts map-side combined. The "
+        "detector never touches payload bytes after the hash stage — "
+        "at 100 TB the frame-hash table is the only thing shuffled, "
+        "KB per thousand assets"
+    ),
+    tags=("multimodal", "mapInPandas", "window", "scene-detection"),
+)
+def mm_scene_cuts(spark, sf_dir):
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    frames = sample_frames(documents_as_media(docs))
+    hashed = frames.select(
+        "asset_id",
+        "frame_idx",
+        F.conv(F.substring("frame_checksum", 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring("frame_checksum", 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    lagged = hashed.select(
+        "asset_id",
+        "frame_idx",
+        "h1",
+        "h2",
+        F.lag("h1").over(w).alias("p1"),
+        F.lag("h2").over(w).alias("p2"),
+    )
+    ham = F.when(
+        F.col("p1").isNotNull(),
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("p1")))
+        + F.bit_count(F.col("h2").bitwiseXOR(F.col("p2"))),
+    )
+    dist = lagged.select("asset_id", ham.alias("hamming"))
+    cuts = F.count(F.when(F.col("hamming") > 36, 1))
+    return dist.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        cuts.cast("bigint").alias("n_cuts"),
+        (cuts + 1).cast("bigint").alias("n_scenes"),
+    )
+
+
+@register(
+    "evt_hll_audience_overlap",
+    oracle=None,  # HLL sketch estimates are engine-specific binaries;
+    # the gate is tests/test_journeys_r4.py::
+    # test_hll_overlap_tracks_exact (estimate within error bound of the
+    # exact evt_audience_overlap counts)
+    description=(
+        "sketch-based audience overlap (the unbounded-cardinality "
+        "twin of evt_audience_overlap): per-type HLL user sketches "
+        "(Apache DataSketches, lgk=14) + pairwise inclusion-exclusion "
+        "— |A∩B| ≈ est(A) + est(B) − est(A ∪ B) with the union "
+        "computed by MERGING the two sketches (hll_union), never "
+        "re-reading rows. Shape: ONE distinct + sketch aggregate over "
+        "the log; the pairwise stage joins |types| KB-sized sketch "
+        "rows — cost independent of user cardinality, which is the "
+        "whole point: the exact pair-explosion form needs "
+        "|types|²-bounded per-user fan-out, this needs a fixed-size "
+        "sketch per segment no matter how many segments a user is in"
+    ),
+    tags=("events", "sketch", "set", "overlap"),
+)
+def evt_hll_audience_overlap(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    d = ev.select("user_id", "event_type").distinct()
+    sk = d.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a_exact"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b_exact"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_union = F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    est_a = F.expr("hll_sketch_estimate(sk_a)")
+    est_b = F.expr("hll_sketch_estimate(sk_b)")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n_a_exact").cast("bigint").alias("n_a_exact"),
+        F.col("n_b_exact").cast("bigint").alias("n_b_exact"),
+        F.round(est_a + est_b - est_union, 2).alias("est_overlap"),
+    )

@@ -191,3 +191,37 @@ def test_knn_communities_match_pure_python(spark):
     # sanity: plurality propagation found real structure (not all
     # singletons, not one blob)
     assert 1 < len(got) < len(labels)
+
+
+def test_hll_overlap_tracks_exact(spark):
+    """The sketch inclusion-exclusion estimate lands within a tight
+    relative band of the exact pair counts (lgk=14 → rsd ≈ 0.8 %; the
+    subtraction amplifies to a few % of the union size)."""
+    exact = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_both"])
+        for r in REGISTRY["evt_audience_overlap"].spark_fn(spark, SF).collect()
+    }
+    est = {
+        (r["type_a"], r["type_b"]): r["est_overlap"]
+        for r in REGISTRY["evt_hll_audience_overlap"]
+        .spark_fn(spark, SF)
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for key, e in est.items():
+        n_a, n_b, n_both = exact[key]
+        union = n_a + n_b - n_both
+        # 5 % of the union + small absolute slack absorbs the
+        # inclusion-exclusion error amplification at these cardinalities
+        assert abs(e - n_both) <= 0.05 * union + 3, (key, e, n_both)
+
+
+def test_scene_cuts_consistency(spark):
+    """Scene counts: n_scenes = n_cuts + 1, cuts < frames, and only
+    video assets (doc_id % 3 == 2) appear."""
+    rows = REGISTRY["mm_scene_cuts"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["asset_id"] % 3 == 2
+        assert r["n_scenes"] == r["n_cuts"] + 1
+        assert r["n_cuts"] <= max(r["n_frames"] - 1, 0)
