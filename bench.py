@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "emb_knn_communities",
     "mm_scene_cuts",
     "evt_hll_audience_overlap",
+    "evt_asof_nearest",
+    "evt_weighted_sample",
 ]
 
 

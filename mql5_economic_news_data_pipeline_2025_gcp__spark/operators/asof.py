@@ -70,3 +70,82 @@ def asof_join(
     return out.filter(F.col("__side") == 0).select(
         *lcols, *[F.col(f"{c}{suffix}") for c in value_cols]
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    suffix: str = "_near",
+) -> DataFrame:
+    """Attach, to every ``left`` row, the ``right`` value whose
+    timestamp is NEAREST in either direction (per key); ties (equal
+    |Δt| before and after) resolve to the EARLIER right row.
+
+    Same union + ordered-window construction as :func:`asof_join` — and
+    the same scale shape: ONE hash shuffle on the key serves BOTH
+    directions, because the backward pass (last right at-or-before,
+    frame ``(-∞, 0]``) and the forward pass (first right strictly
+    after, frame ``[0, +∞)``) are two frames over the SAME window
+    ordering, which Catalyst stacks behind a single exchange. A right
+    row at exactly left.ts sorts before the left row (side desc), so
+    it lands in the backward candidate with Δ = 0 and always wins.
+
+    ``right`` must be unique per (key, ts) — pre-aggregate ties away
+    (as the as-of queries do) so both candidates are well-defined.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(0).alias("__side"),
+        F.lit(None)
+        .cast(right.schema[value_col].dataType)
+        .alias("__r_v"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+    )
+    r_tag = right.select(
+        *[
+            F.col(c)
+            if c in (*key, ts_col)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(1).alias("__side"),
+        F.col(value_col).alias("__r_v"),
+        F.col(ts_col).alias("__r_ts"),
+    )
+    both = l_tag.unionByName(r_tag)
+    order = [F.col(ts_col).asc(), F.col("__side").desc()]
+    wb = (
+        Window.partitionBy(*key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cand = (
+        both.withColumn("__pv", F.last("__r_v", ignorenulls=True).over(wb))
+        .withColumn("__pts", F.last("__r_ts", ignorenulls=True).over(wb))
+        .withColumn("__nv", F.first("__r_v", ignorenulls=True).over(wf))
+        .withColumn("__nts", F.first("__r_ts", ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 0)
+    )
+    d_prev = F.unix_micros(F.col(ts_col)) - F.unix_micros("__pts")
+    d_next = F.unix_micros("__nts") - F.unix_micros(F.col(ts_col))
+    take_prev = F.col("__nts").isNull() | (
+        F.col("__pts").isNotNull() & (d_prev <= d_next)
+    )
+    return cand.select(
+        *lcols,
+        F.when(take_prev, F.col("__pv"))
+        .otherwise(F.col("__nv"))
+        .alias(f"{value_col}{suffix}"),
+        F.when(take_prev, F.col("__pts"))
+        .otherwise(F.col("__nts"))
+        .alias(f"{ts_col}{suffix}"),
+    )

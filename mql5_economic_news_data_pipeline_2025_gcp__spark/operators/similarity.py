@@ -593,9 +593,12 @@ def mmr_rerank(
 #: Hard cap on the broadcast side of :func:`allpairs_knn_topk`.  The
 #: all-pairs form is an EVAL-SAMPLE operator (leave-one-out k-NN,
 #: k-NN-graph construction): the whole table is both query set and
-#: corpus, so it must be a bounded sample — never a 100 TB corpus.
-#: Corpus-scale neighbor search goes through the bucketed/IVF ANN paths.
-ALLPAIRS_MAX_ROWS = 200_000
+#: corpus, so compute is QUADRATIC BY DEFINITION (N²·d flops — the sf1
+#: probe measures exp ≈ 1.1–1.6, as N² predicts) and the input must be
+#: a bounded sample — never a 100 TB corpus.  50k rows ≈ 160 GFLOP at
+#: d=64, about a minute on one node; beyond that, build the k-NN
+#: graph from the bucketed/IVF ANN candidate paths instead.
+ALLPAIRS_MAX_ROWS = 50_000
 
 
 def allpairs_knn_topk(

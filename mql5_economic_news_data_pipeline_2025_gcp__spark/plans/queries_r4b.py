@@ -678,3 +678,151 @@ def evt_hll_audience_overlap(spark, sf_dir):
         F.col("n_b_exact").cast("bigint").alias("n_b_exact"),
         F.round(est_a + est_b - est_union, 2).alias("est_overlap"),
     )
+
+
+@register(
+    "evt_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value*100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(round(value*100) AS BIGINT)) AS rv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    p AS (
+      SELECT l.event_id, l.user_id, l.ts, l.v,
+             r.ts AS pts, r.rv AS pv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+    n AS (
+      SELECT l.event_id, r.ts AS nts, r.rv AS nv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts < r.ts)
+    SELECT p.event_id, p.user_id, p.ts, p.v,
+           CASE WHEN n.nts IS NULL
+                  OR (p.pts IS NOT NULL
+                      AND epoch_us(p.ts) - epoch_us(p.pts)
+                          <= epoch_us(n.nts) - epoch_us(p.ts))
+                THEN p.pv ELSE n.nv END AS rv_near,
+           CASE WHEN n.nts IS NULL
+                  OR (p.pts IS NOT NULL
+                      AND epoch_us(p.ts) - epoch_us(p.pts)
+                          <= epoch_us(n.nts) - epoch_us(p.ts))
+                THEN p.pts ELSE n.nts END AS ts_near
+    FROM p JOIN n ON n.event_id = p.event_id
+    """,
+    description=(
+        "nearest-match as-of join (either direction): each click gets "
+        "the purchase value whose timestamp is closest in absolute "
+        "time, ties to the earlier row — the sensor-alignment "
+        "primitive (backward-only as-of is wrong when the nearest "
+        "reading is just ahead). Construction: the union+window trick "
+        "run in BOTH directions over ONE user_id exchange — backward "
+        "candidate from frame (-∞,0], forward from [0,+∞), two frames "
+        "on the same window ordering that Catalyst stacks behind a "
+        "single shuffle; the naive form is two range joins. Δt "
+        "comparison in integer microseconds (unix_micros both "
+        "engines). The DuckDB oracle needs TWO native ASOF joins plus "
+        "a re-join to express the same thing"
+    ),
+    tags=("events", "window", "asof"),
+)
+def evt_asof_nearest(spark, sf_dir):
+    from ..operators.asof import asof_nearest_join
+
+    ev = keyed_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value_c").alias("v")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value_c").alias("rv"))
+    )
+    return asof_nearest_join(
+        left, right, key=["user_id"], ts_col="ts", value_col="rv"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.col("rv_near"),
+        F.col("ts_near"),
+    )
+
+
+@register(
+    "evt_weighted_sample",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS w
+      FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+    keyed AS (
+      SELECT event_id, event_type, w,
+             CAST(round(
+               ln((CAST(('0x' || substring(
+                     md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                   + 1) / 281474976710657.0)
+               / w * 1000000) AS BIGINT) AS key_micro
+      FROM base),
+    ranked AS (
+      SELECT event_id, event_type, w, key_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY key_micro DESC, event_id ASC)
+               AS rnk
+      FROM keyed)
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, w,
+           key_micro
+    FROM ranked WHERE rnk <= 10
+    """,
+    description=(
+        "weighted reservoir sampling per group (Efraimidis–Spirakis "
+        "A-ES): each row draws u = hash01(event_id) and competes on "
+        "key = ln(u)/w — the top-k by key IS a weight-proportional "
+        "sample without replacement, computable as an ordinary top-k: "
+        "map-side key computation, one window per group, no "
+        "multi-pass rejection loop. Fully DETERMINISTIC (u from md5, "
+        "no RNG state) so re-runs and both engines agree; keys "
+        "quantize to micro-units (the micro-nat convention) so the "
+        "cross-engine ln() ULP difference cannot flip a rank — "
+        "residual ties break on event_id. At 100 TB this is the "
+        "standard one-pass distributed weighted sampler: partial "
+        "top-k per partition merges associatively (here the rank "
+        "window; on a cluster, per-partition heaps)"
+    ),
+    tags=("events", "sampling", "window"),
+)
+def evt_weighted_sample(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    base = ev.filter(F.col("value_c") > 0).select(
+        "event_id", "event_type", F.col("value_c").alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(281474976710657.0)
+    keyed = base.withColumn(
+        "key_micro",
+        F.round(F.log(u) / F.col("w") * 1000000).cast("bigint"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("key_micro").desc(), F.col("event_id").asc()
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "event_type",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "event_id",
+            "w",
+            "key_micro",
+        )
+    )

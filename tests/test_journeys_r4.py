@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
 from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.queries_r4b import (
@@ -225,3 +226,72 @@ def test_scene_cuts_consistency(spark):
         assert r["asset_id"] % 3 == 2
         assert r["n_scenes"] == r["n_cuts"] + 1
         assert r["n_cuts"] <= max(r["n_frames"] - 1, 0)
+
+
+def test_asof_nearest_hand_fixture(spark):
+    """Tie → earlier right row; no-prev → forward match; equal-ts → Δ=0."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.asof import (
+        asof_nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:10"),   # prev@5s, next@15s: tie → prev
+         (2, "k", "2024-01-01 00:00:02"),   # no prev → next@5s
+         (3, "k", "2024-01-01 00:00:15"),   # right exactly at ts → Δ=0
+         (4, "z", "2024-01-01 00:00:01")],  # no rights at all → NULL
+        "event_id long, user_id string, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:05", 50),
+         ("k", "2024-01-01 00:00:15", 150)],
+        "user_id string, ts_s string, rv long",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "rv")
+    out = {
+        r["event_id"]: (r["rv_near"])
+        for r in asof_nearest_join(
+            left, right, key=["user_id"], value_col="rv"
+        ).collect()
+    }
+    assert out == {1: 50, 2: 50, 3: 150, 4: None}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES with weight = value must over-represent heavy rows: the
+    mean weight of the sample beats the population mean per type."""
+    import duckdb
+
+    pop = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT event_type, avg(round(value*100))
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE round(value*100) > 0 GROUP BY 1"""
+        ).fetchall()
+    }
+    rows = REGISTRY["evt_weighted_sample"].spark_fn(spark, SF).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["w"])
+    assert set(by_type) == set(pop)
+    # aggregate across types: sample mean well above population mean
+    samp = [w for ws in by_type.values() for w in ws]
+    pop_mean = sum(pop.values()) / len(pop)
+    assert sum(samp) / len(samp) > 1.2 * pop_mean
+
+
+def test_allpairs_cap_raises(spark):
+    """A corpus-sized misuse of the all-pairs evaluator raises instead
+    of shipping an unbounded broadcast (the op is quadratic by
+    definition and gated to eval samples)."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.similarity import (
+        ALLPAIRS_MAX_ROWS,
+        allpairs_knn_topk,
+    )
+
+    big = spark.range(ALLPAIRS_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    with pytest.raises(AssertionError, match="eval-sample"):
+        allpairs_knn_topk(big, k=3)

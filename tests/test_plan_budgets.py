@@ -57,6 +57,10 @@ BUDGETS = {
     "evt_audience_overlap": 4,
     "evt_activity_islands": 3,
     "doc_phrase_search": 2,
+    # 1 union-window exchange (both frames stacked) + 1 right-side
+    # (user_id, ts) dedup agg that the query itself requires
+    "evt_asof_nearest": 2,
+    "evt_weighted_sample": 1,
 }
 
 
