@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "evt_hll_audience_overlap",
     "evt_asof_nearest",
     "evt_weighted_sample",
+    "evt_stl_decompose",
 ]
 
 

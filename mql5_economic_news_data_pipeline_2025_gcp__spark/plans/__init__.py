@@ -71,7 +71,9 @@ _PRIORITY: tuple[str, ...] = (
     # ANN / embeddings family
     "emb_cosine_topk",
     "emb_bucketed_ann_topk",
-    "emb_ivf_topk",
+    # journey-analytics family (round-4 session 3; IVF stays covered by
+    # the full diffcheck + emb_bucketed_ann_topk's driver row)
+    "evt_windowed_funnel",
     # text corpus family
     "doc_quality_profile",
     "doc_bm25_search",

@@ -826,3 +826,111 @@ def evt_weighted_sample(spark, sf_dir):
             "key_micro",
         )
     )
+
+
+@register(
+    "evt_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value*100) AS BIGINT))
+                             AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+               AS mean_micro
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, mean_micro,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(round(CAST(sum(mean_micro) OVER w AS DOUBLE)
+                                  / 7) AS BIGINT)
+             END AS trend_micro
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, mean_micro, trend_micro,
+             mean_micro - trend_micro AS detrended,
+             dayofweek(day) AS dow
+      FROM tr),
+    seas AS (
+      SELECT event_type, day, mean_micro, trend_micro,
+             CASE WHEN trend_micro IS NOT NULL THEN
+               CAST(round(CAST(sum(detrended)
+                          OVER (PARTITION BY event_type, dow) AS DOUBLE)
+                          / count(detrended)
+                          OVER (PARTITION BY event_type, dow))
+                    AS BIGINT)
+             END AS seasonal_micro
+      FROM det)
+    SELECT event_type, day, mean_micro, trend_micro, seasonal_micro,
+           mean_micro - trend_micro - seasonal_micro AS residual_micro
+    FROM seas
+    """,
+    description=(
+        "classical seasonal-trend decomposition of the per-type daily "
+        "series (STL-lite): daily means quantize to integer "
+        "MICRO-CENTS first (one exact-integer day aggregate collapses "
+        "the log to |types|·|days| rows), trend = centered 7-day "
+        "moving average (full windows only), seasonal = day-of-week "
+        "mean of the detrended series (window-lifted over the same "
+        "tiny frame — no join-back), residual = value − trend − "
+        "seasonal, all in integer micro-units so every aggregation "
+        "order is exact. Shape: the ONLY data-sized operation is the "
+        "first aggregate; every window runs on ≤|types|·|days| rows. "
+        "The dual of evt_seasonal_profile (which fits the seasonal "
+        "baseline directly): this one separates trend from season, "
+        "the pre-step anomaly detection and forecasting both want"
+    ),
+    tags=("events", "window", "timeseries", "statistics"),
+)
+def evt_stl_decompose(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum("value_c").cast("double") * 10000
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("mean_micro")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn(
+        "trend_micro",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.round(F.sum("mean_micro").over(w7).cast("double") / 7).cast(
+                "bigint"
+            ),
+        ),
+    )
+    det = tr.withColumn(
+        "detrended", F.col("mean_micro") - F.col("trend_micro")
+    ).withColumn("dow", F.dayofweek("day"))
+    wd = Window.partitionBy("event_type", "dow")
+    seas = det.withColumn(
+        "seasonal_micro",
+        F.when(
+            F.col("trend_micro").isNotNull(),
+            F.round(
+                F.sum("detrended").over(wd).cast("double")
+                / F.count("detrended").over(wd)
+            ).cast("bigint"),
+        ),
+    )
+    return seas.select(
+        "event_type",
+        "day",
+        "mean_micro",
+        "trend_micro",
+        "seasonal_micro",
+        (
+            F.col("mean_micro")
+            - F.col("trend_micro")
+            - F.col("seasonal_micro")
+        ).alias("residual_micro"),
+    )

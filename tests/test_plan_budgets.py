@@ -61,6 +61,8 @@ BUDGETS = {
     # (user_id, ts) dedup agg that the query itself requires
     "evt_asof_nearest": 2,
     "evt_weighted_sample": 1,
+    # 1 data-sized day aggregate + 2 tiny windows over |types|·|days|
+    "evt_stl_decompose": 3,
 }
 
 
