@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "evt_asof_nearest",
     "evt_weighted_sample",
     "evt_stl_decompose",
+    "evt_rolling_distinct",
 ]
 
 

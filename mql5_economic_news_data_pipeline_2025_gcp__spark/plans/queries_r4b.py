@@ -934,3 +934,94 @@ def evt_stl_decompose(spark, sf_dir):
             - F.col("seasonal_micro")
         ).alias("residual_micro"),
     )
+
+
+@register(
+    "evt_rolling_distinct",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+      FROM events),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) s)
+    SELECT sp.event_type, sp.day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_7d
+    FROM spine sp
+    LEFT JOIN act a
+      ON a.event_type = sp.event_type
+     AND a.d BETWEEN sp.day - 6 AND sp.day
+    GROUP BY sp.event_type, sp.day
+    """,
+    description=(
+        "exact rolling 7-day distinct users per event type — the "
+        "windowed-cardinality metric (WAU-style) that does NOT "
+        "tolerate sketches when it feeds billing or SLAs. NOT the "
+        "textbook range self-join (day spine × 7-day event window — "
+        "O(7·|log|) join rows): distinct (type, user, day) activity "
+        "collapses the log once; per (type, user) consecutive days "
+        "merge into COVERAGE INTERVALS [start, end+6] (gap ≤ 6 joins "
+        "an island, so intervals never overlap and each user counts "
+        "once); intervals become +1/−1 deltas and a per-type "
+        "cumulative sum over the day spine reads off the rolling "
+        "distinct count — the sweep-line trick (evt_max_concurrency's "
+        "machinery) applied to windowed cardinality. Everything after "
+        "the first distinct runs on ≤|users|·|days| rows"
+    ),
+    tags=("events", "window", "sweep-line", "distinct"),
+)
+def evt_rolling_distinct(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    act = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    # merge per-(type, user) activity days into coverage intervals:
+    # a day within 6 of the previous extends the island
+    wu = Window.partitionBy("event_type", "user_id").orderBy("d")
+    isl = act.withColumn(
+        "new_isl",
+        F.when(
+            F.datediff(F.col("d"), F.lag("d").over(wu)) > 6, 1
+        ).otherwise(F.when(F.lag("d").over(wu).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = isl.groupBy("event_type", "user_id", "isl_id").agg(
+        F.min("d").alias("start"),
+        F.date_add(F.max("d"), 6).alias("end"),
+    )
+    deltas = (
+        iv.select("event_type", F.col("start").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(
+                "event_type",
+                F.date_add("end", 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    spine = (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    joined = spine.join(deltas, ["event_type", "day"], "left")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.sum(F.coalesce("delta", F.lit(0)))
+        .over(wc)
+        .cast("bigint")
+        .alias("n_active_7d"),
+    )

@@ -63,6 +63,9 @@ BUDGETS = {
     "evt_weighted_sample": 1,
     # 1 data-sized day aggregate + 2 tiny windows over |types|·|days|
     "evt_stl_decompose": 3,
+    # 1 data-sized distinct; island window, interval agg, delta agg,
+    # spine join + cumsum all run on ≤|users|·|days| rows
+    "evt_rolling_distinct": 6,
 }
 
 
