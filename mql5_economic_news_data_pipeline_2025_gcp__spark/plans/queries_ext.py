@@ -2046,7 +2046,12 @@ def doc_pmi_collocations(spark, sf_dir):
 def doc_dupgraph_triangles(spark, sf_dir):
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
-    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    # the candidate frame feeds degree, orientation, wedges AND the
+    # closing-edge join — without a checkpoint each reference re-runs
+    # the shingle→minhash→band lineage over the corpus (measured 4
+    # full recomputes); the materialized frame is pairs-sized (tiny
+    # under LSH sparsity), never the corpus
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).localCheckpoint()
 
     deg = (
         pairs.select(F.col("id_a").alias("id"))
