@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "evt_weighted_sample",
     "evt_stl_decompose",
     "evt_rolling_distinct",
+    "rel_scd2_point_in_time",
 ]
 
 

@@ -40,15 +40,27 @@ def asof_join(
     row get NULLs (left-outer semantics)."""
     lcols = left.columns
     payload = [F.col(c).alias(f"__r_{c}") for c in value_cols]
+    # tie_break is a RIGHT-side column (e.g. a version number): carry it
+    # through the union as __tb (NULL on left rows) so the window can
+    # order on it — right rows at the same ts resolve to the largest
+    # tie_break via F.last over the ascending order
+    tb_l = (
+        [F.lit(None).cast(right.schema[tie_break].dataType).alias("__tb")]
+        if tie_break
+        else []
+    )
+    tb_r = [F.col(tie_break).alias("__tb")] if tie_break else []
     l_tag = left.select(
         *[F.col(c) for c in lcols],
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *tb_l,
     )
     r_tag = right.select(
         *[F.col(c) if c in (*key, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.lit(1).alias("__side"),
         *payload,
+        *tb_r,
     )
     both = l_tag.unionByName(r_tag)
 
@@ -56,7 +68,7 @@ def asof_join(
     # exactly-simultaneous right row is visible to the left row (<=)
     order = [F.col(ts_col).asc(), F.col("__side").desc()]
     if tie_break:
-        order.append(F.col(tie_break).asc_nulls_first())
+        order.append(F.col("__tb").asc_nulls_first())
     w = (
         Window.partitionBy(*key)
         .orderBy(*order)

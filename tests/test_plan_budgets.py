@@ -66,6 +66,9 @@ BUDGETS = {
     # 1 data-sized distinct; island window, interval agg, delta agg,
     # spine join + cumsum all run on ≤|users|·|days| rows
     "evt_rolling_distinct": 6,
+    # orders window (custkey), lineitem⋈orders (orderkey), union-window
+    # as-of (custkey), final tiny agg
+    "rel_scd2_point_in_time": 5,
 }
 
 
