@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "evt_stl_decompose",
     "evt_rolling_distinct",
     "rel_scd2_point_in_time",
+    "evt_eb_shrunk_rates",
 ]
 
 

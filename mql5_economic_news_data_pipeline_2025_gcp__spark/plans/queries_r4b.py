@@ -1154,3 +1154,92 @@ def rel_scd2_point_in_time(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum("rev_c").cast("bigint").alias("revenue_c"),
     )
+
+
+# Shared IEEE expression fragments for the beta-binomial shrinkage:
+# ONE string evaluated by BOTH engines (Spark F.expr and the DuckDB
+# oracle), so the float op sequence — and hence the hash — is identical
+# by construction (the evt_ols_features determinism pattern).
+_EB_M = "(CAST(sm AS DOUBLE) / cnt / 1000000.0)"
+_EB_V = (
+    f"(CAST(sq AS DOUBLE) / cnt / 1000000000000.0 - {_EB_M} * {_EB_M})"
+)
+_EB_K = (
+    f"(CASE WHEN {_EB_V} > 0 AND {_EB_M} * (1 - {_EB_M}) / {_EB_V} - 1 > 0 "
+    f"THEN {_EB_M} * (1 - {_EB_M}) / {_EB_V} - 1 ELSE 1.0 END)"
+)
+_EB_ALPHA = f"({_EB_M} * {_EB_K})"
+_EB_BETA = f"((1 - {_EB_M}) * {_EB_K})"
+_EB_POST = (
+    f"round((x + {_EB_ALPHA}) / (n + {_EB_ALPHA} + {_EB_BETA}), 6)"
+)
+_EB_RMICRO = "CAST(round(CAST(x AS DOUBLE) * 1000000 / n) AS BIGINT)"
+_EB_RAW = "round(CAST(x AS DOUBLE) / n, 6)"
+
+
+@register(
+    "evt_eb_shrunk_rates",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id),
+    s2 AS (SELECT user_id, n, x, {_EB_RMICRO} AS r_micro FROM s),
+    g AS (
+      SELECT CAST(sum(r_micro) AS BIGINT) AS sm,
+             CAST(sum(r_micro * r_micro) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s2)
+    SELECT user_id, n, x,
+           {_EB_RAW} AS raw_rate,
+           {_EB_POST} AS shrunk_rate
+    FROM s2 CROSS JOIN g
+    """,
+    description=(
+        "empirical-Bayes beta-binomial shrinkage of per-user "
+        "conversion rates — the hierarchical fix for the "
+        "small-denominator problem (a 1-of-2 user is not a 50% "
+        "converter): per-user (n, x) in ONE integer aggregate, "
+        "method-of-moments α/β from the rate mean/variance (rates "
+        "quantized to integer micro-units so the global sufficient "
+        "statistics are exact in any aggregation order), posterior "
+        "mean (x+α)/(n+α+β). The α/β/posterior arithmetic is a "
+        "SINGLE SQL string evaluated by both engines (F.expr on the "
+        "Spark side), making the IEEE op sequence — and the hash — "
+        "identical by construction. Shape: one user_id aggregate, a "
+        "1-row global aggregate broadcast back; no iteration, no "
+        "MCMC — closed-form shrinkage at any scale"
+    ),
+    tags=("events", "statistics", "bayes"),
+)
+def evt_eb_shrunk_rates(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("x"),
+    )
+    # the user-stats frame feeds BOTH the global moments and the final
+    # posterior projection — checkpoint it once (|users| rows of three
+    # longs) rather than re-scanning the event log for each reference
+    s2 = s.withColumn("r_micro", F.expr(_EB_RMICRO)).localCheckpoint()
+    g = s2.agg(
+        F.sum("r_micro").cast("bigint").alias("sm"),
+        F.sum(F.col("r_micro") * F.col("r_micro"))
+        .cast("bigint")
+        .alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        s2.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "n",
+            "x",
+            F.expr(_EB_RAW).alias("raw_rate"),
+            F.expr(_EB_POST).alias("shrunk_rate"),
+        )
+    )

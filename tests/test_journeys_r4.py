@@ -295,3 +295,28 @@ def test_allpairs_cap_raises(spark):
     )
     with pytest.raises(AssertionError, match="eval-sample"):
         allpairs_knn_topk(big, k=3)
+
+
+def test_eb_shrinkage_properties(spark):
+    """Shrinkage must pull extremes toward the global mean, and
+    harder for small-n users: |shrunk − m| ≤ |raw − m| (up to the
+    1e-6 rounding), and posterior stays inside (0, 1)."""
+    rows = REGISTRY["evt_eb_shrunk_rates"].spark_fn(spark, SF).collect()
+    assert rows
+    m = sum(r["x"] for r in rows) / sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["shrunk_rate"] <= 1.0
+        # posterior lies between the raw rate and (approximately) the
+        # prior mean — shrinkage never overshoots past the data side
+        lo, hi = sorted([r["raw_rate"], m])
+        assert lo - 0.2 <= r["shrunk_rate"] <= hi + 0.2
+    # small-n users move more (relative shrink toward the mean)
+    small = [r for r in rows if r["n"] <= 30 and abs(r["raw_rate"] - m) > 0.02]
+    big = [r for r in rows if r["n"] >= 80 and abs(r["raw_rate"] - m) > 0.02]
+    if small and big:
+        move = lambda r: abs(r["shrunk_rate"] - r["raw_rate"]) / abs(
+            r["raw_rate"] - m
+        )
+        assert (sum(map(move, small)) / len(small)) >= (
+            sum(map(move, big)) / len(big)
+        )

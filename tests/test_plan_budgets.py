@@ -69,6 +69,7 @@ BUDGETS = {
     # orders window (custkey), lineitem⋈orders (orderkey), union-window
     # as-of (custkey), final tiny agg
     "rel_scd2_point_in_time": 5,
+    "evt_eb_shrunk_rates": 1,
 }
 
 
