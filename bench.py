@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "evt_rolling_distinct",
     "rel_scd2_point_in_time",
     "evt_eb_shrunk_rates",
+    "doc_zipf_fit",
+    "doc_term_burstiness",
 ]
 
 

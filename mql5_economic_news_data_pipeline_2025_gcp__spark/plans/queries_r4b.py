@@ -1243,3 +1243,181 @@ def evt_eb_shrunk_rates(spark, sf_dir):
             F.expr(_EB_POST).alias("shrunk_rate"),
         )
     )
+
+
+@register(
+    "doc_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS term
+      FROM documents),
+    tf AS (
+      SELECT term, count(*) AS freq FROM toks
+      WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM tf),
+    top AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lr,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lf
+      FROM ranked WHERE rnk <= 100),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lr) AS BIGINT) AS sx,
+             CAST(sum(lf) AS BIGINT) AS sy,
+             CAST(sum(lr * lr) AS BIGINT) AS sxx,
+             CAST(sum(lr * lf) AS BIGINT) AS sxy
+      FROM top)
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) * sx)
+                 / n / 1000000.0, 6) AS intercept_nats
+    FROM s
+    """,
+    description=(
+        "Zipf power-law fit over the term-frequency distribution: "
+        "log-log OLS of frequency against rank for the top-100 terms "
+        "— the standard sanity probe of corpus naturalness (natural "
+        "text fits slope ≈ −1; templated/synthetic corpora bend the "
+        "curve). Determinism: log-rank/log-frequency quantize to "
+        "integer MICRO-NATS before the sufficient-statistic sums "
+        "(exact in any order), and the slope/intercept division trees "
+        "are written identically on both engines (the OLS pattern of "
+        "evt_ols_features). Shape: one token-count aggregate over the "
+        "corpus, a 100-row rank window, a 1-row fit — the rank window "
+        "runs on |vocab| rows, never the token stream"
+    ),
+    tags=("documents", "statistics", "text"),
+)
+def doc_zipf_fit(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    ).filter(F.col("rnk") <= 100)
+    top = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("lr"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("lf"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lr").cast("bigint").alias("sx"),
+        F.sum("lf").cast("bigint").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("bigint").alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).cast("bigint").alias("sxy"),
+    )
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = slope_num.cast("double") / slope_den
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("intercept_nats"),
+    )
+
+
+@register(
+    "doc_term_burstiness",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS term
+      FROM documents),
+    percount AS (
+      SELECT term, doc_id, count(*) AS c FROM toks
+      WHERE term <> '' GROUP BY term, doc_id),
+    stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM percount GROUP BY term),
+    scored AS (
+      SELECT term, df, sc,
+             round((CAST(sc2 AS DOUBLE) / df
+                    - (CAST(sc AS DOUBLE) / df)
+                      * (CAST(sc AS DOUBLE) / df))
+                   / (CAST(sc AS DOUBLE) / df), 6) AS burstiness
+      FROM stats WHERE df >= 5),
+    ranked AS (
+      SELECT term, df, sc, burstiness,
+             CAST(row_number() OVER (ORDER BY burstiness DESC, term ASC)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT term, df, sc, burstiness, rnk FROM ranked WHERE rnk <= 20
+    """,
+    description=(
+        "term burstiness: variance-to-mean ratio (index of "
+        "dispersion) of per-document term counts over the documents "
+        "containing each term — bursty terms (topical, named) score "
+        "≫ 1, function words ≈ 1; the statistic behind Church-Gale "
+        "adaptation models and quality-weighting term salience. "
+        "Determinism: integer (df, Σc, Σc²) sufficient statistics, "
+        "identical division trees. Shape: (term, doc) counts with "
+        "map-side combine, per-term stats on |vocab·docs-touched| "
+        "rows, the rank window on the |vocab|-row score table only"
+    ),
+    tags=("documents", "statistics", "text"),
+)
+def doc_term_burstiness(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    percount = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = percount.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mean = F.col("sc").cast("double") / F.col("df")
+    disp = (F.col("sc2").cast("double") / F.col("df") - mean * mean) / mean
+    scored = stats.filter(F.col("df") >= 5).select(
+        "term", "df", "sc", F.round(disp, 6).alias("burstiness")
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("burstiness").desc(), F.col("term").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )

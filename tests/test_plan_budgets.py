@@ -70,6 +70,8 @@ BUDGETS = {
     # as-of (custkey), final tiny agg
     "rel_scd2_point_in_time": 5,
     "evt_eb_shrunk_rates": 1,
+    "doc_zipf_fit": 2,
+    "doc_term_burstiness": 2,
 }
 
 
