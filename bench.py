@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "evt_eb_shrunk_rates",
     "doc_zipf_fit",
     "doc_term_burstiness",
+    "evt_time_to_convert",
 ]
 
 

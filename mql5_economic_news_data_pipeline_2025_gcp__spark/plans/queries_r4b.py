@@ -1421,3 +1421,96 @@ def doc_term_burstiness(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "evt_time_to_convert",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, m.tv, min(e.ts) AS tp
+      FROM events e JOIN m ON m.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > m.tv
+      GROUP BY e.user_id, m.tv),
+    durs AS (
+      SELECT user_id,
+             epoch_us(tp) - epoch_us(tv) AS dur_us
+      FROM p),
+    ranked AS (
+      SELECT user_id, dur_us,
+             row_number() OVER (ORDER BY dur_us, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM durs),
+    pct AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+    SELECT CAST(pct.pct AS BIGINT) AS pct,
+           CAST(max(r.dur_us) AS BIGINT) AS dur_us,
+           CAST(max(r.n) AS BIGINT) AS n_converted
+    FROM pct JOIN ranked r
+      ON r.rn = CAST(ceil(pct.pct * r.n / 100.0) AS BIGINT)
+    GROUP BY pct.pct
+    """,
+    description=(
+        "time-to-convert percentiles (first view → first subsequent "
+        "purchase, per user): exact nearest-rank P25/P50/P75/P90 of "
+        "the conversion-lag distribution in integer microseconds — "
+        "the funnel-latency metric product teams watch next to the "
+        "conversion rate itself. Shape: ONE user_id aggregate builds "
+        "the anchor, the purchase probe joins back on the same "
+        "partitioning, and the rank selection runs on the "
+        "|converted-users|-row duration table (the whole-table window "
+        "is bounded by user cardinality, never the event log; at true "
+        "scale the nearest-rank trick swaps to the per-group double "
+        "row_number form of evt_series_mad_fast). Integer "
+        "microseconds end to end — no float quantiles"
+    ),
+    tags=("events", "funnel", "percentiles"),
+)
+def evt_time_to_convert(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "tv"
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(m, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("ts").alias("tp"))
+    )
+    durs = p.select(
+        "user_id",
+        (F.unix_micros("tp") - F.unix_micros("tv")).alias("dur_us"),
+    )
+    # |converted users| rows — the single-partition window is bounded
+    # by user cardinality (documented; scale path = grouped double
+    # row_number as in evt_series_mad_fast)
+    ranked = durs.select(
+        "user_id",
+        "dur_us",
+        F.row_number()
+        .over(Window.orderBy("dur_us", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))
+        ).alias("pct")
+    )
+    sel = F.ceil(F.col("pct") * F.col("n") / 100.0).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(F.col("rn") == sel)
+        .groupBy(F.col("pct").cast("bigint").alias("pct"))
+        .agg(
+            F.max("dur_us").cast("bigint").alias("dur_us"),
+            F.max("n").cast("bigint").alias("n_converted"),
+        )
+    )

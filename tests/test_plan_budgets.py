@@ -72,6 +72,7 @@ BUDGETS = {
     "evt_eb_shrunk_rates": 1,
     "doc_zipf_fit": 2,
     "doc_term_burstiness": 2,
+    "evt_time_to_convert": 4,
 }
 
 
