@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "doc_zipf_fit",
     "doc_term_burstiness",
     "evt_time_to_convert",
+    "evt_stl_anomaly",
 ]
 
 

@@ -1514,3 +1514,136 @@ def evt_time_to_convert(spark, sf_dir):
             F.max("n").cast("bigint").alias("n_converted"),
         )
     )
+
+
+#: STL CTE chain shared by evt_stl_decompose's spec and the anomaly
+#: flagger below: `resid` = (event_type, day, r) integer micro-residuals
+#: for full-trend days only.
+_STL_RESID_CTES = """
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value*100) AS BIGINT))
+                             AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+               AS mean_micro
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, mean_micro,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(round(CAST(sum(mean_micro) OVER w AS DOUBLE)
+                                  / 7) AS BIGINT)
+             END AS trend_micro
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, mean_micro, trend_micro,
+             mean_micro - trend_micro AS detrended,
+             dayofweek(day) AS dow
+      FROM tr),
+    seas AS (
+      SELECT event_type, day, mean_micro, trend_micro,
+             CASE WHEN trend_micro IS NOT NULL THEN
+               CAST(round(CAST(sum(detrended)
+                          OVER (PARTITION BY event_type, dow) AS DOUBLE)
+                          / count(detrended)
+                          OVER (PARTITION BY event_type, dow))
+                    AS BIGINT)
+             END AS seasonal_micro
+      FROM det),
+    resid AS (
+      SELECT event_type, day,
+             mean_micro - trend_micro - seasonal_micro AS r
+      FROM seas WHERE trend_micro IS NOT NULL)
+"""
+
+
+@register(
+    "evt_stl_anomaly",
+    oracle=f"""
+    WITH {_STL_RESID_CTES},
+    med AS (
+      SELECT event_type, day, r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY r, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM resid),
+    m AS (
+      SELECT event_type, r AS med
+      FROM med WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+    dev AS (
+      SELECT d.event_type, d.day, d.r, m.med, abs(d.r - m.med) AS ad
+      FROM resid d JOIN m ON m.event_type = d.event_type),
+    madr AS (
+      SELECT event_type, day, r, med, ad,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ad, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, ad AS mad
+      FROM madr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+    SELECT d.event_type, d.day,
+           CAST(d.r AS BIGINT) AS residual_micro,
+           CAST(d.med AS BIGINT) AS med_micro,
+           CAST(mad.mad AS BIGINT) AS mad_micro,
+           abs(d.r - d.med) > 3 * mad.mad AS is_anomaly
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    """,
+    description=(
+        "seasonal anomaly flagging on the STL residual: per-type "
+        "nearest-rank median and MAD of the integer micro-residuals "
+        "(lower-median at even counts, day tie-break — identical rank "
+        "rule both engines), flag days where |r − med| > 3·MAD — the "
+        "robust control band that survives outliers, unlike the "
+        "z-score band evt_anomaly_zscore draws. Shape: everything "
+        "after the daily aggregate runs on |types|·|days| rows; the "
+        "median/MAD rank windows are per-type (the grouped double-"
+        "row_number trick of evt_series_mad_fast applies unchanged "
+        "when |days| grows)"
+    ),
+    tags=("events", "timeseries", "anomaly", "statistics"),
+)
+def evt_stl_anomaly(spark, sf_dir):
+    resid = (
+        evt_stl_decompose(spark, sf_dir)
+        .filter(F.col("trend_micro").isNotNull())
+        .select("event_type", "day", F.col("residual_micro").alias("r"))
+        # |types|·|days| rows feed four downstream references (two rank
+        # passes + two joins) — checkpoint once, never re-run the STL
+        .localCheckpoint()
+    )
+    wt = Window.partitionBy("event_type")
+    med = resid.select(
+        "event_type",
+        "day",
+        "r",
+        F.row_number()
+        .over(wt.orderBy("r", "day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    m = med.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint")
+    ).select("event_type", F.col("r").alias("med"))
+    dev = resid.join(F.broadcast(m), "event_type").withColumn(
+        "ad", F.abs(F.col("r") - F.col("med"))
+    )
+    madr = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(wt.orderBy("ad", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad = madr.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint")
+    ).select("event_type", F.col("ad").alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        F.col("r").cast("bigint").alias("residual_micro"),
+        F.col("med").cast("bigint").alias("med_micro"),
+        F.col("mad").cast("bigint").alias("mad_micro"),
+        (
+            F.abs(F.col("r") - F.col("med")) > 3 * F.col("mad")
+        ).alias("is_anomaly"),
+    )

@@ -73,6 +73,7 @@ BUDGETS = {
     "doc_zipf_fit": 2,
     "doc_term_burstiness": 2,
     "evt_time_to_convert": 4,
+    "evt_stl_anomaly": 6,
 }
 
 
