@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "doc_term_burstiness",
     "evt_time_to_convert",
     "evt_stl_anomaly",
+    "evt_basket_lift",
+    "evt_new_returning",
 ]
 
 

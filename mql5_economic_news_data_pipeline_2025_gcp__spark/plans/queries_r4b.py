@@ -1647,3 +1647,158 @@ def evt_stl_anomaly(spark, sf_dir):
             F.abs(F.col("r") - F.col("med")) > 3 * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "evt_basket_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events),
+    nb AS (
+      SELECT count(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, day FROM b)),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM b GROUP BY event_type),
+    pairs AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             count(*) AS n_ab
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.day = y.day
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           round(CAST(p.n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+                 / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    CROSS JOIN nb
+    """,
+    description=(
+        "market-basket lift between event types, basket = (user, "
+        "day): support and lift for every type pair — the "
+        "association-rule primitive behind 'users who X also Y'. "
+        "Same single-lineage shape as evt_audience_overlap: ONE "
+        "collect_set per basket, map-side pair explosion with the "
+        "basket-count sentinel appended (pairs, per-type sizes AND "
+        "the global basket count all come out of one |types|²-row "
+        "aggregate — no second scan for the denominator), then "
+        "window-lifted sizes. Lift > 1 = positive association; the "
+        "division trees are written identically on both engines"
+    ),
+    tags=("events", "aggregate", "association"),
+)
+def evt_basket_lift(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    sets = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("day"), "event_type"
+        )
+        .groupBy("user_id", "day")
+        .agg(F.collect_set("event_type").alias("types"))
+        # sentinel joins every basket: its (sentinel, sentinel) pair
+        # count IS the global basket count — no second aggregation
+        .select(F.array_union("types", F.array(F.lit("~ALL"))).alias("tp"))
+    )
+    pairs = (
+        sets.select(F.explode("tp").alias("type_a"), "tp")
+        .select("type_a", F.explode("tp").alias("type_b"))
+        .filter(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_a = F.max(
+        F.when(F.col("type_a") == F.col("type_b"), F.col("n"))
+    ).over(Window.partitionBy("type_a"))
+    n_b = F.max(
+        F.when(F.col("type_a") == F.col("type_b"), F.col("n"))
+    ).over(Window.partitionBy("type_b"))
+    n_baskets = F.max(
+        F.when(
+            (F.col("type_a") == "~ALL") & (F.col("type_b") == "~ALL"),
+            F.col("n"),
+        )
+    ).over(Window.partitionBy())
+    out = (
+        pairs.withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .withColumn("n_baskets", n_baskets)
+        .filter(
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("type_a") != "~ALL")
+            & (F.col("type_b") != "~ALL")
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_ab"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_baskets").cast("bigint").alias("n_baskets"),
+        F.round(
+            F.col("n").cast("double") / F.col("n_baskets"), 6
+        ).alias("support"),
+        F.round(
+            F.col("n").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "evt_new_returning",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    flagged AS (
+      SELECT day, user_id,
+             CASE WHEN day = min(day) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM act)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning
+    FROM flagged GROUP BY day
+    """,
+    description=(
+        "daily new-vs-returning user split — the growth-accounting "
+        "decomposition every activity dashboard leads with. "
+        "ONE collect_set aggregate per user dedups active days in the "
+        "combiner AND hands the first day to a map-side array_min — "
+        "no distinct+window re-exchange, no min-join-back re-scan — "
+        "then one day aggregate. Two exchanges total: user-keyed "
+        "(data-sized) and day-keyed (≤|users|·|days| rows)"
+    ),
+    tags=("events", "aggregate", "growth"),
+)
+def evt_new_returning(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    sets = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).groupBy("user_id").agg(F.collect_set("day").alias("days"))
+    flagged = sets.select(
+        F.explode("days").alias("day"),
+        F.array_min("days").alias("first_day"),
+    ).select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return flagged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("is_new"))
+        .cast("bigint")
+        .alias("n_returning"),
+    )

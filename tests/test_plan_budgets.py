@@ -74,6 +74,8 @@ BUDGETS = {
     "doc_term_burstiness": 2,
     "evt_time_to_convert": 4,
     "evt_stl_anomaly": 6,
+    "evt_basket_lift": 4,
+    "evt_new_returning": 2,
 }
 
 
