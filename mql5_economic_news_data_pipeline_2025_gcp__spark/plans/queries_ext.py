@@ -2053,11 +2053,16 @@ def doc_dupgraph_triangles(spark, sf_dir):
     # under LSH sparsity), never the corpus
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).localCheckpoint()
 
+    # deg feeds the orientation join twice AND the final member join;
+    # e feeds the wedge build twice and the closing probe — both are
+    # pairs-sized, so checkpoint rather than re-derive per reference
+    # (the remaining plan dropped 50 → ~10 exchanges)
     deg = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("id").alias("id_a"), F.col("d").alias("da"))
     db = deg.select(F.col("id").alias("id_b"), F.col("d").alias("db"))
@@ -2072,7 +2077,7 @@ def doc_dupgraph_triangles(spark, sf_dir):
             F.when(lower_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
-    )
+    ).localCheckpoint(eager=False)
     e1 = e.select(
         F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db_")
     )
