@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "evt_stl_anomaly",
     "evt_basket_lift",
     "evt_new_returning",
+    "evt_approx_percentiles",
 ]
 
 

@@ -1802,3 +1802,41 @@ def evt_new_returning(spark, sf_dir):
         .cast("bigint")
         .alias("n_returning"),
     )
+
+
+@register(
+    "evt_approx_percentiles",
+    oracle=None,  # GK-sketch outputs depend on merge order
+    # (engine-specific); the gate is tests/test_journeys_r4.py::
+    # test_approx_percentiles_rank_error (rank error vs exact ranks
+    # within the sketch's accuracy contract)
+    description=(
+        "mergeable approximate percentiles (Greenwald-Khanna via "
+        "Spark's percentile_approx, accuracy 10000): per-type "
+        "P50/P90/P99 of value cents from a FIXED-SIZE summary that "
+        "merges associatively — the third leg of the sketch family "
+        "(CMS counts, HLL cardinality, GK quantiles) and the right "
+        "answer when the exact nearest-rank forms "
+        "(evt_value_percentiles / evt_time_to_convert) would sort "
+        "ever-growing groups. At 100 TB the per-partition summaries "
+        "are KBs and the merge cost is independent of row count; "
+        "rank error is bounded by n/accuracy, asserted by the gate "
+        "test against exact ranks"
+    ),
+    tags=("events", "sketch", "percentiles"),
+)
+def evt_approx_percentiles(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value_c", [0.5, 0.9, 0.99], 10000
+        ).alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return pcts.select(
+        "event_type",
+        "n",
+        F.col("p")[0].cast("bigint").alias("p50_c"),
+        F.col("p")[1].cast("bigint").alias("p90_c"),
+        F.col("p")[2].cast("bigint").alias("p99_c"),
+    )

@@ -320,3 +320,25 @@ def test_eb_shrinkage_properties(spark):
         assert (sum(map(move, small)) / len(small)) >= (
             sum(map(move, big)) / len(big)
         )
+
+
+def test_approx_percentiles_rank_error(spark):
+    """GK sketch contract: each approximate percentile's true rank is
+    within n/accuracy (+slack) of the target rank, per type."""
+    import duckdb
+
+    rows = REGISTRY["evt_approx_percentiles"].spark_fn(spark, SF).collect()
+    assert rows
+    con = duckdb.connect()
+    for r in rows:
+        for q, col in [(0.5, "p50_c"), (0.9, "p90_c"), (0.99, "p99_c")]:
+            v = r[col]
+            rank = con.execute(
+                f"""SELECT count(*) FROM read_parquet('{SF}/events.parquet')
+                WHERE event_type = ? AND CAST(round(value*100) AS BIGINT) <= ?""",
+                [r["event_type"], v],
+            ).fetchone()[0]
+            target = q * r["n"]
+            assert abs(rank - target) <= r["n"] / 10000 + 2, (
+                r["event_type"], col, rank, target,
+            )

@@ -76,6 +76,7 @@ BUDGETS = {
     "evt_stl_anomaly": 6,
     "evt_basket_lift": 4,
     "evt_new_returning": 2,
+    "evt_approx_percentiles": 1,
 }
 
 
