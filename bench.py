@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "evt_basket_lift",
     "evt_new_returning",
     "evt_approx_percentiles",
+    "evt_pit_training_matrix",
 ]
 
 

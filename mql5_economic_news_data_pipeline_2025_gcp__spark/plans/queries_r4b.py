@@ -1840,3 +1840,103 @@ def evt_approx_percentiles(spark, sf_dir):
         F.col("p")[1].cast("bigint").alias("p90_c"),
         F.col("p")[2].cast("bigint").alias("p99_c"),
     )
+
+
+@register(
+    "evt_pit_training_matrix",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value*100) AS BIGINT) END AS label_c,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(round(value*100) AS BIGINT) END AS click_c,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')),
+    feat AS (
+      SELECT user_id, ts, event_id, is_label, label_c,
+             last_value(click_c IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_label, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_c,
+             sum(is_view)
+               OVER (PARTITION BY user_id ORDER BY ts, is_label, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS views_before,
+             min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+               AS first_day
+      FROM u)
+    SELECT event_id AS label_event_id, user_id, ts, label_c,
+           last_click_c,
+           CAST(views_before AS BIGINT) AS views_before,
+           CAST(CAST(ts AS DATE) - first_day AS BIGINT) AS days_active
+    FROM feat WHERE is_label = 1
+    """,
+    description=(
+        "point-in-time-correct training-matrix assembly (the "
+        "feature-store join): every purchase label row carries ONLY "
+        "features computable at its own timestamp — last click value "
+        "at-or-before, cumulative view count, account age in days — "
+        "leakage-free BY CONSTRUCTION because all features come from "
+        "cumulative window frames ending at the current row in one "
+        "(ts, is_label, event_id) order (feature rows at an equal "
+        "timestamp sort before the label and are visible; anything "
+        "later is unreachable). ONE user_id exchange serves the "
+        "as-of, the running count, AND the whole-partition first-day "
+        "— the per-feature as-of-join formulation pays one shuffle "
+        "per feature table. This is the assembly step every "
+        "training pipeline gets subtly wrong with a naive "
+        "current-value join"
+    ),
+    tags=("events", "window", "asof", "training"),
+)
+def evt_pit_training_matrix(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    u = ev.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_label"),
+        F.when(
+            F.col("event_type") == "purchase", F.col("value_c")
+        ).alias("label_c"),
+        F.when(F.col("event_type") == "click", F.col("value_c")).alias(
+            "click_c"
+        ),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+            "is_view"
+        ),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_label", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wu = Window.partitionBy("user_id")
+    feat = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_label",
+        "label_c",
+        F.last("click_c", ignorenulls=True).over(wc).alias("last_click_c"),
+        F.sum("is_view").over(wc).alias("views_before"),
+        F.min(F.to_date("ts")).over(wu).alias("first_day"),
+    )
+    return feat.filter(F.col("is_label") == 1).select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        "ts",
+        "label_c",
+        "last_click_c",
+        F.col("views_before").cast("bigint").alias("views_before"),
+        F.datediff(F.to_date("ts"), F.col("first_day"))
+        .cast("bigint")
+        .alias("days_active"),
+    )

@@ -342,3 +342,31 @@ def test_approx_percentiles_rank_error(spark):
             assert abs(rank - target) <= r["n"] / 10000 + 2, (
                 r["event_type"], col, rank, target,
             )
+
+
+def test_pit_matrix_no_leakage(spark):
+    """Leakage audit: every feature value must be derivable from events
+    at-or-before the label timestamp — checked independently against
+    the raw parquet (the matrix's last_click_c must equal the latest
+    click value at-or-before ts, and views_before the count of views
+    at-or-before ts)."""
+    import duckdb
+
+    rows = REGISTRY["evt_pit_training_matrix"].spark_fn(spark, SF).collect()
+    assert rows
+    con = duckdb.connect()
+    for r in rows[:40]:
+        want_clicks = con.execute(
+            f"""SELECT CAST(round(value*100) AS BIGINT) FROM
+            read_parquet('{SF}/events.parquet')
+            WHERE user_id = ? AND event_type = 'click' AND ts <= ?
+            ORDER BY ts DESC, event_id DESC LIMIT 1""",
+            [r["user_id"], r["ts"]],
+        ).fetchone()
+        assert (want_clicks[0] if want_clicks else None) == r["last_click_c"]
+        n_views = con.execute(
+            f"""SELECT count(*) FROM read_parquet('{SF}/events.parquet')
+            WHERE user_id = ? AND event_type = 'view' AND ts <= ?""",
+            [r["user_id"], r["ts"]],
+        ).fetchone()[0]
+        assert n_views == r["views_before"]

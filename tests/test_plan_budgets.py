@@ -77,6 +77,7 @@ BUDGETS = {
     "evt_basket_lift": 4,
     "evt_new_returning": 2,
     "evt_approx_percentiles": 1,
+    "evt_pit_training_matrix": 1,
 }
 
 
