@@ -225,3 +225,43 @@ def pack_sequences(
             (F.col("tokens_before") % max_tokens).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+def build_postings(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Materializable positional postings table ``(term, doc, pos)`` —
+    the serving-scale index behind phrase/proximity search: persisted
+    (ideally bucketed by term, sources.bucketed.write_bucketed), term
+    filters prune the scan and the corpus text is never re-read.
+
+    ``doc_phrase_search`` computes the same adjacency with lead() at
+    query time; that wins for ad-hoc one-off queries (one corpus scan),
+    the postings table wins as soon as more than one search runs.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search_postings(postings, w1: str, w2: str):
+    """Exact 2-word phrase search against a postings table: equi-join
+    the two term posting lists on (doc, adjacent position) — both
+    filters push down to the (bucketed) scan, and the join is
+    co-partitioned when the table is bucketed by term's doc column.
+    Returns (doc_id, n_occ), identical to doc_phrase_search's output.
+    """
+    from pyspark.sql import functions as F
+
+    p1 = postings.filter(F.col("term") == w1).select(
+        "doc_id", (F.col("pos") + 1).alias("nxt")
+    )
+    p2 = postings.filter(F.col("term") == w2).select(
+        "doc_id", F.col("pos").alias("nxt")
+    )
+    return (
+        p1.join(p2, ["doc_id", "nxt"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )

@@ -972,7 +972,16 @@ def evt_stl_decompose(spark, sf_dir):
     tags=("events", "window", "sweep-line", "distinct"),
 )
 def evt_rolling_distinct(spark, sf_dir):
-    ev = keyed_events(spark, sf_dir)
+    return rolling_distinct_days(keyed_events(spark, sf_dir), window=7)
+
+
+def rolling_distinct_days(ev, window: int = 7):
+    """Exact trailing-``window``-day distinct users per event type —
+    the interval-merge + sweep construction behind evt_rolling_distinct
+    (kept callable so the property test drives the SAME code on random
+    frames; the fixed-corpus differential alone missed the sparse-spine
+    delta-drop bug this structure now guards against)."""
+    gap = window - 1
     act = ev.select(
         "event_type", F.to_date("ts").alias("d"), "user_id"
     ).distinct()
@@ -982,7 +991,7 @@ def evt_rolling_distinct(spark, sf_dir):
     isl = act.withColumn(
         "new_isl",
         F.when(
-            F.datediff(F.col("d"), F.lag("d").over(wu)) > 6, 1
+            F.datediff(F.col("d"), F.lag("d").over(wu)) > gap, 1
         ).otherwise(F.when(F.lag("d").over(wu).isNull(), 1).otherwise(0)),
     ).withColumn(
         "isl_id",
@@ -992,7 +1001,7 @@ def evt_rolling_distinct(spark, sf_dir):
     )
     iv = isl.groupBy("event_type", "user_id", "isl_id").agg(
         F.min("d").alias("start"),
-        F.date_add(F.max("d"), 6).alias("end"),
+        F.date_add(F.max("d"), gap).alias("end"),
     )
     # both interval endpoints explode out of ONE pass — a union of two
     # selects over iv would re-derive the data-sized distinct+window
@@ -1021,20 +1030,31 @@ def evt_rolling_distinct(spark, sf_dir):
         ev.select(F.to_date("ts").alias("day"))
         .distinct()
         .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+        .withColumn("in_spine", F.lit(1))
     )
-    joined = spine.join(deltas, ["event_type", "day"], "left")
+    # FULL OUTER merge, not a left join: a −1 delta can land on a day
+    # with no events (interval end + 1), and dropping it before the
+    # cumulative sum overcounts every later day. The sparse-activity
+    # property test (test_rolling_distinct_matches_bruteforce) fails on
+    # the left-join form; the dense test corpus alone never would.
+    joined = spine.join(deltas, ["event_type", "day"], "full_outer")
     wc = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.select(
-        "event_type",
-        "day",
-        F.sum(F.coalesce("delta", F.lit(0)))
-        .over(wc)
-        .cast("bigint")
-        .alias("n_active_7d"),
+    return (
+        joined.select(
+            "event_type",
+            "day",
+            "in_spine",
+            F.sum(F.coalesce("delta", F.lit(0)))
+            .over(wc)
+            .cast("bigint")
+            .alias("n_active_7d"),
+        )
+        .filter(F.col("in_spine") == 1)
+        .drop("in_spine")
     )
 
 

@@ -64,8 +64,11 @@ BUDGETS = {
     # 1 data-sized day aggregate + 2 tiny windows over |types|·|days|
     "evt_stl_decompose": 3,
     # 1 data-sized distinct; island window, interval agg, delta agg,
-    # spine join + cumsum all run on ≤|users|·|days| rows
-    "evt_rolling_distinct": 6,
+    # spine merge + cumsum all run on ≤|users|·|days| rows (7th
+    # exchange is the price of the FULL OUTER spine merge — the
+    # broadcastable left join dropped off-spine −1 deltas, a
+    # correctness bug the sparse-activity property test caught)
+    "evt_rolling_distinct": 7,
     # orders window (custkey), lineitem⋈orders (orderkey), union-window
     # as-of (custkey), final tiny agg
     "rel_scd2_point_in_time": 5,
