@@ -100,3 +100,135 @@ def test_rolling_distinct_matches_bruteforce(spark, pairs):
         want = len({u for u, dd in pairs if d - 6 <= dd <= d})
         key = ((BASE + dt.timedelta(days=d)).date(), want)
         assert key in got, (d, want, sorted(got))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 25)),  # (user, day)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_activity_islands_matches_bruteforce(spark, pairs):
+    ev = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(days=d, hours=2), u, "view", 1.0, "{}")
+            for i, (u, d) in enumerate(pairs)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    islands = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    got = {
+        r["user_id"]: (r["n_islands"], r["longest_run"], r["active_days"])
+        for r in islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+            F.sum("run_len").cast("bigint").alias("active_days"),
+        )
+        .collect()
+    }
+    by_user: dict[int, set[int]] = {}
+    for u, d in pairs:
+        by_user.setdefault(u, set()).add(d)
+    for u, ds in by_user.items():
+        sds = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sds, sds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[u] == (len(runs), max(runs), len(sds)), (u, sds, got[u])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 200),  # hours offset
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_windowed_funnel_matches_bruteforce(spark, evts):
+    """Single-user funnel vs a direct transcription of the greedy
+    first-chain rule (anchor = first view; click in (tv, tv+24h];
+    purchase in (tc, tc+48h])."""
+    ev = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(hours=h), 1, et, 1.0, "{}")
+            for i, (et, h) in enumerate(evts)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY  # noqa: F401
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("tv"))
+                & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 24 HOUR")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("tc"))
+                & (F.col("ts") <= F.col("tc") + F.expr("INTERVAL 48 HOUR")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    row = (
+        s3.groupBy("user_id")
+        .agg(F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp"))
+        .collect()[0]
+    )
+    views = sorted(h for et, h in evts if et == "view")
+    tv = views[0] if views else None
+    tc = None
+    if tv is not None:
+        clicks = sorted(
+            h for et, h in evts if et == "click" and tv < h <= tv + 24
+        )
+        tc = clicks[0] if clicks else None
+    tp = None
+    if tc is not None:
+        purch = sorted(
+            h for et, h in evts if et == "purchase" and tc < h <= tc + 48
+        )
+        tp = purch[0] if purch else None
+    to_h = lambda x: None if x is None else (x - BASE).total_seconds() / 3600
+    assert to_h(row["tv"]) == tv and to_h(row["tc"]) == tc and to_h(row["tp"]) == tp
