@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "evt_new_returning",
     "evt_approx_percentiles",
     "evt_pit_training_matrix",
+    "evt_did_estimate",
 ]
 
 

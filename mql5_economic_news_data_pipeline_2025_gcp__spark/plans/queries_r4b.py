@@ -1960,3 +1960,88 @@ def evt_pit_training_matrix(spark, sf_dir):
         .cast("bigint")
         .alias("days_active"),
     )
+
+
+@register(
+    "evt_did_estimate",
+    oracle="""
+    WITH flagged AS (
+      SELECT CAST(round(value*100) AS BIGINT) AS v_c,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS treated,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 0 ELSE 1 END AS post
+      FROM events),
+    cells AS (
+      SELECT treated, post,
+             CAST(sum(v_c) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM flagged GROUP BY treated, post),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells)
+    SELECT round(t_pre, 6) AS t_pre_c, round(t_post, 6) AS t_post_c,
+           round(c_pre, 6) AS c_pre_c, round(c_post, 6) AS c_post_c,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_c,
+           n_total
+    FROM wide
+    """,
+    description=(
+        "difference-in-differences estimate over a hash-assigned "
+        "treatment split (md5(user) parity — deterministic, so both "
+        "engines and every re-run agree on group membership) and a "
+        "fixed pre/post cutover: the 2×2 cell means come from ONE "
+        "exact-integer aggregate (4 rows), the DiD contrast "
+        "(ΔT − ΔC) is a pure projection with identical division "
+        "trees. The causal-analytics shape A/B platforms run when "
+        "randomization happens at rollout time rather than request "
+        "time. Map-side combinable; nothing after the first aggregate "
+        "sees raw rows"
+    ),
+    tags=("events", "statistics", "causal"),
+)
+def evt_did_estimate(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    flagged = ev.select(
+        F.col("value_c").alias("v_c"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("treated"),
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("post"),
+    )
+    cells = flagged.groupBy("treated", "post").agg(
+        F.sum("v_c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        F.round("t_pre", 6).alias("t_pre_c"),
+        F.round("t_post", 6).alias("t_post_c"),
+        F.round("c_pre", 6).alias("c_pre_c"),
+        F.round("c_post", 6).alias("c_post_c"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_c"),
+        "n_total",
+    )

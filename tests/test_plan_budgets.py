@@ -81,6 +81,7 @@ BUDGETS = {
     "evt_new_returning": 2,
     "evt_approx_percentiles": 1,
     "evt_pit_training_matrix": 1,
+    "evt_did_estimate": 1,
 }
 
 
