@@ -232,3 +232,110 @@ def test_windowed_funnel_matches_bruteforce(spark, evts):
         tp = purch[0] if purch else None
     to_h = lambda x: None if x is None else (x - BASE).total_seconds() / 3600
     assert to_h(row["tv"]) == tv and to_h(row["tc"]) == tc and to_h(row["tp"]) == tp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.sampled_from(["a", "b", "c", "d"]),  # type
+            st.integers(0, 5),  # day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_basket_lift_matches_bruteforce(spark, triples):
+    """Pair counts / sizes / basket denominator from the sentinel
+    single-lineage form equal a direct set computation."""
+    ev = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(days=d, hours=3), u, et, 1.0, "{}")
+            for i, (u, et, d) in enumerate(triples)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+
+    sets = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .groupBy("user_id", "day")
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(F.array_union("types", F.array(F.lit("~ALL"))).alias("tp"))
+    )
+    pairs = (
+        sets.select(F.explode("tp").alias("a"), "tp")
+        .select("a", F.explode("tp").alias("b"))
+        .filter(F.col("a") <= F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["a"], r["b"]): r["n"] for r in pairs.collect()}
+
+    baskets: dict[tuple[int, int], set[str]] = {}
+    for u, et, d in triples:
+        baskets.setdefault((u, d), set()).add(et)
+    # sentinel denominator
+    assert got[("~ALL", "~ALL")] == len(baskets)
+    types = sorted({et for _, et, _ in triples})
+    for i, a in enumerate(types):
+        assert got.get((a, a), 0) == sum(1 for s in baskets.values() if a in s)
+        for b in types[i + 1 :]:
+            want = sum(1 for s in baskets.values() if a in s and b in s)
+            assert got.get((a, b), 0) == want, (a, b, want, got)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["x", "y", "z"])),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_topk_paths_matches_bruteforce(spark, evts):
+    """Trigram path counts over per-user order equal a direct scan."""
+    ev = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(minutes=i), u, et, 1.0, "{}")
+            for i, (u, et) in enumerate(evts)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    got = {
+        r["path"]: r["n"]
+        for r in seq.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list[str]] = {}
+    for i, (u, et) in enumerate(evts):
+        by_user.setdefault(u, []).append(et)
+    want: dict[str, int] = {}
+    for seq_u in by_user.values():
+        for i in range(len(seq_u) - 2):
+            p = ">".join(seq_u[i : i + 3])
+            want[p] = want.get(p, 0) + 1
+    assert got == want
