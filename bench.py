@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "evt_approx_percentiles",
     "evt_pit_training_matrix",
     "evt_did_estimate",
+    "stream_hll_distinct",
 ]
 
 

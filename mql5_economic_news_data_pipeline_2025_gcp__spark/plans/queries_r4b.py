@@ -2045,3 +2045,28 @@ def evt_did_estimate(spark, sf_dir):
         ).alias("did_c"),
         "n_total",
     )
+
+
+@register(
+    "stream_hll_distinct",
+    oracle=None,  # streaming drain + engine-specific sketch binaries;
+    # gate: tests/test_streaming_semantics.py::
+    # test_stream_hll_equals_batch (streamed sketch estimate equals the
+    # one-pass batch sketch EXACTLY — register-max merge is
+    # micro-batch-split invariant)
+    description=(
+        "streaming distinct-user monitor: per-type HLL sketches "
+        "folded across micro-batches through the batch-id-versioned "
+        "parquet state (at-least-once replays skipped, atomic symlink "
+        "publish — the CMS stream's exactly-once mechanics with "
+        "register-union instead of integer sums). State is |types|×KB "
+        "forever; the drained sketch is bit-identical to a one-pass "
+        "batch sketch, so estimates carry the same lgk=12 accuracy "
+        "contract as evt_hll_rollup_distinct"
+    ),
+    tags=("events", "streaming", "sketch"),
+)
+def stream_hll_distinct_q(spark, sf_dir):
+    from ..streaming.ingest import stream_hll_distinct
+
+    return stream_hll_distinct(spark, sf_dir)

@@ -738,3 +738,92 @@ def stream_heavy_hitters(
         F.col("est").cast("bigint").alias("cms_est"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+class ParquetSketchState:
+    """Batch-id-versioned parquet state for MERGEABLE SKETCHES: same
+    exactly-once mechanics as :class:`ParquetRollupState` (skip applied
+    batch ids, version directories, atomic symlink publish), but the
+    merge is ``hll_union_agg`` over binary sketch columns instead of
+    integer sums. Because HLL union is register-wise max — associative,
+    commutative, idempotent at the register level — the drained state is
+    BIT-IDENTICAL to a single-pass batch sketch regardless of how rows
+    were split into micro-batches.
+    """
+
+    def __init__(self, spark, root, keys, value_col, lgk: int = 12):
+        self.spark = spark
+        self.root = root
+        self.current = os.path.join(root, "current")
+        self.keys, self.value_col, self.lgk = keys, value_col, lgk
+
+    def applied_batch(self) -> int:
+        if not os.path.lexists(self.current):
+            return -1
+        return int(os.path.basename(os.path.realpath(self.current))[1:])
+
+    def fold(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.applied_batch():
+            return  # at-least-once retry of an already-merged batch
+        new = batch_df.groupBy(*self.keys).agg(
+            F.expr(f"hll_sketch_agg({self.value_col}, {self.lgk})").alias("sk")
+        )
+        if os.path.lexists(self.current):
+            old = self.spark.read.parquet(self.current)
+            merged = (
+                old.unionByName(new)
+                .groupBy(*self.keys)
+                .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            )
+        else:
+            merged = new
+        version = os.path.join(self.root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(version)
+        tmp = os.path.join(self.root, ".current.tmp")
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(version, tmp)
+        os.rename(tmp, self.current)  # atomic publish
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.current)
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str, lgk: int = 12) -> DataFrame:
+    """Streaming distinct-user monitor: per-type HLL sketches maintained
+    across micro-batches — the cardinality twin of the CMS heavy-hitter
+    stream, completing the mergeable-sketch trio in streaming form.
+
+    Stream side is STATELESS projection; each batch contributes a
+    per-type partial sketch and the state table absorbs it by register
+    union. State size is |types| × KB forever — the fixed-memory
+    property that lets a distinct-count monitor run unbounded. After a
+    full drain the streamed sketch is BIT-IDENTICAL to the one-pass
+    batch sketch (register max is micro-batch-split invariant), so the
+    estimate matches the batch query exactly
+    (tests/test_streaming_semantics.py::test_stream_hll_equals_batch).
+    """
+    state = ParquetSketchState(
+        spark,
+        _scratch_dir("hll_state_"),
+        keys=("event_type",),
+        value_col="user_id",
+        lgk=lgk,
+    )
+    ev = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            ev.writeStream.foreachBatch(state.fold)
+            .option("checkpointLocation", _scratch_dir("hll_ckpt_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return state.read().select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias(
+            "est_distinct_users"
+        ),
+    )

@@ -229,3 +229,36 @@ def test_stream_cms_equals_batch(spark):
         .sort_values("rnk").reset_index(drop=True)
     )
     assert streamed.equals(batch)
+
+
+def test_stream_hll_equals_batch(spark):
+    """The micro-batch-folded HLL state must equal the one-pass batch
+    sketch EXACTLY (register-wise max is split-invariant), so the
+    streamed estimates == batch estimates, not merely close."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.ingest import (
+        stream_hll_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in stream_hll_distinct(spark, sf).collect()
+    }
+    batch = {
+        r["event_type"]: r["est"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
+                " AS BIGINT)"
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert streamed == batch
