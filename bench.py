@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "evt_pit_training_matrix",
     "evt_did_estimate",
     "stream_hll_distinct",
+    "doc_source_log_odds",
 ]
 
 

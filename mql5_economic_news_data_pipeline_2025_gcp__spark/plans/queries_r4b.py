@@ -2070,3 +2070,130 @@ def stream_hll_distinct_q(spark, sf_dir):
     from ..streaming.ingest import stream_hll_distinct
 
     return stream_hll_distinct(spark, sf_dir)
+
+
+@register(
+    "doc_source_log_odds",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS term
+      FROM documents),
+    st AS (
+      SELECT source, term, count(*) AS n FROM toks
+      WHERE term <> '' GROUP BY source, term),
+    tt AS (
+      SELECT source, term, n,
+             sum(n) OVER (PARTITION BY term) AS n_t,
+             sum(n) OVER (PARTITION BY source) AS n_s,
+             sum(n) OVER () AS n_all,
+             count(*) OVER () AS vocab_pairs
+      FROM st),
+    v AS (
+      SELECT source, term, n, n_t, n_s, n_all,
+             (SELECT count(DISTINCT term) FROM st) AS vsz
+      FROM tt),
+    scored AS (
+      SELECT source, term, CAST(n AS BIGINT) AS n,
+             round(
+               ln((n + 1.0) / (n_s + vsz - n - 1.0))
+               - ln((n_t - n + 1.0)
+                    / (n_all - n_s + vsz - (n_t - n) - 1.0)), 6)
+               AS log_odds
+      FROM v),
+    ranked AS (
+      SELECT source, term, n, log_odds,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY log_odds DESC, term ASC)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT source, term, n, log_odds, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    description=(
+        "discriminative terms per source: smoothed log-odds ratio of "
+        "each term's in-source vs rest-of-corpus usage (add-one "
+        "Dirichlet smoothing over the vocabulary) — the "
+        "corpus-comparison statistic behind 'what does this source "
+        "talk about that others don't', which raw tf-idf gets wrong "
+        "for common-but-skewed terms. Shape: ONE (source, term) "
+        "count aggregate; term totals, source totals and the grand "
+        "total all WINDOW-LIFT over that vocab-sized frame (zero "
+        "join-backs, zero re-scans — the naive form runs four "
+        "aggregations over the token stream); the per-source top-3 "
+        "rank runs on the same frame. The ln arguments are rationals "
+        "built from identical integer counts with an identical "
+        "expression tree, so round-6 values hash-match across engines"
+    ),
+    tags=("documents", "statistics", "text"),
+)
+def doc_source_log_odds(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # vocab-sized frame feeds the window-lifts AND the distinct-
+        # vocab count — checkpoint once rather than re-run the token
+        # explode for the second reference
+        .localCheckpoint()
+    )
+    n_t = F.sum("n").over(Window.partitionBy("term"))
+    n_s = F.sum("n").over(Window.partitionBy("source"))
+    n_all = F.sum("n").over(Window.partitionBy())
+    vsz = F.size(
+        F.collect_set("term").over(Window.partitionBy())
+    )
+    v = st.select(
+        "source",
+        "term",
+        "n",
+        n_t.alias("n_t"),
+        n_s.alias("n_s"),
+        n_all.alias("n_all"),
+    ).withColumn("vsz", F.lit(None))  # replaced below
+    # distinct-vocab size via a 1-row broadcast (collect_set over a
+    # whole-partition window would build a |vocab| array per row)
+    vocab = st.agg(F.countDistinct("term").alias("vsz"))
+    v = v.drop("vsz").crossJoin(F.broadcast(vocab))
+    log_odds = F.round(
+        F.log(
+            (F.col("n") + 1.0)
+            / (F.col("n_s") + F.col("vsz") - F.col("n") - 1.0)
+        )
+        - F.log(
+            (F.col("n_t") - F.col("n") + 1.0)
+            / (
+                F.col("n_all")
+                - F.col("n_s")
+                + F.col("vsz")
+                - (F.col("n_t") - F.col("n"))
+                - 1.0
+            )
+        ),
+        6,
+    )
+    scored = v.select(
+        "source",
+        "term",
+        F.col("n").cast("bigint").alias("n"),
+        log_odds.alias("log_odds"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.col("log_odds").desc(), F.col("term").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
