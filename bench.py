@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "evt_did_estimate",
     "stream_hll_distinct",
     "doc_source_log_odds",
+    "doc_novelty_fraction",
 ]
 
 

@@ -2197,3 +2197,72 @@ def doc_source_log_odds(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "doc_novelty_fraction",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i+2), ' ') AS shingle
+      FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 3),
+    owner AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    per AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             count(CASE WHEN o.first_doc = s.doc_id THEN 1 END) AS n_novel
+      FROM sh s JOIN owner o ON o.shingle = s.shingle
+      GROUP BY s.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM per
+    """,
+    description=(
+        "per-document novelty fraction in corpus order: a shingle "
+        "belongs to the FIRST document (min doc_id) that contains it; "
+        "novelty = owned / total shingles — the curation signal for "
+        "'does this document add anything', the per-doc dual of the "
+        "corpus-level dup-ngram audit. Shape: map-side distinct "
+        "shingling (no shuffle), one shingle-keyed min aggregate, one "
+        "join back on the shingle key (co-partitioned — same "
+        "partitioning the aggregate just produced), one doc rollup. "
+        "The min-attribution trick is what incremental ingestion uses "
+        "to bill novelty to the earliest shard without replaying the "
+        "corpus"
+    ),
+    tags=("documents", "dedup", "text"),
+)
+def doc_novelty_fraction(spark, sf_dir):
+    from ..operators.dedup import shingles
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sh = shingles(docs, n=3)
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
