@@ -2266,3 +2266,102 @@ def doc_novelty_fraction(spark, sf_dir):
             F.col("n_novel").cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+@register(
+    "evt_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value*100) AS BIGINT))
+                             AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+               AS mean_micro
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, mean_micro,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(round(CAST(sum(mean_micro) OVER w AS DOUBLE)
+                                  / 7) AS BIGINT)
+             END AS trend_micro
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, mean_micro, trend_micro,
+             mean_micro - trend_micro AS detrended,
+             dayofweek(day) AS dow
+      FROM tr),
+    seas AS (
+      SELECT event_type, day, trend_micro, detrended,
+             CASE WHEN trend_micro IS NOT NULL THEN
+               CAST(round(CAST(sum(detrended)
+                          OVER (PARTITION BY event_type, dow) AS DOUBLE)
+                          / count(detrended)
+                          OVER (PARTITION BY event_type, dow))
+                    AS BIGINT)
+             END AS seasonal_micro
+      FROM det),
+    rows_full AS (
+      SELECT event_type, detrended,
+             detrended - seasonal_micro AS resid
+      FROM seas WHERE trend_micro IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(detrended) AS BIGINT) AS sd,
+             CAST(sum(detrended * detrended) AS BIGINT) AS sdd,
+             CAST(sum(resid) AS BIGINT) AS sr,
+             CAST(sum(resid * resid) AS BIGINT) AS srr
+      FROM rows_full GROUP BY event_type)
+    SELECT event_type, n,
+           round(greatest(0.0,
+             1.0 - (CAST(srr AS DOUBLE) / n
+                    - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))
+                   / (CAST(sdd AS DOUBLE) / n
+                      - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n))
+           ), 6) AS seasonal_strength
+    FROM s
+    """,
+    description=(
+        "seasonality-strength score per series: 1 − Var(remainder) / "
+        "Var(detrended), the Hyndman forecastability diagnostic — ≈0 "
+        "means the day-of-week component explains nothing (don't fit "
+        "seasonal models), →1 means the series is dominated by its "
+        "weekly cycle. Computed from the same STL chain as "
+        "evt_stl_decompose with exact integer micro-unit sufficient "
+        "statistics and identical variance/division trees on both "
+        "engines. Everything after the daily aggregate runs on "
+        "|types|·|days| rows"
+    ),
+    tags=("events", "timeseries", "statistics"),
+)
+def evt_seasonality_strength(spark, sf_dir):
+    base = (
+        evt_stl_decompose(spark, sf_dir)
+        .filter(F.col("trend_micro").isNotNull())
+        .select(
+            "event_type",
+            (F.col("mean_micro") - F.col("trend_micro")).alias("detrended"),
+            F.col("residual_micro").alias("resid"),
+        )
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("detrended").cast("bigint").alias("sd"),
+        F.sum(F.col("detrended") * F.col("detrended"))
+        .cast("bigint")
+        .alias("sdd"),
+        F.sum("resid").cast("bigint").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).cast("bigint").alias("srr"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("n")
+    mean_r = F.col("sr").cast("double") / F.col("n")
+    var_d = F.col("sdd").cast("double") / F.col("n") - mean_d * mean_d
+    var_r = F.col("srr").cast("double") / F.col("n") - mean_r * mean_r
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_d), 6).alias(
+            "seasonal_strength"
+        ),
+    )
