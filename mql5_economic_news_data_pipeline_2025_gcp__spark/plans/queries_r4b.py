@@ -2365,3 +2365,192 @@ def evt_seasonality_strength(spark, sf_dir):
             "seasonal_strength"
         ),
     )
+
+
+@register(
+    "rel_segment_migration",
+    oracle="""
+    WITH halves AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < DATE '1995-06-01' THEN 0 ELSE 1 END
+               AS half,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+      FROM orders GROUP BY 1, 2),
+    seg AS (
+      SELECT o_custkey, half,
+             CASE WHEN spend_c >= 50000000 THEN 'high'
+                  WHEN spend_c >= 20000000 THEN 'mid'
+                  ELSE 'low' END AS segment
+      FROM halves),
+    wide AS (
+      SELECT a.o_custkey,
+             a.segment AS seg_from, b.segment AS seg_to
+      FROM seg a JOIN seg b
+        ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1)
+    SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_customers
+    FROM wide GROUP BY seg_from, seg_to
+    """,
+    description=(
+        "customer segment-migration matrix: spend segments (fixed "
+        "integer-cent thresholds) computed per customer for two "
+        "halves of the order history, then the from→to transition "
+        "counts — the churn/upgrade movement report behind retention "
+        "planning. Shape: ONE custkey aggregate produces both halves "
+        "(the period is a grouping column, not two scans), the "
+        "self-join runs on the |customers|-sized segment frame "
+        "co-partitioned on custkey, and the matrix collapses to 9 "
+        "rows. Exact integer spend, no floats anywhere"
+    ),
+    tags=("relational", "aggregate", "migration"),
+)
+def rel_segment_migration(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    halves = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-06-01").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "spend_c"
+        )
+    )
+    seg = halves.select(
+        "o_custkey",
+        "half",
+        F.when(F.col("spend_c") >= 50000000, "high")
+        .when(F.col("spend_c") >= 20000000, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("segment").alias("seg_from")
+    )
+    b = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("segment").alias("seg_to")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+def _register_cluster_topics():
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    @register(
+        "doc_cluster_topics",
+        oracle=rf"""
+        WITH {_SQL_SHINGLES},
+        hh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, {_SQL_MINHASH_AGGS}
+          FROM hh GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+          UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        cc AS (
+          WITH RECURSIVE walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+          SELECT node AS doc_id, min(label) AS cluster_id
+          FROM walk GROUP BY node),
+        sizes AS (
+          SELECT cluster_id, count(*) AS n_members
+          FROM cc GROUP BY cluster_id HAVING count(*) >= 2),
+        terms AS (
+          SELECT cc.cluster_id, u.term, count(*) AS n
+          FROM documents d
+          JOIN cc ON cc.doc_id = d.doc_id
+          JOIN sizes s ON s.cluster_id = cc.cluster_id,
+          unnest(string_split(
+            regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'), ' '))
+            AS u(term)
+          WHERE u.term <> ''
+          GROUP BY cc.cluster_id, u.term),
+        ranked AS (
+          SELECT cluster_id, term, CAST(n AS BIGINT) AS n,
+                 CAST(row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n DESC, term ASC)
+                      AS BIGINT) AS rnk
+          FROM terms)
+        SELECT r.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+               r.term, r.n, r.rnk
+        FROM ranked r JOIN sizes s ON s.cluster_id = r.cluster_id
+        WHERE r.rnk <= 2
+        """,
+        description=(
+            "topic labels for near-dup clusters: the LSH→CC machinery "
+            "groups documents, then each multi-member cluster gets its "
+            "top-2 terms by in-cluster frequency — the human-readable "
+            "label a dedup review UI shows next to 'these 7 docs are "
+            "the same thing'. Shape: the cluster build is the standard "
+            "candidate chain; the labeling joins the |multi-member "
+            "docs| subset to its token counts (cluster sizes prune "
+            "singletons FIRST, so the explode runs on members only) "
+            "and ranks within each cluster's tiny vocabulary"
+        ),
+        tags=("documents", "dedup", "text", "clusters"),
+    )
+    def doc_cluster_topics(spark, sf_dir):
+        from ..operators.dedup import (
+            dedup_clusters,
+            lsh_candidate_pairs,
+            minhash_signatures_mapside,
+        )
+        from ..operators.textops import tokens
+
+        docs = fan_out(spark, t(spark, sf_dir, "documents"))
+        sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+        pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+        cc = dedup_clusters(pairs, docs, id_col="doc_id")
+        sizes = (
+            cc.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") >= 2)
+        )
+        members = cc.join(F.broadcast(sizes), "cluster_id")
+        terms = (
+            members.join(docs.select("doc_id", "text"), "doc_id")
+            .select(
+                "cluster_id",
+                "n_members",
+                F.explode(tokens("text")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("cluster_id", "n_members", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("n").desc(), F.col("term").asc()
+        )
+        return (
+            terms.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 2)
+            .select(
+                "cluster_id",
+                F.col("n_members").cast("bigint").alias("n_members"),
+                "term",
+                F.col("n").cast("bigint").alias("n"),
+                "rnk",
+            )
+        )
+
+
+_register_cluster_topics()
