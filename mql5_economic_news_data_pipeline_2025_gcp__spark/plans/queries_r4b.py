@@ -2554,3 +2554,206 @@ def _register_cluster_topics():
 
 
 _register_cluster_topics()
+
+
+@register(
+    "evt_type_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n_i
+      FROM events GROUP BY user_id, event_type),
+    s AS (
+      SELECT user_id,
+             CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(n_i * n_i) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id)
+    SELECT user_id, n, n_types,
+           round(1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             AS gini_simpson
+    FROM s
+    """,
+    description=(
+        "per-user behavioral diversity (Gini–Simpson index): 1 − "
+        "Σ(nᵢ/n)² over the user's event-type distribution — 0 = "
+        "single-behavior users, →1 = uniformly mixed; the engagement-"
+        "breadth feature churn models lean on. Two stacked integer "
+        "aggregates on the same user partitioning (the (user, type) "
+        "counts collapse first, map-side combined; the diversity fold "
+        "sees ≤|types| rows per user); the index is one identical "
+        "division tree from exact integer sums"
+    ),
+    tags=("events", "aggregate", "statistics"),
+)
+def evt_type_diversity(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    s = c.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return s.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.round(
+            1.0
+            - F.col("ss").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("gini_simpson"),
+    )
+
+
+@register(
+    "doc_source_js_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS term
+      FROM documents),
+    d AS (
+      SELECT source, term, count(*) AS n FROM toks
+      WHERE term <> '' GROUP BY source, term),
+    tot AS (SELECT source, sum(n) AS nt FROM d GROUP BY source),
+    srcs AS (SELECT DISTINCT source FROM d),
+    prs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source),
+    vocab AS (SELECT DISTINCT term FROM d),
+    grid AS (
+      SELECT p.sa, p.sb, v.term FROM prs p CROSS JOIN vocab v),
+    joined AS (
+      SELECT g.sa, g.sb, g.term,
+             coalesce(da.n, 0) AS na, coalesce(db.n, 0) AS nb,
+             ta.nt AS nta, tb.nt AS ntb
+      FROM grid g
+      LEFT JOIN d da ON da.source = g.sa AND da.term = g.term
+      LEFT JOIN d db ON db.source = g.sb AND db.term = g.term
+      JOIN tot ta ON ta.source = g.sa
+      JOIN tot tb ON tb.source = g.sb),
+    contrib AS (
+      SELECT sa, sb,
+             CAST(round(
+               CASE WHEN na > 0 THEN
+                 (CAST(na AS DOUBLE) / nta)
+                 * ln((CAST(na AS DOUBLE) / nta)
+                      / ((CAST(na AS DOUBLE) / nta
+                          + CAST(nb AS DOUBLE) / ntb) / 2))
+               ELSE 0.0 END * 1000000000) AS BIGINT) AS xa,
+             CAST(round(
+               CASE WHEN nb > 0 THEN
+                 (CAST(nb AS DOUBLE) / ntb)
+                 * ln((CAST(nb AS DOUBLE) / ntb)
+                      / ((CAST(na AS DOUBLE) / nta
+                          + CAST(nb AS DOUBLE) / ntb) / 2))
+               ELSE 0.0 END * 1000000000) AS BIGINT) AS xb
+      FROM joined),
+    js AS (
+      SELECT sa, sb,
+             CAST(sum(xa) AS BIGINT) AS sxa,
+             CAST(sum(xb) AS BIGINT) AS sxb
+      FROM contrib GROUP BY sa, sb),
+    scored AS (
+      SELECT sa, sb,
+             round((sxa + sxb) / 2000000000.0, 6) AS js_div
+      FROM js),
+    ranked AS (
+      SELECT sa, sb, js_div,
+             CAST(row_number() OVER (ORDER BY js_div DESC, sa, sb)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT sa, sb, js_div, rnk FROM ranked WHERE rnk <= 5
+    """,
+    description=(
+        "most-divergent source pairs by Jensen–Shannon divergence "
+        "between unigram distributions — the corpus-drift comparison "
+        "for mixture rebalancing (which sources are saying different "
+        "things). Determinism: each term's JS contribution quantizes "
+        "to integer NANO-NATS before the pair sum (float sums over "
+        "the vocabulary are order-dependent; integer sums are exact — "
+        "the markov-entropy treatment), and the p/m expressions share "
+        "one tree on both engines. Shape: the term-count aggregate "
+        "collapses the corpus once; the pair grid is |sources|² × "
+        "|vocab| — bounded by vocabulary and source counts, never by "
+        "documents; the rank runs on |sources|² rows"
+    ),
+    tags=("documents", "statistics", "divergence"),
+)
+def doc_source_js_divergence(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    d = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # vocab-sized frame feeds totals, the source list, the vocab
+        # list and the grid join — checkpoint once
+        .localCheckpoint()
+    )
+    tot = d.groupBy("source").agg(F.sum("n").alias("nt"))
+    srcs = d.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    vocab = d.select("term").distinct()
+    grid = prs.crossJoin(F.broadcast(vocab))
+    da = d.select(
+        F.col("source").alias("sa"), "term", F.col("n").alias("na")
+    )
+    db = d.select(
+        F.col("source").alias("sb"), "term", F.col("n").alias("nb")
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("sa"), F.col("nt").alias("nta")))
+    tb = F.broadcast(tot.select(F.col("source").alias("sb"), F.col("nt").alias("ntb")))
+    joined = (
+        grid.join(da, ["sa", "term"], "left")
+        .join(db, ["sb", "term"], "left")
+        .join(ta, "sa")
+        .join(tb, "sb")
+        .fillna(0, subset=["na", "nb"])
+    )
+    pa = F.col("na").cast("double") / F.col("nta")
+    pb = F.col("nb").cast("double") / F.col("ntb")
+    m = (pa + pb) / 2
+    xa = F.when(F.col("na") > 0, pa * F.log(pa / m)).otherwise(0.0)
+    xb = F.when(F.col("nb") > 0, pb * F.log(pb / m)).otherwise(0.0)
+    contrib = joined.select(
+        "sa",
+        "sb",
+        F.round(xa * 1000000000).cast("bigint").alias("xa"),
+        F.round(xb * 1000000000).cast("bigint").alias("xb"),
+    )
+    js = contrib.groupBy("sa", "sb").agg(
+        F.sum("xa").cast("bigint").alias("sxa"),
+        F.sum("xb").cast("bigint").alias("sxb"),
+    )
+    scored = js.select(
+        "sa",
+        "sb",
+        F.round((F.col("sxa") + F.col("sxb")) / 2000000000.0, 6).alias(
+            "js_div"
+        ),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("js_div").desc(), F.col("sa"), F.col("sb")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
