@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     "stream_hll_distinct",
     "doc_source_log_odds",
     "doc_novelty_fraction",
+    "evt_seasonality_strength",
+    "rel_segment_migration",
+    "evt_type_diversity",
+    "doc_source_js_divergence",
 ]
 
 
