@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "rel_segment_migration",
     "evt_type_diversity",
     "doc_source_js_divergence",
+    "evt_growth_accounting",
+    "rel_backlog_aging",
 ]
 
 

@@ -2757,3 +2757,128 @@ def doc_source_js_divergence(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "evt_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    lagged AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM act),
+    classed AS (
+      SELECT day,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day - prev_day <= 7 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagged)
+    SELECT day,
+           CAST(count(CASE WHEN stage = 'new' THEN 1 END) AS BIGINT)
+             AS n_new,
+           CAST(count(CASE WHEN stage = 'retained' THEN 1 END) AS BIGINT)
+             AS n_retained,
+           CAST(count(CASE WHEN stage = 'resurrected' THEN 1 END)
+                AS BIGINT) AS n_resurrected
+    FROM classed GROUP BY day
+    """,
+    description=(
+        "growth accounting (lifecycle decomposition): every active "
+        "user-day classifies as new (first ever), retained (last "
+        "active ≤7 days ago) or resurrected (gap >7 days) — the full "
+        "version of the new/returning split, and the decomposition "
+        "growth teams reconcile DAU movement against. Shape: distinct "
+        "(user, day) collapses the log once, ONE user window computes "
+        "the previous active day, the day rollup reuses nothing "
+        "data-sized. The churn complement (users whose window expired "
+        "today) is the same frame probed at day+8 — same machinery"
+    ),
+    tags=("events", "window", "growth"),
+)
+def evt_growth_accounting(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    classed = act.select(
+        "day",
+        F.when(F.lag("day").over(w).isNull(), "new")
+        .when(F.datediff("day", F.lag("day").over(w)) <= 7, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    return classed.groupBy("day").agg(
+        F.count(F.when(F.col("stage") == "new", 1))
+        .cast("bigint")
+        .alias("n_new"),
+        F.count(F.when(F.col("stage") == "retained", 1))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count(F.when(F.col("stage") == "resurrected", 1))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+
+
+@register(
+    "rel_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS snap FROM orders),
+    open_orders AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, mx.snap) AS age_days,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders o CROSS JOIN mx
+      WHERE o.o_orderstatus <> 'F'),
+    bucketed AS (
+      SELECT o_orderpriority,
+             CASE WHEN age_days <= 30 THEN '0-30'
+                  WHEN age_days <= 90 THEN '31-90'
+                  WHEN age_days <= 365 THEN '91-365'
+                  ELSE '365+' END AS age_bucket,
+             total_c
+      FROM open_orders)
+    SELECT o_orderpriority, age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(total_c) AS BIGINT) AS backlog_c
+    FROM bucketed GROUP BY o_orderpriority, age_bucket
+    """,
+    description=(
+        "open-order backlog aging: non-finalized orders bucketed by "
+        "age at the snapshot date (max order date), value and count "
+        "per (priority, age bucket) — the receivables-style aging "
+        "report operations teams pull daily. Shape: the snapshot "
+        "scalar broadcasts (1 row), the status filter pushes into the "
+        "scan, the bucket is a map-side CASE, one aggregate — exact "
+        "integer cents throughout"
+    ),
+    tags=("relational", "aggregate", "aging"),
+)
+def rel_backlog_aging(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("snap"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.datediff("snap", "o_orderdate").alias("age_days"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("total_c"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        open_orders.withColumn("age_bucket", bucket)
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("total_c").cast("bigint").alias("backlog_c"),
+        )
+    )
