@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "doc_source_js_divergence",
     "evt_growth_accounting",
     "rel_backlog_aging",
+    "rel_supplier_hhi",
 ]
 
 

@@ -2882,3 +2882,74 @@ def rel_backlog_aging(spark, sf_dir):
             F.sum("total_c").cast("bigint").alias("backlog_c"),
         )
     )
+
+
+@register(
+    "rel_supplier_hhi",
+    oracle="""
+    WITH supply AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS v_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, l.l_suppkey),
+    tot AS (
+      SELECT nation, v_c, l_suppkey,
+             sum(v_c) OVER (PARTITION BY nation) AS nat_c,
+             count(*) OVER (PARTITION BY nation) AS n_suppliers
+      FROM supply)
+    SELECT nation,
+           CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(max(nat_c) AS BIGINT) AS nation_value_c,
+           round(sum((CAST(v_c AS DOUBLE) / nat_c)
+                     * (CAST(v_c AS DOUBLE) / nat_c)), 6) AS hhi
+    FROM tot GROUP BY nation
+    """,
+    description=(
+        "supplier-concentration HHI per nation: Herfindahl–Hirschman "
+        "index of each supplier's share of the nation's total supply "
+        "revenue (Σ shareᵢ²) — the procurement-risk metric behind "
+        "single-source exposure reviews; >0.25 is the antitrust "
+        "screening line. Shape: one (nation, supplier) integer-cent "
+        "aggregate with two broadcast dimension joins, nation totals "
+        "WINDOW-LIFTED onto the supplier rows (no join-back), the "
+        "share-square sum collapses to |nations| rows. The Σshare² "
+        "identity means HHI needs only per-supplier sums — never "
+        "pairwise comparisons"
+    ),
+    tags=("relational", "aggregate", "concentration"),
+)
+def rel_supplier_hhi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    supply = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), "s_nationkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("v_c")
+        )
+    )
+    wn = Window.partitionBy("nation")
+    tot = supply.select(
+        "nation",
+        "v_c",
+        F.sum("v_c").over(wn).alias("nat_c"),
+        F.count(F.lit(1)).over(wn).alias("n_suppliers"),
+    )
+    share = F.col("v_c").cast("double") / F.col("nat_c")
+    return tot.groupBy("nation").agg(
+        F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.max("nat_c").cast("bigint").alias("nation_value_c"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+    )
