@@ -2680,8 +2680,12 @@ def evt_type_diversity(spark, sf_dir):
         "the markov-entropy treatment), and the p/m expressions share "
         "one tree on both engines. Shape: the term-count aggregate "
         "collapses the corpus once; the pair grid is |sources|² × "
-        "|vocab| — bounded by vocabulary and source counts, never by "
-        "documents; the rank runs on |sources|² rows"
+        "|vocab| — QUADRATIC IN SOURCES by definition (the sf1 probe "
+        "measures exp 1.1 when the replica multiplies sources), so "
+        "the op asserts ≤256 sources; beyond that, compare each "
+        "source against the GLOBAL distribution instead (1-vs-rest "
+        "is linear and usually answers the same drift question), or "
+        "prune candidate pairs with a cheap L1 screen first"
     ),
     tags=("documents", "statistics", "divergence"),
 )
@@ -2700,6 +2704,11 @@ def doc_source_js_divergence(spark, sf_dir):
     )
     tot = d.groupBy("source").agg(F.sum("n").alias("nt"))
     srcs = d.select("source").distinct()
+    n_sources = srcs.limit(257).count()
+    assert n_sources <= 256, (
+        "pairwise JS is quadratic in sources; use 1-vs-rest for "
+        f"{n_sources}+ sources"
+    )
     prs = (
         srcs.select(F.col("source").alias("sa"))
         .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
