@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "evt_growth_accounting",
     "rel_backlog_aging",
     "rel_supplier_hhi",
+    "rel_discount_elasticity",
+    "emb_fisher_ratio",
 ]
 
 

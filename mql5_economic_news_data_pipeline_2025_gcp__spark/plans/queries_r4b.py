@@ -2962,3 +2962,156 @@ def rel_supplier_hhi(spark, sf_dir):
         F.max("nat_c").cast("bigint").alias("nation_value_c"),
         F.round(F.sum(share * share), 6).alias("hhi"),
     )
+
+
+@register(
+    "rel_discount_elasticity",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    s AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(disc_pct) AS BIGINT) AS sx,
+             CAST(sum(qty) AS BIGINT) AS sy,
+             CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sxx,
+             CAST(sum(disc_pct * qty) AS BIGINT) AS sxy
+      FROM base GROUP BY brand)
+    SELECT brand, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS qty_per_disc_pct
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+    description=(
+        "discount elasticity proxy per brand: OLS slope of line "
+        "quantity on discount percentage — the does-discounting-move-"
+        "volume readout merchandising asks for. Exact integer "
+        "sufficient statistics (discount quantized to whole percents, "
+        "quantity integral in TPC-H), one brand-keyed aggregate after "
+        "a broadcast part join, Cramer slope with identical division "
+        "trees (the evt_ols_features pattern on a second fact table). "
+        "Degenerate brands (no discount variance) drop via the "
+        "determinant guard"
+    ),
+    tags=("relational", "statistics", "regression"),
+)
+def rel_discount_elasticity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    s = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("disc_pct").cast("bigint").alias("sx"),
+        F.sum("qty").cast("bigint").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("disc_pct") * F.col("qty"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.filter(det > 0).select(
+        "brand",
+        "n",
+        F.round(num.cast("double") / det, 6).alias("qty_per_disc_pct"),
+    )
+
+
+@register(
+    "emb_fisher_ratio",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS c
+      FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+    per AS (
+      SELECT label, dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM comp GROUP BY label, dim),
+    dims AS (
+      SELECT dim,
+             CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(s) AS BIGINT) AS s_all,
+             sum(CAST(ss AS DOUBLE) / 1
+                 - CAST(s AS DOUBLE) * s / n) AS within_d,
+             sum(CAST(s AS DOUBLE) * s / n) AS cls_sq_d
+      FROM per GROUP BY dim),
+    agg AS (
+      SELECT sum(within_d) AS w,
+             sum(cls_sq_d
+                 - CAST(s_all AS DOUBLE) * s_all / n_all) AS b,
+             max(n_all) AS n_vecs
+      FROM dims)
+    SELECT CAST(n_vecs AS BIGINT) AS n_vectors,
+           round(b / w, 6) AS fisher_ratio
+    FROM agg
+    """,
+    description=(
+        "Fisher discriminant ratio of the embedding space: "
+        "between-class scatter / within-class scatter summed over "
+        "dimensions — the linear-separability score that predicts "
+        "probe-classifier accuracy before training one (complements "
+        "the k-NN eval, which measures the same thing the slow way). "
+        "Components quantize to integer micro-units so the per-"
+        "(label, dim) sufficient statistics are exact; the scatter "
+        "decomposition (Σx² − (Σx)²/n per group, grouped vs global) "
+        "is the textbook one-pass form, and every division tree is "
+        "written identically on both engines. Shape: one exploded "
+        "(label, dim) aggregate — map-side combined — then |dims| and "
+        "1-row folds; row count never survives the first aggregate"
+    ),
+    tags=("embeddings", "statistics", "evaluation"),
+)
+def emb_fisher_ratio(spark, sf_dir):
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "comp")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("comp").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("c"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    within_d = F.sum(
+        F.col("ss").cast("double") / 1
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    cls_sq_d = F.sum(
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    dims = per.groupBy("dim").agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("bigint").alias("s_all"),
+        within_d.alias("within_d"),
+        cls_sq_d.alias("cls_sq_d"),
+    )
+    agg = dims.agg(
+        F.sum("within_d").alias("w"),
+        F.sum(
+            F.col("cls_sq_d")
+            - F.col("s_all").cast("double") * F.col("s_all") / F.col("n_all")
+        ).alias("b"),
+        F.max("n_all").alias("n_vecs"),
+    )
+    return agg.select(
+        F.col("n_vecs").cast("bigint").alias("n_vectors"),
+        F.round(F.col("b") / F.col("w"), 6).alias("fisher_ratio"),
+    )
