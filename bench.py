@@ -224,8 +224,14 @@ def main() -> None:
     # Best-of-2 per query: iteration 1 pays one-time codegen compilation
     # for that query's operators; iteration 2 measures the plan itself.
     # min also damps noisy-neighbor CPU spikes on shared hosts.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_set = (
+        [q for q in only.split(",") if q in set(BENCH_QUERIES)]
+        if only
+        else BENCH_QUERIES
+    )
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_set:
         spec = REGISTRY[name]
         best = float("inf")
         for _ in range(2):
@@ -262,7 +268,26 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(result))
+    # The driver's stdout capture keeps a bounded TAIL; a ~6 KB line gets
+    # its head cut and fails to parse (BENCH_r04 `parsed: null`). The
+    # LAST printed line must therefore be small: same contract fields,
+    # but `queries` holds only the slowest 10 — full per-query detail
+    # lives in BENCH_RESULTS.json above.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "iterations": 2,
+        "agg": "min",
+        "queries": slowest,
+        "full_results": os.path.basename(out_path),
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 1024, f"summary line {len(line)}B exceeds driver budget"
+    print(line)
 
 
 if __name__ == "__main__":

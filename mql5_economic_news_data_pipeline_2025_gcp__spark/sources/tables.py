@@ -57,6 +57,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted to TimestampType (µs truncation)."""
     from pyspark.sql.types import LongType
 
+    # Harden against host-session config drift: PySpark 4.1 defaults
+    # spark.sql.parquet.inferTimestampNTZ.enabled=true, under which the
+    # testdata's naive timestamp[us] columns arrive as TIMESTAMP_NTZ and
+    # every unix_micros()/to_utc_timestamp() call site fails analysis.
+    # Both confs are runtime-settable SQLConf entries, so forcing them
+    # here makes load_table correct on ANY session (driver's default
+    # session included), not just the tuned one from session.get_spark.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # ns-timestamp tables (none in the driver testdata, but any
+    # Spark-external producer may write them): read as epoch-nanos longs
+    # and convert below instead of failing with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
