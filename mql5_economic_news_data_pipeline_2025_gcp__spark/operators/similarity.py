@@ -671,13 +671,30 @@ def allpairs_knn_topk(
                 continue
             cn = np.sqrt((C * C).sum(axis=1))
             S = (C / cn[:, None]) @ b_Qn.T  # (B, nq)
-            # HALF_UP 1e-6 quantization inside int64 ordering keys
+            # HALF_UP 1e-6 quantization inside int64 ordering keys.
+            # Residual risk (documented): S comes from a float64 BLAS
+            # matmul whose summation order differs from the oracle's;
+            # a sim within one ulp of a .5e-6 boundary can quantize
+            # differently between engines — the 1e-6 grid absorbs
+            # everything except the boundary itself. If a flake ever
+            # appears here, quantize both engines from identical
+            # integer-scaled inputs.
             s6 = (np.floor(np.abs(S) * 1e6 + 0.5) * np.sign(S)).astype(
                 "int64"
             )
-            key = s6 * (1 << 32) - cids[:, None]
-            key[cids[:, None] == b_qids[None, :]] = kmin  # self-match
             B = len(cids)
+            # Tie-break on neighbor id WITHOUT packing raw int64 ids into
+            # the key (ids can exceed 2^32, which would let id magnitude
+            # outvote a 1e-6 sim quantum). Rank-compress the batch's ids
+            # to [0, B) — rank order == id order since ids are unique —
+            # so key = s6·(B+1) − rank orders exactly by
+            # (sim DESC, id ASC) with |key| ≤ 1e6·(B+1), far from
+            # overflow for any batch size.
+            order = np.argsort(cids, kind="stable")
+            cid_rank = np.empty(B, dtype="int64")
+            cid_rank[order] = np.arange(B, dtype="int64")
+            key = s6 * np.int64(B + 1) - cid_rank[:, None]
+            key[cids[:, None] == b_qids[None, :]] = kmin  # self-match
             kk = min(k, B)
             sel = np.argpartition(-key, kk - 1, axis=0)[:kk]  # (kk, nq)
             kq = np.take_along_axis(key, sel, axis=0)

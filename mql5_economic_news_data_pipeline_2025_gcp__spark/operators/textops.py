@@ -227,7 +227,9 @@ def pack_sequences(
     )
 
 
-def build_postings(df, text_col: str = "text", id_col: str = "doc_id"):
+def build_postings(
+    df, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
+):
     """Materializable positional postings table ``(term, doc, pos)`` —
     the serving-scale index behind phrase/proximity search: persisted
     (ideally bucketed by term, sources.bucketed.write_bucketed), term
@@ -236,12 +238,22 @@ def build_postings(df, text_col: str = "text", id_col: str = "doc_id"):
     ``doc_phrase_search`` computes the same adjacency with lead() at
     query time; that wins for ad-hoc one-off queries (one corpus scan),
     the postings table wins as soon as more than one search runs.
+
+    Tokenization must match the query path: the default (raw split on
+    single spaces) is byte-identical to ``doc_phrase_search``'s
+    ``F.split(text, ' ')``, so the two produce the same terms AND the
+    same positions on ANY text. ``normalize=True`` switches to
+    :func:`tokens` (lowercase, trim, whitespace-collapse) — use it only
+    when every query against the index normalizes the same way;
+    positions then refer to the normalized stream and adjacency can
+    differ from the raw path on uppercase/ragged-whitespace text.
     """
     from pyspark.sql import functions as F
 
+    toks = tokens(text_col) if normalize else F.split(F.col(text_col), " ")
     return df.select(
         F.col(id_col),
-        F.posexplode(tokens(text_col)).alias("pos", "term"),
+        F.posexplode(toks).alias("pos", "term"),
     ).filter(F.col("term") != "")
 
 
@@ -250,7 +262,8 @@ def phrase_search_postings(postings, w1: str, w2: str):
     the two term posting lists on (doc, adjacent position) — both
     filters push down to the (bucketed) scan, and the join is
     co-partitioned when the table is bucketed by term's doc column.
-    Returns (doc_id, n_occ), identical to doc_phrase_search's output.
+    Returns (doc_id, n_occ) — identical to ``doc_phrase_search`` when
+    the index was built with the default (raw-split) tokenization.
     """
     from pyspark.sql import functions as F
 

@@ -28,17 +28,24 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def orc_roundtrip_check(
-    spark: SparkSession, df: DataFrame, path: str, key: str
-) -> bool:
-    """Write ``df`` to ORC, read it back, and compare a deterministic
-    whole-table digest (xxhash64 of every column, summed) — the cheap
-    distributed way to assert value fidelity without collecting either
-    side."""
+def orc_roundtrip_check(spark: SparkSession, df: DataFrame, path: str) -> bool:
+    """Write ``df`` to ORC, read it back, and compare (a) the schema
+    field-for-field and (b) a deterministic whole-table digest (xxhash64
+    of every column, summed) — the cheap distributed way to assert value
+    fidelity without collecting either side.
+
+    The schema comparison is load-bearing: the string-cast digest alone
+    is blind to exactly the drift this module warns about (a widened
+    decimal or a timestamp-type change casts to the same string)."""
     from pyspark.sql import functions as F
 
     write_orc(df, path)
     back = read_orc(spark, path)
+
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in back.schema.fields
+    ]:
+        return False
 
     def digest(d: DataFrame):
         cols = sorted(d.columns)

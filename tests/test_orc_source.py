@@ -20,12 +20,12 @@ def test_orc_roundtrip_events(spark, tmp_path):
     """Events (timestamps, doubles, strings, JSON props) survive an ORC
     write/read bit-for-bit at the digest level."""
     ev = load_table(spark, SF, "events")
-    assert orc_roundtrip_check(spark, ev, str(tmp_path / "ev.orc"), "event_id")
+    assert orc_roundtrip_check(spark, ev, str(tmp_path / "ev.orc"))
 
 
 def test_orc_roundtrip_lineitem(spark, tmp_path):
     li = load_table(spark, SF, "lineitem").limit(2000)
-    assert orc_roundtrip_check(spark, li, str(tmp_path / "li.orc"), "l_orderkey")
+    assert orc_roundtrip_check(spark, li, str(tmp_path / "li.orc"))
 
 
 def test_orc_pushdown(spark, tmp_path):
