@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "evt_ewma",
     "rel_rfm_scores",
     "doc_containment",
+    "doc_top_terms_fast",
     "doc_token_entropy",
     "stream_sliding_counts",
     "evt_series_mad_fast",

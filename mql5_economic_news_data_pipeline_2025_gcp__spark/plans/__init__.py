@@ -12,79 +12,76 @@ from . import queries_r4  # noqa: E402,F401
 from . import queries_r4b  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
-# insertion order), so the head of the registry must hold one flagship
-# per operator family — core relational, event pipeline, parser
-# functions, upsert/merge, split, metrics, streaming, dedup
-# (exact/MinHash-LSH/SimHash/CC), ANN (cosine/LSH/IVF), text corpus
-# (quality/BM25/tf-idf/decontaminate), multimodal, and advanced SQL
-# (grouping sets / pivot / SCD2), plus the round-4 statistics/
-# substring-dedup/constraint-audit flagships.  Everything else keeps its original
-# relative order after the priority block.  The full 200-query
-# differential gate (scripts/diffcheck.py, tests/test_oracle.py) is
-# order-independent and still covers every entry.
+# insertion order). Rounds 3/4 used the window to certify the §2 core
+# and the first 24 extension families; round 5 ROTATES a third distinct
+# set in: the flagship (entry() canary), the six round-4 TIMESTAMP_NTZ
+# casualties (now fixed in load_table — their green rows ARE the fix's
+# driver-side proof), and 43 never-driver-sampled family flagships
+# spanning relational/advanced-SQL, time-series, text-corpus, dedup,
+# ANN/embeddings, streaming, and multimodal. Everything certified in
+# r3/r4 keeps its green row in those artifacts and stays covered by the
+# order-independent full differential gate (scripts/diffcheck.py,
+# tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
-    # flagship + event-pipeline core (reference parity: S/P/J/A/W/F items)
+    # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    "evt_typed_scan",
-    "evt_hwm_filter",
-    "evt_upsert_dedup",
-    "evt_upsert_merge_partitioned",
-    "evt_lag_features",
-    "evt_ffill_bfill",
-    "evt_chrono_split",
-    "evt_minmax_normalize",
-    "evt_group_mean_impute",
-    "evt_latest_per_group",
-    "evt_routed_inference",
-    "evt_sequence_build",
+    # round-4 NTZ casualties: must be driver-green this round
     "evt_sessionize",
-    "evt_monthly_rollup",
-    # parser functions
-    "fn_parse_date_roundtrip",
-    "fn_parse_time_roundtrip",
-    "fn_parse_numeric_suffixes",
-    "fn_clean_text_sentinel",
-    # relational / advanced SQL
-    "rel_pricing_summary",
-    "rel_topk_orders_per_segment",
-    "rel_rollup_revenue",
-    "sql_grouping_sets_revenue",
-    "rel_pivot_status",
-    "rel_scd2_priority_dim",
-    "sql_top_customers_per_segment",
-    # time-series / joins / skew
-    "evt_asof_join",
     "evt_interval_join",
-    "evt_salted_heavy_hitters",
     "evt_rolling_window_stats",
-    "evt_series_mad_fast",
-    # dedup family
-    "doc_exact_dedup",
-    "doc_minhash_lsh_candidates",
-    "doc_dedup_clusters",
-    "doc_dedup_pipeline",
-    "doc_repeated_spans",
-    # statistics / evaluation family (round-4 session 2)
-    "evt_ks_drift",
-    "evt_ols_features",
-    "rel_referential_audit",
-    # ANN / embeddings family
-    "emb_cosine_topk",
-    "emb_bucketed_ann_topk",
-    # journey-analytics family (round-4 session 3; IVF stays covered by
-    # the full diffcheck + emb_bucketed_ann_topk's driver row)
-    "evt_windowed_funnel",
-    # text corpus family
-    "doc_quality_profile",
-    "doc_bm25_search",
-    "doc_decontaminate",
-    # streaming family
-    "stream_dedup_counts",
-    "stream_windowed_counts",
-    "stream_incremental_rollup",
-    # multimodal family
-    "mm_media_meta",
-    "mm_audio_chunks",
+    "evt_max_concurrency",
+    "evt_asof_nearest",
+    "evt_time_to_convert",
+    # relational / advanced SQL — never sampled before
+    "rel_min_cost_supplier",
+    "rel_market_share",
+    "rel_cube_revenue",
+    "rel_unpivot_returnflag_measures",
+    "rel_cohort_retention",
+    "rel_rfm_scores",
+    "rel_pareto_revenue",
+    "rel_segment_migration",
+    "rel_supplier_hhi",
+    "rel_discount_elasticity",
+    "rel_scd2_point_in_time",
+    "rel_mom_revenue_growth",
+    # event-series / journeys — never sampled before
+    "evt_stl_decompose",
+    "evt_markov_transitions",
+    "evt_funnel",
+    "evt_km_retention",
+    # text corpus — never sampled before (incl. the r5 UDTF fast twin
+    # and the r5 re-bounded levenshtein verify)
+    "doc_containment",
+    "doc_top_terms_fast",
+    "doc_top_terms_udtf",
+    "doc_levenshtein_verify",
+    "doc_phrase_search",
+    "doc_tfidf_top_terms",
+    "doc_simhash_near_dup",
+    "doc_cluster_topics",
+    "doc_source_js_divergence",
+    "doc_pagerank_authority",
+    "doc_zipf_fit",
+    "doc_pii_scrub",
+    # embeddings / ANN — never sampled before
+    "emb_ivf_topk",
+    "emb_ivfpq_residual_topk",
+    "emb_kmeans_assign",
+    "emb_semantic_dedup",
+    "emb_knn_eval",
+    "emb_fisher_ratio",
+    "emb_random_projection",
+    # streaming — never sampled before
+    "stream_session_windows",
+    "stream_view_purchase_join",
+    "stream_static_enrich",
+    "stream_sliding_counts",
+    # multimodal — never sampled before
+    "mm_scene_cuts",
+    "mm_frame_sample",
+    "mm_media_features",
+    "mm_payload_dedup",
 )
 
 

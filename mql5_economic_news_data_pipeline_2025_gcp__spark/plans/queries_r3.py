@@ -1812,6 +1812,52 @@ def doc_top_terms_udtf(spark, sf_dir):
 
 
 @register(
+    "doc_top_terms_fast",
+    oracle=f"""
+    WITH {_SQL_TOKENS},
+    tfd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    r AS (
+      SELECT doc_id, w AS term, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, w ASC) AS rnk
+      FROM tfd)
+    SELECT doc_id, term, CAST(c AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    description=(
+        "hot-path twin of doc_top_terms_udtf (same oracle, same rows): "
+        "per-document top-3 terms as the set-oriented relational plan — "
+        "explode(tokens) → map-side-combined (doc, term) counts → "
+        "row_number over (count desc, term asc) — whole-stage codegen "
+        "end to end, zero Python seams. The UDTF form stays registered "
+        "as the documented table-function API demo; THIS is the form "
+        "that belongs in a 100 TB pipeline (the per-doc window "
+        "partitions on the same doc_id the count shuffle just "
+        "partitioned by, so AQE reuses the exchange)"
+    ),
+    tags=("documents", "text", "window"),
+)
+def doc_top_terms_fast(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tfd = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n"), F.asc("term")
+    )
+    return (
+        tfd.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "n", "rnk")
+    )
+
+
+@register(
     "doc_importance_sample",
     oracle="""
     WITH w AS (

@@ -102,17 +102,31 @@ def compact_parquet(
     Sizing is derived from the CURRENT on-disk byte size (compressed),
     not a row count guess, so the result holds for any schema. The
     rewrite is a coalesce when shrinking (no shuffle — partition
-    concatenation is what compaction wants) and stages through a
-    sibling directory, then swaps via two directory renames. Each
-    rename is atomic, but the PAIR is not: a reader that lists the
-    table between them sees it briefly absent (not a half-written
-    mix — old and new file sets never interleave), so run compaction
-    in the ingest's maintenance window, or use a transactional table
-    format (Delta/Iceberg OPTIMIZE) where swap atomicity matters. A
-    crash between the renames is recovered here: the backup is
-    restored so the table is never left stranded at ``.precompact``.
+    concatenation is what compaction wants).
+
+    Publish strategy depends on the table:
+
+    - **Commit-log root** (has ``_commits/`` — written by
+      ``sources.txn`` or adopted via ``txn.adopt``): delegate to
+      ``txn.compact``, which commits the new file list as one atomic
+      manifest rename — readers NEVER see a missing or partial table,
+      and in-flight snapshot readers keep their version until vacuum.
+      This is the default maintenance path; plain directories can opt
+      in with one no-data-movement ``txn.adopt(path)`` call.
+    - **Plain directory**: stage to a sibling, then swap via two
+      renames. Each rename is atomic but the PAIR is not — a reader
+      listing between them sees the table briefly absent (never a
+      half-written mix). Run in a maintenance window or adopt() first.
+      A crash between the renames is recovered: the backup is restored
+      so the table is never left stranded at ``.precompact``.
     """
     import shutil
+
+    from . import txn as _txn
+
+    if os.path.isdir(os.path.join(path, "_commits")):
+        v = _txn.compact(spark, path, target_file_mb=target_file_mb)
+        return len(_txn._read_manifest(path, v)["files"])
 
     size_b = sum(
         os.path.getsize(os.path.join(r, f))

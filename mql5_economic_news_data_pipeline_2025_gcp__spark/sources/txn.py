@@ -145,6 +145,37 @@ def append(df: DataFrame, root: str) -> int:
             continue
 
 
+def adopt(root: str) -> int:
+    """Adopt a PLAIN parquet directory into the commit-log format in
+    place: commit version 0 listing the existing part files, moving no
+    data. From then on every mutation (append / overwrite / compact /
+    optimize_files) publishes atomically — this is the migration step
+    that upgrades a rename-swap table (``sinks.compact_parquet``'s
+    documented reader-visible gap) to atomic maintenance for free.
+
+    Idempotent: an already-adopted root is returned unchanged. Plain
+    ``spark.read.parquet(root)`` keeps working on the v0 snapshot until
+    the first post-adoption rewrite + vacuum (old top-level files are
+    manifest-tracked and vacuumed like any other); switch readers to
+    :func:`read` to get snapshot isolation.
+    """
+    vs = versions(root)
+    if vs:
+        return vs[-1]
+    files = sorted(
+        f
+        for f in os.listdir(root)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files to adopt at {root}")
+    try:
+        _try_commit(root, 0, {"version": 0, "op": "adopt", "files": files})
+    except CommitConflict:
+        pass  # racing adopter won; both committed the same file list
+    return versions(root)[-1]
+
+
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Snapshot read of ``version`` (default: latest). Empty manifest →
     empty frame is impossible here (parquet always writes ≥1 file)."""

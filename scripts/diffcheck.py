@@ -82,7 +82,20 @@ def main() -> int:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
 
-    spark = get_spark("diffcheck", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    if os.environ.get("SPARK_GRAFT_DIFF_DEFAULT_SESSION"):
+        # driver-environment twin: a STOCK session (no session.py tuning)
+        # — catches config-drift bugs like the round-4 TIMESTAMP_NTZ break
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("diffcheck-default")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("diffcheck", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
     con = duckdb.connect()
     for tab in TABLES:
         con.execute(
