@@ -92,6 +92,7 @@ class EngineAPI:
         history_path: str | None = None,
         predict_fn: Callable[[DataFrame], DataFrame] = _default_predict,
         exact_split: bool = True,
+        sink_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self._events = events_provider
@@ -99,8 +100,29 @@ class EngineAPI:
         self.history_path = history_path
         self.predict_fn = predict_fn
         self.exact_split = exact_split
+        #: With ``sink_dir`` set, every stage's FULL metric table and
+        #: summary land as parquet under ``{sink_dir}/{stage}_metrics``
+        #: / ``{stage}_summary`` — the durable counterpart of the
+        #: row-capped response body (the reference persists stage
+        #: metrics to its warehouse tables the same way; responses are
+        #: for callers, sinks are the record).
+        self.sink_dir = sink_dir
         self._train_result: PipelineResult | None = None
         self._lock = threading.Lock()
+
+    def _persist(self, stage: str, res: PipelineResult) -> None:
+        if not self.sink_dir:
+            return
+        import os
+
+        from .sources.sinks import save_conditional
+
+        save_conditional(
+            self.spark, res.metrics, os.path.join(self.sink_dir, f"{stage}_metrics")
+        )
+        save_conditional(
+            self.spark, res.summary, os.path.join(self.sink_dir, f"{stage}_summary")
+        )
 
     # ---- param resolution (API:241-264 + API:124-150) ----
     def _resolve_params(self, body_params: dict | None) -> dict:
@@ -147,6 +169,7 @@ class EngineAPI:
         )
         with self._lock:
             self._train_result = res
+        self._persist("train", res)
         out = _result_payload(res)
         out["params"] = params
         return 200, out
@@ -163,6 +186,7 @@ class EngineAPI:
             self._events(), tr, predict_fn=self.predict_fn,
             exact_split=self.exact_split,
         )
+        self._persist("validate", res)
         return 200, _result_payload(res)
 
     def test(self, body: dict) -> tuple[int, dict]:
@@ -173,6 +197,7 @@ class EngineAPI:
             self._events(), tr, predict_fn=self.predict_fn,
             exact_split=self.exact_split,
         )
+        self._persist("test", res)
         return 200, _result_payload(res)
 
     def automate(self, body: dict) -> tuple[int, dict]:
@@ -188,6 +213,8 @@ class EngineAPI:
         if "train" in results:
             with self._lock:
                 self._train_result = results["train"]
+        for stage, res in results.items():
+            self._persist(stage, res)
         return 200, {
             stage: _result_payload(res, include_rows=False)
             for stage, res in results.items()
