@@ -2714,37 +2714,67 @@ def doc_source_js_divergence(spark, sf_dir):
         .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
         .filter(F.col("sa") < F.col("sb"))
     )
-    vocab = d.select("term").distinct()
-    grid = prs.crossJoin(F.broadcast(vocab))
-    da = d.select(
-        F.col("source").alias("sa"), "term", F.col("n").alias("na")
+    # r5 scale rewrite: the dense |pairs| × |vocab| grid (the oracle's
+    # formulation, and this op's round-4 sf1 super-linear row, exp 1.26)
+    # decomposes EXACTLY. A term absent from both sources contributes 0;
+    # a term in a only contributes round(pa·ln(pa/((pa+0)/2))·1e9) —
+    # independent of the partner (0/ntb is exactly 0.0) — so
+    #   sxa(a,b) = Σ_shared xa_both  +  LONE(a) − Σ_shared lone_a
+    # where LONE(a) = Σ_{t∈a} round(pa·ln2·1e9) is a per-SOURCE integer
+    # constant. Only the shared-term inverted-index join scales with the
+    # corpus; salted/rare vocabulary (the probe's growth axis) never
+    # enters a pair row. Every per-term quantization keeps the oracle's
+    # exact expression tree, so the integer sums match cell-for-cell.
+    dp = d.join(F.broadcast(tot), "source")
+    p_ = F.col("n").cast("double") / F.col("nt")
+    # oracle's a-only cell: nb/ntb = 0.0 exactly → same tree with +0.0
+    lone_ = F.round(p_ * F.log(p_ / ((p_ + F.lit(0.0)) / 2)) * 1000000000).cast(
+        "bigint"
     )
-    db = d.select(
-        F.col("source").alias("sb"), "term", F.col("n").alias("nb")
+    dpl = dp.select("source", "term", "n", "nt", lone_.alias("lone"))
+    lone_sums = dpl.groupBy("source").agg(
+        F.sum("lone").cast("bigint").alias("lone_sum")
     )
-    ta = F.broadcast(tot.select(F.col("source").alias("sa"), F.col("nt").alias("nta")))
-    tb = F.broadcast(tot.select(F.col("source").alias("sb"), F.col("nt").alias("ntb")))
-    joined = (
-        grid.join(da, ["sa", "term"], "left")
-        .join(db, ["sb", "term"], "left")
-        .join(ta, "sa")
-        .join(tb, "sb")
-        .fillna(0, subset=["na", "nb"])
+    sa_side = dpl.select(
+        F.col("source").alias("sa"), "term",
+        F.col("n").alias("na"), F.col("nt").alias("nta"),
+        F.col("lone").alias("lone_a"),
     )
+    sb_side = dpl.select(
+        F.col("source").alias("sb"), "term",
+        F.col("n").alias("nb"), F.col("nt").alias("ntb"),
+        F.col("lone").alias("lone_b"),
+    )
+    shared = sa_side.join(sb_side, "term").filter(F.col("sa") < F.col("sb"))
     pa = F.col("na").cast("double") / F.col("nta")
     pb = F.col("nb").cast("double") / F.col("ntb")
     m = (pa + pb) / 2
-    xa = F.when(F.col("na") > 0, pa * F.log(pa / m)).otherwise(0.0)
-    xb = F.when(F.col("nb") > 0, pb * F.log(pb / m)).otherwise(0.0)
-    contrib = joined.select(
-        "sa",
-        "sb",
-        F.round(xa * 1000000000).cast("bigint").alias("xa"),
-        F.round(xb * 1000000000).cast("bigint").alias("xb"),
+    xa = F.round(pa * F.log(pa / m) * 1000000000).cast("bigint")
+    xb = F.round(pb * F.log(pb / m) * 1000000000).cast("bigint")
+    sh_agg = shared.groupBy("sa", "sb").agg(
+        F.sum(xa - F.col("lone_a")).cast("bigint").alias("dxa"),
+        F.sum(xb - F.col("lone_b")).cast("bigint").alias("dxb"),
     )
-    js = contrib.groupBy("sa", "sb").agg(
-        F.sum("xa").cast("bigint").alias("sxa"),
-        F.sum("xb").cast("bigint").alias("sxb"),
+    la = F.broadcast(
+        lone_sums.select(F.col("source").alias("sa"), F.col("lone_sum").alias("lsa"))
+    )
+    lb = F.broadcast(
+        lone_sums.select(F.col("source").alias("sb"), F.col("lone_sum").alias("lsb"))
+    )
+    js = (
+        prs.join(sh_agg, ["sa", "sb"], "left")
+        .join(la, "sa")
+        .join(lb, "sb")
+        .select(
+            "sa",
+            "sb",
+            (F.coalesce(F.col("dxa"), F.lit(0)) + F.col("lsa"))
+            .cast("bigint")
+            .alias("sxa"),
+            (F.coalesce(F.col("dxb"), F.lit(0)) + F.col("lsb"))
+            .cast("bigint")
+            .alias("sxb"),
+        )
     )
     scored = js.select(
         "sa",

@@ -74,6 +74,11 @@ def prepare_session(spark: SparkSession) -> None:
     """Make an arbitrary session comparable with the DuckDB oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # PySpark 4.1 stock default is true → naive timestamp[us] parquet
+    # would arrive TIMESTAMP_NTZ and break unix_micros (round-4 driver
+    # break); load_table forces this too, but any query that re-reads
+    # its own written files gets the same guarantee from here.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
