@@ -206,6 +206,12 @@ BENCH_QUERIES = [
     "rel_supplier_hhi",
     "rel_discount_elasticity",
     "emb_fisher_ratio",
+    "evt_proportion_ztest",
+    "evt_gini_value",
+    "evt_peak_detection",
+    "doc_kn_bigram_lm",
+    "emb_silhouette",
+    "doc_minhash_estimate_error",
 ]
 
 

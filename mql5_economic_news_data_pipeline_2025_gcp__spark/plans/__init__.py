@@ -10,6 +10,7 @@ from . import queries_ext  # noqa: E402,F401
 from . import queries_r3  # noqa: E402,F401
 from . import queries_r4  # noqa: E402,F401
 from . import queries_r4b  # noqa: E402,F401
+from . import queries_r5  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). Rounds 3/4 used the window to certify the §2 core

@@ -1,0 +1,574 @@
+"""Round-5 additions: the statistics and corpus-analysis operators the
+existing families point at but don't yet cover — a two-proportion
+z-test (completing the A/B readout trio: Welch for means, chi-square
+for independence, this for conversion rates), value-concentration Gini,
+time-series peak detection, interpolated Kneser–Ney bigram scoring
+(the LM-quality filter a CCNet-style corpus pipeline runs), simplified
+silhouette for cluster quality, and a MinHash-estimate accuracy audit
+(sketch-vs-exact on the LSH candidate set).
+
+All follow the determinism contract in ``registry``: exact integer
+sufficient statistics wherever possible, micro-quantized integers
+before any order-dependent float sum, identical division/log trees on
+both engines, deterministic tie-breaks. None exist in the reference
+(a pandas/MySQL pipeline, ``MAIN``/``PUSH``); all are Spark-first
+extensions of its statistics/metrics surface (SURVEY §2.8/§2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import fan_out, keyed_events, t
+from .registry import register
+
+
+@register(
+    "evt_proportion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS x
+      FROM u GROUP BY grp),
+    w AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END) AS n1,
+             max(CASE WHEN grp = 0 THEN x END) AS x1,
+             max(CASE WHEN grp = 1 THEN n END) AS n2,
+             max(CASE WHEN grp = 1 THEN x END) AS x2
+      FROM s)
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6)
+             AS p_diff,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (CAST(1 AS DOUBLE) / n1
+                           + CAST(1 AS DOUBLE) / n2)),
+                 6) AS z_stat
+    FROM w
+    """,
+    description=(
+        "two-proportion z-test on high-value-purchase conversion "
+        "(value > 90) between user cohorts (user_id parity as the "
+        "deterministic assignment): "
+        "per-user conversion flags from one map-side-combined "
+        "aggregate, cohort counts (n, x) as EXACT integers, then the "
+        "pooled-variance z statistic as a single fixed float tree over "
+        "four integers. Completes the experiment-readout trio (Welch "
+        "t = means, chi-square = independence, z = rates). Shape: one "
+        "shuffle on user_id, then a 2-row combine — at 100 TB the "
+        "per-user collapse is the only corpus-sized stage and it "
+        "partial-aggregates map-side"
+    ),
+    tags=("events", "statistics", "ab-test"),
+)
+def evt_proportion_ztest(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1) - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n1")
+            + F.lit(1).cast("double") / F.col("n2")
+        )
+    )
+    return w.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1 - p2, 6).alias("p_diff"),
+        F.round((p1 - p2) / se, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "evt_gini_value",
+    oracle="""
+    WITH pu AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events
+      WHERE value IS NOT NULL AND value > 0
+      GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, user_id) AS rnk
+      FROM pu),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS total_c,
+             CAST(sum(rnk * s) AS BIGINT) AS rs
+      FROM r GROUP BY event_type)
+    SELECT event_type, n, total_c,
+           round(2.0 * rs / (CAST(n AS DOUBLE) * total_c)
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+    FROM g
+    """,
+    description=(
+        "Gini coefficient of per-user value concentration per event "
+        "type — the whale-spotting readout (how unequal is spend "
+        "across users). Per-user totals are exact integer cents; the "
+        "rank formula G = 2·Σ(rᵢxᵢ)/(n·Σx) − (n+1)/n keeps Σ(r·x) an "
+        "EXACT integer (ties ranked deterministically by user_id), so "
+        "the only float is the final fixed tree. Shape: one shuffle to "
+        "(type,user), a per-type rank window over the collapsed frame "
+        "(|users| rows, not |events|), then a per-type combine. The "
+        "classic footgun — windowing the raw event log — never "
+        "touches the corpus here"
+    ),
+    tags=("events", "statistics", "aggregate"),
+)
+def evt_gini_value(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value_c").cast("bigint").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "user_id")
+    r = pu.withColumn("rnk", F.row_number().over(w))
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("total_c"),
+        F.sum(F.col("rnk") * F.col("s")).cast("bigint").alias("rs"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "event_type",
+        "n",
+        "total_c",
+        F.round(
+            F.lit(2.0) * F.col("rs") / (nd * F.col("total_c"))
+            - (nd + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "evt_peak_detection",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    x AS (
+      SELECT event_type, hr, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn,
+             lead(n) OVER (PARTITION BY event_type ORDER BY hr) AS nn
+      FROM h)
+    SELECT event_type, hr, n, pn AS prev_n, nn AS next_n
+    FROM x
+    WHERE pn IS NOT NULL AND nn IS NOT NULL AND n > pn AND n > nn
+    """,
+    description=(
+        "local-maximum peak detection on the hourly volume series per "
+        "event type: strict greater-than both neighbors (plateaus are "
+        "not peaks — unambiguous in both engines, no prominence "
+        "tie-break needed). Shape: the hourly aggregate collapses the "
+        "corpus FIRST (map-side combined, |types|·|hours| rows), then "
+        "lag/lead run on the tiny series — one corpus shuffle, one "
+        "window over the collapsed frame. The anomaly-shaped cousin "
+        "of evt_anomaly_zscore (global deviation) and evt_cusum_alarms "
+        "(drift): this one finds spikes"
+    ),
+    tags=("events", "window", "timeseries"),
+)
+def evt_peak_detection(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    x = h.withColumn("pn", F.lag("n").over(w)).withColumn(
+        "nn", F.lead("n").over(w)
+    )
+    return x.filter(
+        F.col("pn").isNotNull()
+        & F.col("nn").isNotNull()
+        & (F.col("n") > F.col("pn"))
+        & (F.col("n") > F.col("nn"))
+    ).select(
+        "event_type",
+        "hr",
+        "n",
+        F.col("pn").alias("prev_n"),
+        F.col("nn").alias("next_n"),
+    )
+
+
+@register(
+    "doc_kn_bigram_lm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2),
+    dbg AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      FROM bg GROUP BY doc_id, w1, w2),
+    c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c
+            FROM dbg GROUP BY w1, w2),
+    cl AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cl,
+                  CAST(count(*) AS BIGINT) AS n1l
+           FROM c12 GROUP BY w1),
+    cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r
+           FROM c12 GROUP BY w2),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c12),
+    scored AS (
+      SELECT d.doc_id, d.k,
+             CAST(round(ln(
+               greatest(CAST(c.c AS DOUBLE) - 0.75, 0) / l.cl
+               + (0.75 * l.n1l / l.cl) * (CAST(r.n1r AS DOUBLE) / t.bt)
+             ) * 1000000) AS BIGINT) AS lp
+      FROM dbg d
+      JOIN c12 c ON d.w1 = c.w1 AND d.w2 = c.w2
+      JOIN cl l ON d.w1 = l.w1
+      JOIN cr r ON d.w2 = r.w2
+      CROSS JOIN tt t)
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(k * lp) AS BIGINT) AS lp_sum_micro,
+           round((CAST(sum(k * lp) AS DOUBLE) / sum(k)) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    description=(
+        "interpolated Kneser–Ney bigram LM scoring (D=0.75), the "
+        "LM-quality filter of CCNet-style corpus pipelines, trained on "
+        "the corpus itself: P(w2|w1) = max(c12−D,0)/c(w1·) + "
+        "D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|. Per-bigram ln p "
+        "quantizes to integer micro-nats BEFORE the per-doc sum "
+        "(order-exact), and the doc sum runs over the (doc, bigram, k) "
+        "AGGREGATE — k·lp equals k identical per-instance terms "
+        "exactly, the doc_unigram_logprob treatment. Shape: bigrams "
+        "via slice+zip (zero shuffle), one (w1,w2) count agg "
+        "(zipf-bounded ≪ corpus), continuation counts as aggs OVER "
+        "that aggregate, scalar type-count broadcast, one per-doc agg"
+    ),
+    tags=("documents", "text", "quality", "lm"),
+)
+def doc_kn_bigram_lm(spark, sf_dir):
+    from ..operators.textops import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    d2 = docs.select("doc_id", tokens("text").alias("tk"))
+    bg = d2.selectExpr(
+        "doc_id",
+        "explode(zip_with(slice(tk, 1, size(tk) - 1),"
+        "                 slice(tk, 2, size(tk) - 1),"
+        "                 (a, b) -> named_struct('w1', a, 'w2', b))) AS p",
+    ).select("doc_id", "p.w1", "p.w2")
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    c12 = dbg.groupBy("w1", "w2").agg(
+        F.sum("k").cast("bigint").alias("c")
+    )
+    # continuation stats as windows over the (w1,w2) aggregate — no
+    # extra lineage back to the token explode
+    c12 = (
+        c12.withColumn(
+            "cl", F.sum("c").over(Window.partitionBy("w1")).cast("bigint")
+        )
+        .withColumn(
+            "n1l",
+            F.count(F.lit(1)).over(Window.partitionBy("w1")).cast("bigint"),
+        )
+        .withColumn(
+            "n1r",
+            F.count(F.lit(1)).over(Window.partitionBy("w2")).cast("bigint"),
+        )
+    )
+    tt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    lp = F.round(
+        F.log(
+            F.greatest(F.col("c").cast("double") - 0.75, F.lit(0))
+            / F.col("cl")
+            + (F.lit(0.75) * F.col("n1l") / F.col("cl"))
+            * (F.col("n1r").cast("double") / F.col("bt"))
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        dbg.join(c12, ["w1", "w2"])
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", "k", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("lp")).cast("bigint").alias("lp_sum_micro"),
+        F.round(
+            (
+                F.sum(F.col("k") * F.col("lp")).cast("double")
+                / F.sum("k")
+            )
+            / 1000000.0,
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "emb_silhouette",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(v.e, c.e), 6) AS cs
+      FROM v JOIN cent c ON v.vec_id >= 8),
+    ranked AS (
+      SELECT vec_id, cid, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cid ASC) AS rnk
+      FROM scored),
+    pt AS (
+      SELECT vec_id,
+             max(CASE WHEN rnk = 1 THEN cid END) AS own,
+             max(CASE WHEN rnk = 1 THEN cs END) AS cs1,
+             max(CASE WHEN rnk = 2 THEN cs END) AS cs2
+      FROM ranked WHERE rnk <= 2 GROUP BY vec_id),
+    s AS (
+      SELECT own,
+             CAST(round(
+               CASE WHEN 1 - cs2 = 0 THEN 0
+                    ELSE (cs1 - cs2) / (1 - cs2) END * 1000000)
+               AS BIGINT) AS s_micro
+      FROM pt)
+    SELECT own AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+           round((CAST(sum(s_micro) AS DOUBLE) / count(*)) / 1000000.0, 6)
+             AS mean_silhouette
+    FROM s GROUP BY own
+    """,
+    description=(
+        "simplified (centroid-based) silhouette per cluster over the "
+        "emb_kmeans_assign seed centroids (vec_id < 8): with cosine "
+        "distance, a = 1−cs(own) and b = 1−cs(runner-up), so s = "
+        "(cs1−cs2)/(1−cs2) — a ≤ b always, no per-point pairwise "
+        "pass (the full silhouette is O(n²); the centroid form is the "
+        "one that exists at 100 TB). Per-point s quantizes to integer "
+        "micro-units before the cluster sum (order-exact); assignment "
+        "ties break by centroid id exactly as the assign query. "
+        "Shape: broadcast centroids → map-only scoring, one k-row agg"
+    ),
+    tags=("embeddings", "similarity", "evaluation"),
+)
+def emb_silhouette(spark, sf_dir):
+    from ..operators.similarity import _as_double, cosine
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    scored = (
+        v.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(cosine(F.col("e"), F.col("ce")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("cid").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 2
+    )
+    pt = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("cid"))).alias("own"),
+        F.max(F.when(F.col("rnk") == 1, F.col("cs"))).alias("cs1"),
+        F.max(F.when(F.col("rnk") == 2, F.col("cs"))).alias("cs2"),
+    )
+    s_micro = F.round(
+        F.when(F.lit(1) - F.col("cs2") == 0, F.lit(0.0)).otherwise(
+            (F.col("cs1") - F.col("cs2")) / (F.lit(1) - F.col("cs2"))
+        )
+        * 1000000
+    ).cast("bigint")
+    s = pt.select("own", s_micro.alias("s_micro"))
+    return s.groupBy(F.col("own").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum("s_micro").cast("bigint").alias("sum_s_micro"),
+        F.round(
+            (F.sum("s_micro").cast("double") / F.count(F.lit(1)))
+            / 1000000.0,
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+# sketch-accuracy audit reuses the exact SQL fragments the dedup oracles
+# are built from, so both engines hash/shingle identically
+from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES  # noqa: E402
+
+
+@register(
+    "doc_minhash_estimate_error",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    nm AS (
+      SELECT p.id_a, p.id_b,
+             CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_match
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b)
+    SELECT n.id_a, n.id_b, n.n_match,
+           round(CAST(n.n_match AS DOUBLE) / 8, 6) AS jaccard_est,
+           round(CAST(coalesce(c.c, 0) AS DOUBLE)
+                 / (za.sz + zb.sz - coalesce(c.c, 0)), 6) AS jaccard,
+           round(CAST(n.n_match AS DOUBLE) / 8
+                 - CAST(coalesce(c.c, 0) AS DOUBLE)
+                   / (za.sz + zb.sz - coalesce(c.c, 0)), 6) AS err
+    FROM nm n
+    LEFT JOIN common c ON c.id_a = n.id_a AND c.id_b = n.id_b
+    JOIN sizes za ON za.doc_id = n.id_a
+    JOIN sizes zb ON zb.doc_id = n.id_b
+    """,
+    description=(
+        "sketch-accuracy audit: for every LSH candidate pair, the "
+        "MinHash-estimated Jaccard (matching signature components / 8) "
+        "against the EXACT 3-shingle Jaccard, plus the signed error — "
+        "the measurement that justifies (or indicts) a signature "
+        "length before a 100 TB dedup run commits to it. Shape: "
+        "signatures are map-side, candidates come from the band "
+        "equi-join, and the exact verify joins shingles ONLY through "
+        "the candidate set (|pairs|·|doc shingles| rows, never the "
+        "all-pairs co-occurrence join). A pair sharing a band but no "
+        "shingle (hash collision) stays visible via the left join — "
+        "exactly the false-positive the audit exists to count"
+    ),
+    tags=("documents", "dedup", "sketch", "evaluation"),
+)
+def doc_minhash_estimate_error(spark, sf_dir):
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+        shingles,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(8)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(8)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(8)
+    ).cast("bigint")
+    nm = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+    sh = shingles(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    cand_sh = pairs.join(
+        sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+    )
+    common = (
+        cand_sh.join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    c0 = F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+    est = F.col("n_match").cast("double") / 8
+    jac = c0.cast("double") / (F.col("sz_a") + F.col("sz_b") - c0)
+    return (
+        nm.join(common, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(est - jac, 6).alias("err"),
+        )
+    )
