@@ -572,3 +572,329 @@ def doc_minhash_estimate_error(spark, sf_dir):
             F.round(est - jac, 6).alias("err"),
         )
     )
+
+
+@register(
+    "rel_weighted_median_price",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag, pc, CAST(sum(w) AS BIGINT) AS w
+      FROM q GROUP BY l_returnflag, pc),
+    c AS (
+      SELECT l_returnflag, pc, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_w,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN pc END) AS BIGINT)
+             AS w_median_price_c
+    FROM c GROUP BY l_returnflag
+    """,
+    description=(
+        "weighted nearest-rank median (price weighted by quantity) per "
+        "return flag — the weighted-percentile primitive exact "
+        "percentile functions don't give you: smallest price whose "
+        "cumulative weight reaches half the total. All-integer "
+        "(cents × integer weights), so the answer is EXACT and "
+        "order-independent. Shape: weights collapse to one row per "
+        "(flag, price) FIRST (map-side combined — the cumsum window "
+        "then runs over |distinct prices|, not |lineitems|), one "
+        "partitioned window, one final combine. The same cumulative-"
+        "weight scan is how a 100 TB weighted quantile runs (per-key "
+        "windows; a global weighted median would use the same frame "
+        "after a range repartition)"
+    ),
+    tags=("relational", "statistics", "window"),
+)
+def rel_weighted_median_price(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    g = q.groupBy("l_returnflag", "pc").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(wt)
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_w"),
+        F.min(
+            F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("pc"))
+        )
+        .cast("bigint")
+        .alias("w_median_price_c"),
+    )
+
+
+@register(
+    "doc_ppl_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    ucnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM ucnt),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(round(ln(CAST(u.c AS DOUBLE) / t.n) * 1000000)
+                  AS BIGINT) AS lp_u
+      FROM tok JOIN ucnt u ON tok.w = u.w CROSS JOIN tot t),
+    ds AS (
+      SELECT doc_id,
+             round((CAST(sum(lp_u) AS DOUBLE) / count(*)) / 1000000.0, 6)
+               AS avg_lp
+      FROM scored GROUP BY doc_id),
+    b AS (
+      SELECT doc_id, avg_lp,
+             ntile(3) OVER (ORDER BY avg_lp DESC, doc_id) AS bucket
+      FROM ds)
+    SELECT d.source,
+           CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars
+    FROM b JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.source, 2
+    """,
+    description=(
+        "CCNet-style perplexity bucketing: score every document with "
+        "the corpus-trained unigram LM (micro-nat integer sums, the "
+        "doc_unigram_logprob treatment), split into head/middle/tail "
+        "terciles by ntile over (score desc, doc_id), then report the "
+        "per-source bucket composition — the table that drives "
+        "'keep head+middle, drop tail' corpus curation. The exact "
+        "ntile is a |docs|-row presentation window at test SF; at "
+        "100 TB the same buckets come from two approx-quantile "
+        "cutoffs + a map-side CASE (the evt_chrono_split exact-vs-"
+        "scale duality, noted here rather than duplicated)"
+    ),
+    tags=("documents", "text", "quality", "sampling"),
+)
+def doc_ppl_buckets(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tfd = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = F.sum("c").over(Window.partitionBy("w"))
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lp_u = F.round(
+        F.log(F.col("uc").cast("double") / F.col("n")) * 1000000
+    ).cast("bigint")
+    scored = (
+        tfd.withColumn("uc", ucnt)
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "c", lp_u.alias("lp_u"))
+    )
+    ds = scored.groupBy("doc_id").agg(
+        F.round(
+            (
+                F.sum(F.col("c") * F.col("lp_u")).cast("double")
+                / F.sum("c")
+            )
+            / 1000000.0,
+            6,
+        ).alias("avg_lp")
+    )
+    b = ds.withColumn(
+        "bucket",
+        F.ntile(3).over(Window.orderBy(F.col("avg_lp").desc(), F.col("doc_id"))),
+    )
+    lab = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source", lab.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@register(
+    "doc_cluster_size_histogram",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node, min(label) AS label FROM walk GROUP BY node),
+    sz AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cc GROUP BY label)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+    """,
+    description=(
+        "near-dup cluster-size histogram — the dedup-run audit table "
+        "(how much of the corpus sits in how-big duplicate families; "
+        "a fat tail here means the LSH bands are too loose or the "
+        "corpus has a template problem). Composes the existing "
+        "LSH → connected-components chain and adds two tiny aggregates "
+        "over the |clusters| frame; the iterative CC is the only "
+        "corpus-scale stage and it is the checkpointed O(diameter) "
+        "round loop from operators.dedup"
+    ),
+    tags=("documents", "dedup", "evaluation"),
+)
+def doc_cluster_size_histogram(spark, sf_dir):
+    from ..operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    cc = dedup_clusters(pairs, docs, id_col="doc_id")
+    sz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "evt_group_sample",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM r WHERE rnk <= 100 GROUP BY event_type
+    """,
+    description=(
+        "deterministic fixed-size per-group sample (100 per event "
+        "type) by md5-hash rank — the balanced downsampler for "
+        "eval-set construction: reproducible across engines, runs, "
+        "retries, and cluster sizes because the order key is a pure "
+        "function of the row (the per-group counterpart of the "
+        "uniform evt_hash_sample and the embedding-space "
+        "emb_class_downsample). Checksum pins the EXACT sampled id "
+        "set, not just counts. At 100 TB the rank window bounds "
+        "per-group state to k via the standard top-k pushdown "
+        "(WindowGroupLimit pushes rnk <= 100 below the sort)"
+    ),
+    tags=("events", "sampling"),
+)
+def evt_group_sample(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    r = ev.withColumn("rnk", F.row_number().over(w))
+    return (
+        r.filter(F.col("rnk") <= 100)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE m(mon) AS (
+  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT mon + INTERVAL 1 MONTH FROM m
+  WHERE mon < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT m.mon, coalesce(r.rev_c, 0) AS rev_c,
+       coalesce(r.n_orders, 0) AS n_orders
+FROM m LEFT JOIN rev r ON r.mon = m.mon
+"""
+
+
+@register(
+    "sql_recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    description=(
+        "recursive-CTE SQL surface (Spark 4's WITH RECURSIVE): "
+        "generate the complete month spine between the first and last "
+        "order date and left-join monthly revenue onto it, so silent "
+        "calendar gaps become explicit zero rows — the gap-filled "
+        "report shape. The IDENTICAL SQL text runs on both engines "
+        "(the recursion is UNION ALL over a strictly increasing month, "
+        "so it terminates in ≤ date-span iterations regardless of "
+        "corpus size — recursion depth scales with the CALENDAR, not "
+        "the data; the revenue aggregate is the only corpus-sized "
+        "stage and it map-side combines). Spark's recursive CTEs "
+        "don't yet allow UNION set-dedup in the loop, so cyclic-graph "
+        "recursion (the dedup CC walk) stays on the iterative "
+        "operators.dedup path — this query pins the DAG-shaped half "
+        "of the surface. Spark currently executes one micro-job per "
+        "recursion step (~80 here), so this is an API-surface/"
+        "presentation query, NOT a bench headline — for a hot path, "
+        "sequence()+explode builds the same spine in one stage "
+        "(evt_gap_fill's form)"
+    ),
+    tags=("relational", "sql-entry", "recursive"),
+)
+def sql_recursive_month_spine(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)

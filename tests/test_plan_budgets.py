@@ -82,6 +82,22 @@ BUDGETS = {
     "evt_approx_percentiles": 1,
     "evt_pit_training_matrix": 1,
     "evt_did_estimate": 1,
+    # r5 additions (measured at registration)
+    "evt_proportion_ztest": 2,
+    "evt_gini_value": 2,
+    "evt_peak_detection": 2,
+    "emb_silhouette": 2,
+    "rel_weighted_median_price": 2,
+    "evt_group_sample": 1,
+    "doc_ppl_buckets": 3,
+    # 2 corpus-sized (doc-bigram, bigram-type aggs) + w1/w2 windows and
+    # the stats join, all over the zipf-bounded bigram-type frame
+    "doc_kn_bigram_lm": 7,
+    # band self-join + distinct + two signature joins + shingle-size agg
+    # + candidate-restricted common join — a pair-audit is join-heavy by
+    # nature; every post-candidate stage is |pairs|-sized
+    "doc_minhash_estimate_error": 8,
+    "doc_cluster_size_histogram": 4,
 }
 
 
