@@ -212,6 +212,12 @@ BENCH_QUERIES = [
     "doc_kn_bigram_lm",
     "emb_silhouette",
     "doc_minhash_estimate_error",
+    "rel_weighted_median_price",
+    "doc_ppl_buckets",
+    "doc_cluster_size_histogram",
+    "evt_group_sample",
+    "evt_time_range_rolling",
+    "mm_storage_report",
 ]
 
 

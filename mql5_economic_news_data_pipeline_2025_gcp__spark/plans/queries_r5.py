@@ -520,7 +520,13 @@ def doc_minhash_estimate_error(spark, sf_dir):
     )
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    # sig feeds the band join AND both per-side signature joins; sh
+    # feeds sizes AND both sides of the common-shingle join. Spark has
+    # no CSE across DataFrame references, so without a checkpoint each
+    # reference re-derives the corpus scan + md5 pipeline (10 scans in
+    # the executed plan); one localCheckpoint each caps the corpus cost
+    # at one derivation per frame.
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8).localCheckpoint()
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     sig_a = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -539,7 +545,7 @@ def doc_minhash_estimate_error(spark, sf_dir):
         .join(sig_b, "id_b")
         .select("id_a", "id_b", n_match.alias("n_match"))
     )
-    sh = shingles(docs, n=3)
+    sh = shingles(docs, n=3).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
@@ -898,3 +904,106 @@ def sql_recursive_month_spine(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "evt_time_range_rolling",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_id, user_id, ts_sec,
+             CAST(sum(vc) OVER (
+               PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS roll_sum_c,
+             CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS roll_n
+      FROM v)
+    SELECT event_id, user_id, ts_sec, roll_sum_c, roll_n FROM r
+    """,
+    description=(
+        "TIME-RANGE window frame (the rolling surface ROWS frames "
+        "can't express): per-user trailing-1-hour value sum and count "
+        "via RANGE BETWEEN 3599 PRECEDING on integer epoch-seconds — "
+        "events 'within the last hour' regardless of how many rows "
+        "that is. Same-second events are frame peers in both engines "
+        "(RANGE semantics), so the result is deterministic without a "
+        "row tie-break; sums are exact integer cents. ONE shuffle on "
+        "user_id; the frame is a sliding pointer pair over each "
+        "partition's sorted run — at 100 TB this is the standard "
+        "sessionless rolling feature (complements evt_rolling_window_"
+        "stats' ROWS form and evt_sessionize's gap form)"
+    ),
+    tags=("events", "window", "timeseries"),
+)
+def evt_time_range_rolling(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        F.col("value_c").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum("vc").over(w).cast("bigint").alias("roll_sum_c"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
+    )
+
+
+@register(
+    "mm_storage_report",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n
+      FROM documents)
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n) AS BIGINT) AS total_bytes,
+           CAST(max(n) AS BIGINT) AS max_bytes,
+           CAST(sum(CASE media_type
+                    WHEN 'audio' THEN 1000 + n % 60000
+                    WHEN 'video' THEN 5000 + n % 600000
+                    ELSE 0 END) AS BIGINT) AS total_duration_ms
+    FROM m GROUP BY media_type
+    """,
+    description=(
+        "modality storage/footprint report over the media-metadata "
+        "extraction (mapInPandas decode seam, deterministic stub "
+        "arithmetic mirrored by the oracle): per media type, asset "
+        "count, byte totals, and total playable duration — the "
+        "capacity-planning readout a multimodal lake job emits before "
+        "a training run. The aggregate runs on extract_media_meta's "
+        "OUTPUT (one row per asset, bytes never shuffle past the "
+        "decode stage); at 100 TB the Arrow batches stream through "
+        "the Python seam once and the report is a |types|-row combine"
+    ),
+    tags=("multimodal", "aggregate"),
+)
+def mm_storage_report(spark, sf_dir):
+    from ..operators.multimodal import documents_as_media, extract_media_meta
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    meta = extract_media_meta(documents_as_media(docs))
+    return meta.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+    )
