@@ -449,6 +449,42 @@ def read_pruned(
     return df, len(keep), len(m["files"])
 
 
+def read_pruned_multi(
+    spark: SparkSession, root: str, preds: dict
+) -> tuple[DataFrame, int, int]:
+    """Snapshot read pruning on SEVERAL columns at once: keep a file
+    only if its [min,max] overlaps every ``{col: (lo, hi)}`` predicate
+    — the k-dimensional rectangle probe a Z-ordered table
+    (``layout.write_zordered``) is built for. Files without stats for
+    any predicate column are conservatively scanned. Returns
+    (exactly-filtered frame, files scanned, files total)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(root)
+    m = _read_manifest(root, vs[-1])
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        fs = stats.get(f, {})
+        ok = True
+        for c, (lo, hi) in preds.items():
+            s = fs.get(c)
+            if s is not None and (s[1] < lo or s[0] > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(root, f))
+    if not keep:
+        empty = spark.createDataFrame([], read(spark, root, vs[-1]).schema)
+        return empty, 0, len(m["files"])
+    cond = None
+    for c, (lo, hi) in preds.items():
+        p = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        cond = p if cond is None else (cond & p)
+    df = spark.read.parquet(*keep).filter(cond)
+    return df, len(keep), len(m["files"])
+
+
 # ------------------------------------------ exactly-once streaming sink
 
 
