@@ -1007,3 +1007,49 @@ def mm_storage_report(spark, sf_dir):
         F.max("n_bytes").cast("bigint").alias("max_bytes"),
         F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
     )
+
+
+@register(
+    "src_pydatasource_agg",
+    oracle="""
+    WITH g AS (
+      SELECT i AS event_id,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 AS user_id,
+             (['view', 'click', 'purchase', 'signup'])[
+               (CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 5, 1))
+                     AS BIGINT) % 4) + 1] AS event_type,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 6, 7))
+                  AS BIGINT) % 1000000 AS value_c
+      FROM range(0, 10000) r(i))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(value_c) AS BIGINT) AS value_sum_c,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM g GROUP BY event_type
+    """,
+    description=(
+        "custom Python Data Source connector (PySpark 4 DataSource/"
+        "DataSourceReader API, sources/pysource.py): an 8-partition "
+        "deterministic generator source read through "
+        "format('synthetic_events'), aggregated per event type with an "
+        "id checksum pinning the EXACT row set. Every row is a pure "
+        "md5 function of its row id, so the DuckDB oracle re-derives "
+        "the identical rows from range() — the differential proof that "
+        "the connector's partition planning covers every row exactly "
+        "once (a stride gap or overlap breaks the checksum). The "
+        "sf_dir is deliberately unused: the source IS the data"
+    ),
+    tags=("sources", "connector", "aggregate"),
+)
+def src_pydatasource_agg(spark, sf_dir):
+    from ..sources.pysource import read_synthetic_events
+
+    df = read_synthetic_events(spark, n_rows=10000, n_parts=8)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        F.sum("value_c").cast("bigint").alias("value_sum_c"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )

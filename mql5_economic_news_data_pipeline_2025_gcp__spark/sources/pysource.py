@@ -1,0 +1,87 @@
+"""Custom connector via the PySpark 4 Python Data Source API — the
+extension point for reading in-house formats/feeds without a JVM
+connector (SPARK-44076 surface: ``DataSource`` / ``DataSourceReader`` /
+``InputPartition``, registered with ``spark.dataSource.register``).
+
+The shipped source is a deterministic synthetic-events generator:
+every row is a pure function of its row id (md5 arithmetic), so the
+SAME rows are reproducible from any engine — which is what makes a
+custom connector differentially testable (the DuckDB oracle re-derives
+the rows from ``range()``; see ``plans.queries_r5.src_pydatasource_agg``).
+
+Connector mechanics demonstrated, in the order a real one needs them:
+
+- **Partition planning**: ``partitions()`` returns ``n_parts`` splits;
+  each executor task reads only its stride — the parallelism contract
+  (a real connector would return file chunks / shard tokens here).
+- **Per-partition iteration**: ``read(partition)`` yields tuples lazily
+  — rows stream through Arrow into the JVM, nothing materializes
+  driver-side.
+- **Options**: ``n_rows`` / ``n_parts`` arrive via
+  ``.option(...)`` exactly as for built-in sources.
+
+At 100 TB the equivalent source points partitions at real shards;
+everything downstream (pushdown of the later DataFrame ops, AQE over
+the scan's output) is unchanged — the Python seam is per-batch, not
+per-row, and ends at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ["view", "click", "purchase", "signup"]
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``format("synthetic_events")`` — deterministic generator source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, event_type string, "
+            "value_c bigint"
+        )
+
+    def reader(self, schema):
+        return _SyntheticReader(self.options)
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.n_parts = int(options.get("n_parts", 8))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        import hashlib
+
+        start = partition.value
+        for i in range(start, self.n_rows, self.n_parts):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            yield (
+                i,
+                int(h[:4], 16) % 100,
+                EVENT_TYPES[int(h[4], 16) % 4],
+                int(h[5:12], 16) % 1000000,
+            )
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def read_synthetic_events(spark, n_rows: int = 10000, n_parts: int = 8):
+    register(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n_rows", str(n_rows))
+        .option("n_parts", str(n_parts))
+        .load()
+    )
