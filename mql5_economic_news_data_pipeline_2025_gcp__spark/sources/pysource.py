@@ -28,9 +28,26 @@ per-row, and ends at the scan.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["view", "click", "purchase", "signup"]
+
+
+def _make_row(i: int):
+    import hashlib
+
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    return (
+        i,
+        int(h[:4], 16) % 100,
+        EVENT_TYPES[int(h[4], 16) % 4],
+        int(h[5:12], 16) % 1000000,
+    )
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -49,6 +66,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema):
         return _SyntheticReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _SyntheticStreamReader(self.options)
+
 
 class _SyntheticReader(DataSourceReader):
     def __init__(self, options):
@@ -59,17 +79,33 @@ class _SyntheticReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.n_parts)]
 
     def read(self, partition):
-        import hashlib
-
         start = partition.value
         for i in range(start, self.n_rows, self.n_parts):
-            h = hashlib.md5(str(i).encode()).hexdigest()
-            yield (
-                i,
-                int(h[:4], 16) % 100,
-                EVENT_TYPES[int(h[4], 16) % 4],
-                int(h[5:12], 16) % 1000000,
-            )
+            yield _make_row(i)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (micro-batch offsets): each
+    trigger emits the next ``batch_rows`` ids until ``max_rows``; the
+    offset is a plain dict the engine checkpoints, and
+    ``readBetweenOffsets`` replays any committed range byte-identically
+    — which is what makes a failed micro-batch recoverable. When the
+    offset stops advancing, Trigger.AvailableNow drains cleanly."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        s = start["next"]
+        e = min(s + self.batch_rows, self.max_rows)
+        return iter([_make_row(i) for i in range(s, e)]), {"next": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_make_row(i) for i in range(start["next"], end["next"])])
 
 
 def register(spark) -> None:

@@ -47,3 +47,57 @@ def test_downstream_ops_compose(spark):
     w = Window.partitionBy("event_type").orderBy(F.desc("value_c"), "event_id")
     top = df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
     assert top.count() == 12  # 4 types x top-3
+
+
+def test_stream_reader_drains_exactly_once(spark, tmp_path):
+    """Streaming half: micro-batches advance the checkpointed offset to
+    the bound; the id checksum proves exactly-once delivery across
+    batch boundaries."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.pysource import (
+        register,
+    )
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", "128")
+        .option("max_rows", "1000")
+        .load()
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the simple stream reader prefetches ONE batch per trigger, so
+    # AvailableNow would drain just the first prefetched batch; poll the
+    # committed offset until the bounded range is exhausted, then stop
+    import time
+
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            import ast
+
+            p_ = q.lastProgress
+            end = p_["sources"][0].get("endOffset") if p_ and p_.get("sources") else None
+            if isinstance(end, str):
+                # the simple-reader offset serializes as a dict repr
+                end = ast.literal_eval(end)
+            if end and end.get("next") == 1000 and p_.get("numInputRows") == 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("d"),
+        F.sum("event_id").alias("s"),
+    ).first()
+    assert agg["n"] == 1000 and agg["d"] == 1000
+    assert agg["s"] == 1000 * 999 // 2
