@@ -218,6 +218,10 @@ BENCH_QUERIES = [
     "evt_group_sample",
     "evt_time_range_rolling",
     "mm_storage_report",
+    "evt_linear_interpolate",
+    "evt_outlier_iqr",
+    "sql_lateral_topk",
+    "src_pydatasource_agg",
 ]
 
 

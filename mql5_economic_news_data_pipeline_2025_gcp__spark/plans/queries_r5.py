@@ -1053,3 +1053,223 @@ def src_pydatasource_agg(spark, sf_dir):
         F.sum("value_c").cast("bigint").alias("value_sum_c"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "evt_linear_interpolate",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) * 1000000 AS tus,
+             CASE WHEN value IS NOT NULL
+                  THEN CAST(round(value * 100) AS BIGINT) END AS vc
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, tus, vc,
+             last_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN vc IS NOT NULL THEN tus END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vc IS NOT NULL THEN tus END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM v)
+    SELECT event_id, user_id, tus, vc,
+           CASE
+             WHEN vc IS NOT NULL THEN vc
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN
+               pv + CAST(floor(
+                 CAST(nv - pv AS DOUBLE) * (tus - pt) / (nt - pt))
+                 AS BIGINT)
+             ELSE NULL
+           END AS interp_c,
+           CAST(vc IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                AS BOOLEAN) AS filled
+    FROM w
+    """,
+    description=(
+        "per-series LINEAR interpolation of missing values by TIME "
+        "(not row position): null cells get pv + floor((nv−pv)·Δt/ΔT) "
+        "between the bracketing non-null neighbors — the numeric "
+        "gap-repair that complements ffill/bfill (W2: step functions) "
+        "with the sloped form a sensor/price series wants. "
+        "IGNORE-NULLS window endpoints carry both neighbor value and "
+        "neighbor TIMESTAMP, so irregular sampling interpolates "
+        "correctly; floor() on one shared double tree keeps both "
+        "engines bit-identical (round() half-modes differ on negative "
+        "halves). Edge rows (no bracket) stay null and are flagged. "
+        "ONE shuffle on user_id, four frames over the same sort"
+    ),
+    tags=("events", "window", "timeseries", "cleaning"),
+)
+def evt_linear_interpolate(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    v = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts").cast("bigint") * 1000000).alias("tus"),
+        F.when(F.col("value").isNotNull(), F.col("value_c")).alias("vc"),
+    )
+    order = [F.col("tus"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = (
+        v.withColumn("pv", F.last("vc", ignorenulls=True).over(wp))
+        .withColumn(
+            "pt",
+            F.last(
+                F.when(F.col("vc").isNotNull(), F.col("tus")), ignorenulls=True
+            ).over(wp),
+        )
+        .withColumn("nv", F.first("vc", ignorenulls=True).over(wn))
+        .withColumn(
+            "nt",
+            F.first(
+                F.when(F.col("vc").isNotNull(), F.col("tus")), ignorenulls=True
+            ).over(wn),
+        )
+    )
+    interp = (
+        F.when(F.col("vc").isNotNull(), F.col("vc"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            F.col("pv")
+            + F.floor(
+                (F.col("nv") - F.col("pv")).cast("double")
+                * (F.col("tus") - F.col("pt"))
+                / (F.col("nt") - F.col("pt"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "tus",
+        "vc",
+        interp.alias("interp_c"),
+        (
+            F.col("vc").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("filled"),
+    )
+
+
+@register(
+    "evt_outlier_iqr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    q AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN rnk * 4 >= n THEN vc END) AS BIGINT) AS q1,
+             CAST(min(CASE WHEN rnk * 4 >= 3 * n THEN vc END) AS BIGINT)
+               AS q3
+      FROM r GROUP BY event_type)
+    SELECT q.event_type, q.n, q.q1, q.q3,
+           CAST(count(CASE WHEN 2 * v.vc < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             OR 2 * v.vc > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM v JOIN q ON v.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q3
+    """,
+    description=(
+        "Tukey IQR outlier fences per event type: exact nearest-rank "
+        "quartiles (rank·4 ≥ n / ≥ 3n — pure integer rank cuts, the "
+        "evt_winsorize treatment), fences at q1 − 1.5·IQR / q3 + "
+        "1.5·IQR kept integral by working in DOUBLED cents (2v vs "
+        "2q ± 3·IQR), so the fence comparison never touches a float. "
+        "Completes the robust-outlier trio (z-score = parametric, "
+        "MAD = robust center, IQR = box-plot fences). Shape: one "
+        "rank window per type over the value frame, a k-row quartile "
+        "combine broadcast back onto the same frame"
+    ),
+    tags=("events", "statistics", "quality"),
+)
+def evt_outlier_iqr(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select("event_type", F.col("value_c").alias("vc"))
+    wr = Window.partitionBy("event_type").orderBy("vc")
+    wn = Window.partitionBy("event_type")
+    r = v.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("rnk") * 4 >= F.col("n"), F.col("vc")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.col("rnk") * 4 >= 3 * F.col("n"), F.col("vc")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = v.join(F.broadcast(q), "event_type")
+    return j.groupBy("event_type", "n", "q1", "q3").agg(
+        F.count(
+            F.when(
+                (F.lit(2) * F.col("vc") < 2 * F.col("q1") - 3 * iqr)
+                | (F.lit(2) * F.col("vc") > 2 * F.col("q3") + 3 * iqr),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice_c
+FROM customer c, LATERAL (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) o
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    oracle=_LATERAL_TOPK_SQL,
+    description=(
+        "correlated LATERAL subquery surface (SQL:2016 lateral "
+        "derived tables): top-2 orders per customer via a per-row "
+        "ORDER BY … LIMIT subquery — the IDENTICAL SQL text runs on "
+        "both engines. Spark plans the correlation as a rewritten "
+        "join + per-key limit; the semantically equal window form "
+        "(row_number ≤ k, rel_topk_orders_per_segment) is the "
+        "explicit scale path — this query pins the SQL SURFACE, the "
+        "planner's rewrite, and the deterministic (price DESC, "
+        "orderkey) tie-break"
+    ),
+    tags=("relational", "sql-entry", "topk"),
+)
+def sql_lateral_topk(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -98,6 +98,10 @@ BUDGETS = {
     # nature; every post-candidate stage is |pairs|-sized
     "doc_minhash_estimate_error": 8,
     "doc_cluster_size_histogram": 4,
+    "evt_linear_interpolate": 1,
+    "evt_outlier_iqr": 2,
+    "evt_time_range_rolling": 1,
+    "mm_storage_report": 1,
 }
 
 
