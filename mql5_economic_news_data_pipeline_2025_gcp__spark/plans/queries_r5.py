@@ -1273,3 +1273,41 @@ def sql_lateral_topk(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "stream_pydatasource_counts",
+    oracle="""
+    WITH g AS (
+      SELECT i AS event_id,
+             (['view', 'click', 'purchase', 'signup'])[
+               (CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 5, 1))
+                     AS BIGINT) % 4) + 1] AS event_type,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 6, 7))
+                  AS BIGINT) % 1000000 AS value_c
+      FROM range(0, 10000) r(i))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_c) AS BIGINT) AS value_sum_c,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM g GROUP BY event_type
+    """,
+    description=(
+        "Structured Streaming over the custom Python Data Source "
+        "connector: the stream reader's checkpointed offsets advance "
+        "in 2048-row micro-batches to the 10k bound, a complete-mode "
+        "aggregation accumulates per-type counts/sums across batches, "
+        "and the drained result must equal the oracle's batch "
+        "re-derivation of the SAME deterministic rows — proving the "
+        "offset protocol delivers every generated row exactly once "
+        "through the streaming engine (a dropped or replayed batch "
+        "breaks the id checksum). Completes the connector surface: "
+        "batch read (src_pydatasource_agg), streaming read (this), "
+        "replay recovery (pytest)"
+    ),
+    tags=("streaming", "sources", "connector"),
+)
+def stream_pydatasource_counts(spark, sf_dir):
+    from ..streaming.ingest import stream_pydatasource_counts as _impl
+
+    return _impl(spark)

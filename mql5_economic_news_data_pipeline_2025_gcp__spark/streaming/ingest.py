@@ -827,3 +827,31 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str, lgk: int = 12) -> Data
             "est_distinct_users"
         ),
     )
+
+
+def stream_pydatasource_counts(
+    spark: SparkSession, n_rows: int = 10000, batch_rows: int = 2048
+) -> DataFrame:
+    """Structured Streaming over the CUSTOM Python Data Source
+    (sources/pysource.py): per-type counts/sums aggregated across the
+    micro-batches the connector's offset range produces. The stream is
+    bounded (the offset stops advancing at ``n_rows``), so
+    ``processAllAvailable`` drains it deterministically and the result
+    equals the batch aggregate over the same generated rows — which the
+    DuckDB oracle re-derives from ``range()`` (``stream_pydatasource_
+    counts`` in the registry)."""
+    from ..sources.pysource import register as register_pysource
+
+    register_pysource(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", str(batch_rows))
+        .option("max_rows", str(n_rows))
+        .load()
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_c").cast("bigint").alias("value_sum_c"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    return _drain_to_table(agg, mode="complete")
