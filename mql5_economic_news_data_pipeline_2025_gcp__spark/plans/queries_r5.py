@@ -1311,3 +1311,54 @@ def stream_pydatasource_counts(spark, sf_dir):
     from ..streaming.ingest import stream_pydatasource_counts as _impl
 
     return _impl(spark)
+
+
+@register(
+    "emb_logreg_eval",
+    oracle=None,  # 25 GD iterations have no SQL form; the pytest twin
+    # (test_logreg_matches_sequential_reference) pins the fitted weights
+    # bit-exactly against a sequential numpy implementation using the
+    # identical per-row micro-quantization
+    description=(
+        "distributed logistic-regression quality classifier "
+        "(operators/logreg.py): full-batch GD on label-parity targets "
+        "over the embedding table — per-iteration gradients are "
+        "integer micro-unit partials (exact, partitioning-independent; "
+        "the pca.py treatment), the driver holds only the (d+1) "
+        "weights, scoring ships them back as plan literals "
+        "(JVM zip_with dot product, no Python). Output: per-class "
+        "count, correct-at-0.5 count, and mean predicted probability "
+        "in micro-units — the train-then-evaluate readout a corpus "
+        "quality filter runs before gating on p"
+    ),
+    tags=("embeddings", "ml", "iterative"),
+)
+def emb_logreg_eval(spark, sf_dir):
+    from ..operators.logreg import logreg_fit, logreg_predict
+    from ..operators.similarity import _as_double
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    ).localCheckpoint()
+    w, b, _losses = logreg_fit(
+        base, vec_col="e", y_col="y", n_iter=25, lr=2.0, l2=1e-3
+    )
+    scored = logreg_predict(base, w, b, vec_col="e")
+    return scored.groupBy(F.col("y").cast("bigint").alias("y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("p") >= 0.5) & (F.col("y") == 1.0))
+                | ((F.col("p") < 0.5) & (F.col("y") == 0.0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.sum(F.round(F.col("p") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("p_sum_micro"),
+    )

@@ -1820,3 +1820,35 @@ def test_sq_recall_at_k(spark):
         for r in sq_topk(emb, k=k, shortlist=500, n_queries=10).collect()
     }
     assert full == exact
+
+
+def test_observation_metrics_ride_the_job(spark):
+    """df.observe(): pipeline run-metrics accumulate ON the action that
+    materializes the frame — no second scan. The observed values must
+    equal a direct aggregate of the same frame (the monitoring seam a
+    production ingest wires into every stage boundary)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("value")).alias("n_value_nonnull"),
+        F.max("event_id").alias("max_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("value")).alias("n_value_nonnull"),
+        F.max("event_id").alias("max_id"),
+    ).first()
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_value_nonnull"] == want["n_value_nonnull"]
+    assert got["max_id"] == want["max_id"]

@@ -381,3 +381,50 @@ def test_pca_matches_numpy(spark):
     assert np.allclose(got, ref_proj, atol=1e-4)
     # variance actually concentrates: top-8 capture a nontrivial share
     assert ev.sum() / w.sum() > 0.2
+
+
+def test_logreg_matches_sequential_reference(spark):
+    """Distributed GD == sequential numpy GD bit-for-bit: the per-row
+    micro-quantized gradient partials make the distributed sum exact,
+    so cluster partitioning cannot change the fitted weights."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.logreg import (
+        MICRO,
+        logreg_fit,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    pdf = base.toPandas()
+    X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    y = pdf["y"].to_numpy().astype(np.float64)
+
+    n_iter, lr, l2 = 10, 2.0, 1e-3
+    w_ref = np.zeros(X.shape[1])
+    b_ref = 0.0
+    n = len(y)
+    for _ in range(n_iter):
+        z = X @ w_ref + b_ref
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        g = np.rint((X * r[:, None]) * MICRO).astype(np.int64).sum(axis=0)
+        gb = np.rint(r * MICRO).astype(np.int64).sum()
+        w_ref = w_ref - lr * (g / n / MICRO + l2 * w_ref)
+        b_ref = b_ref - lr * (gb / n / MICRO)
+
+    # distributed fit over a deliberately re-partitioned frame
+    w, b, losses = logreg_fit(
+        base.repartition(7), vec_col="e", y_col="y", n_iter=n_iter,
+        lr=lr, l2=l2,
+    )
+    assert np.array_equal(w, w_ref), "weights must be bit-identical"
+    assert b == b_ref
+    assert len(losses) == n_iter and losses[-1] < losses[0]
