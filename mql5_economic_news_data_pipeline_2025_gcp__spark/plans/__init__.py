@@ -45,7 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_supplier_hhi",
     "rel_discount_elasticity",
     "rel_scd2_point_in_time",
-    "rel_mom_revenue_growth",
+    "sql_recursive_month_spine",
     # event-series / journeys — never sampled before
     "evt_stl_decompose",
     "evt_markov_transitions",
@@ -59,11 +59,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_levenshtein_verify",
     "doc_phrase_search",
     "doc_tfidf_top_terms",
-    "doc_simhash_near_dup",
+    "doc_minhash_estimate_error",
     "doc_cluster_topics",
     "doc_source_js_divergence",
     "doc_pagerank_authority",
-    "doc_zipf_fit",
+    "doc_kn_bigram_lm",
     "doc_pii_scrub",
     # embeddings / ANN — never sampled before
     "emb_ivf_topk",
@@ -72,17 +72,17 @@ _PRIORITY: tuple[str, ...] = (
     "emb_semantic_dedup",
     "emb_knn_eval",
     "emb_fisher_ratio",
-    "emb_random_projection",
+    "emb_silhouette",
     # streaming — never sampled before
     "stream_session_windows",
     "stream_view_purchase_join",
     "stream_static_enrich",
-    "stream_sliding_counts",
+    "stream_pydatasource_counts",
     # multimodal — never sampled before
     "mm_scene_cuts",
     "mm_frame_sample",
     "mm_media_features",
-    "mm_payload_dedup",
+    "src_pydatasource_agg",
 )
 
 
