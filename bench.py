@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "evt_outlier_iqr",
     "sql_lateral_topk",
     "src_pydatasource_agg",
+    "stream_pydatasource_counts",
+    "evt_partition_skew_report",
+    "rel_join_cardinality_audit",
 ]
 
 

@@ -1362,3 +1362,126 @@ def emb_logreg_eval(spark, sf_dir):
         .cast("bigint")
         .alias("p_sum_micro"),
     )
+
+
+@register(
+    "evt_partition_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_key_rows
+      FROM k),
+    top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM k)
+    SELECT s.n_keys, s.n_rows, s.max_key_rows,
+           round(CAST(s.max_key_rows AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6)
+             AS skew_factor,
+           CAST(sum(CASE WHEN t.rnk <= 5 THEN t.n END) AS BIGINT)
+             AS top5_rows
+    FROM s CROSS JOIN top t
+    GROUP BY s.n_keys, s.n_rows, s.max_key_rows
+    """,
+    description=(
+        "shuffle-key skew diagnosis BEFORE the expensive job: per-key "
+        "cardinality profile of the events user_id (the engine's "
+        "dominant shuffle key) — key count, max-key rows, skew factor "
+        "max/mean, and the top-5 key mass. This is the preflight that "
+        "decides between plain groupBy, AQE skew-join, and explicit "
+        "salting (operators/skew.py); at 100 TB you run it on a "
+        "hash-sample and extrapolate. ONE map-side-combined aggregate "
+        "over the corpus; everything after runs on |keys| rows"
+    ),
+    tags=("events", "operations", "skew"),
+)
+def evt_partition_skew_report(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+    )
+    # top-5 via orderBy+limit (TakeOrdered: per-partition top-5 merged
+    # on the driver) — NOT a global rank window, which would move every
+    # key into one partition at scale
+    top5 = k.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
+    t5 = top5.agg(F.sum("n").cast("bigint").alias("top5_rows"))
+    return s.crossJoin(F.broadcast(t5)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_factor"),
+        "top5_rows",
+    )
+
+
+@register(
+    "rel_join_cardinality_audit",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+      FROM lineitem GROUP BY l_orderkey),
+    o AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS no
+      FROM orders GROUP BY o_orderkey),
+    j AS (
+      SELECT coalesce(l.k, o.k) AS k,
+             coalesce(l.nl, 0) AS nl, coalesce(o.no, 0) AS no
+      FROM l FULL OUTER JOIN o ON l.k = o.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(nl * no) AS BIGINT) AS join_rows,
+           CAST(max(nl * no) AS BIGINT) AS max_key_fanout,
+           CAST(count(CASE WHEN nl > 0 AND no = 0 THEN 1 END) AS BIGINT)
+             AS left_only_keys,
+           CAST(count(CASE WHEN no > 0 AND nl = 0 THEN 1 END) AS BIGINT)
+             AS right_only_keys
+    FROM j
+    """,
+    description=(
+        "join-explosion preflight: per-key counts on BOTH sides of the "
+        "lineitem⋈orders key, full-outer merged to report the exact "
+        "post-join row count Σ nl·no, the worst single-key fan-out, "
+        "and dangling keys per side — the audit that catches an "
+        "accidental many-to-many (or a broken FK) for the cost of two "
+        "key aggregates instead of one blown-up shuffle. At 100 TB "
+        "this runs on samples or footer stats first; the exact form "
+        "here is also the referential-integrity companion to "
+        "rel_referential_audit"
+    ),
+    tags=("relational", "operations", "join"),
+)
+def rel_join_cardinality_audit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    left = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    right = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("no")
+    )
+    j = left.join(right, "k", "full_outer").select(
+        F.coalesce(F.col("nl"), F.lit(0)).alias("nl"),
+        F.coalesce(F.col("no"), F.lit(0)).alias("no"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("nl") * F.col("no")).cast("bigint").alias("join_rows"),
+        F.max(F.col("nl") * F.col("no")).cast("bigint").alias("max_key_fanout"),
+        F.count(F.when((F.col("nl") > 0) & (F.col("no") == 0), 1))
+        .cast("bigint")
+        .alias("left_only_keys"),
+        F.count(F.when((F.col("no") > 0) & (F.col("nl") == 0), 1))
+        .cast("bigint")
+        .alias("right_only_keys"),
+    )

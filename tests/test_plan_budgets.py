@@ -102,6 +102,8 @@ BUDGETS = {
     "evt_outlier_iqr": 2,
     "evt_time_range_rolling": 1,
     "mm_storage_report": 1,
+    "evt_partition_skew_report": 2,
+    "rel_join_cardinality_audit": 2,
 }
 
 
