@@ -1335,20 +1335,38 @@ def doc_dedup_pipeline(spark, sf_dir):
     sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
     cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     # stage 2: exact edit-distance verify, candidate pairs only
+    # doubly bounded like doc_levenshtein_verify (its round-4 sf1
+    # super-linearity applied here too): a length-band prefilter on
+    # (id, length) pairs before any text joins, then the thresholded
+    # banded-DP levenshtein that early-exits past the 30% bound
     nt = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
             "ntext"
         ),
+    ).withColumn("nlen", F.length("ntext"))
+    la = nt.select(F.col("doc_id").alias("id_a"), F.col("nlen").alias("la"))
+    lb = nt.select(F.col("doc_id").alias("id_b"), F.col("nlen").alias("lb"))
+    banded = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(
+            F.abs(F.col("la") - F.col("lb")) * 10
+            <= F.greatest("la", "lb") * 3
+        )
+        .select("id_a", "id_b")
     )
     ta = nt.select(F.col("doc_id").alias("id_a"), F.col("ntext").alias("ta"))
     tb = nt.select(F.col("doc_id").alias("id_b"), F.col("ntext").alias("tb"))
     verified = (
-        cand.join(ta, "id_a")
+        banded.join(ta, "id_a")
         .join(tb, "id_b")
         .filter(
-            F.levenshtein("ta", "tb") * 10
-            <= F.greatest(F.length("ta"), F.length("tb")) * 3
+            F.expr(
+                "levenshtein(ta, tb, "
+                "CAST(greatest(length(ta), length(tb)) * 3 DIV 10 AS INT))"
+            )
+            >= 0
         )
         .select("id_a", "id_b")
     )
