@@ -1485,3 +1485,68 @@ def rel_join_cardinality_audit(spark, sf_dir):
         .cast("bigint")
         .alias("right_only_keys"),
     )
+
+
+@register(
+    "doc_bloom_decontaminate",
+    oracle=None,  # the Bloom bitset has no SQL form; the pytest gate
+    # (test_bloom_decontaminate_brackets_exact) asserts the invariants:
+    # bloom-flagged ⊇ exact-flagged per source, fp fraction bounded
+    description=(
+        "decontamination via the PORTABLE Bloom artifact "
+        "(operators/bloom.py): the benchmark shingle set (doc_id%17=0, "
+        "same split as doc_decontaminate) builds a bitset ONCE; corpus "
+        "docs test their shingles with k JVM-hashed bit probes in a "
+        "map-only Arrow pass — no corpus-vs-benchmark join at all. "
+        "Output per source: docs, exact-contaminated count (the "
+        "broadcast-join truth), bloom-flagged count (⊇ exact by "
+        "construction — a Bloom filter cannot false-negative), and "
+        "the implied fp overcount. At 100 TB the artifact is the "
+        "point: build once on the benchmark side (KBs–MBs), persist, "
+        "apply to every training shard forever without reshuffling "
+        "the benchmark — the Lee et al. decontamination shape with "
+        "the membership structure made explicit"
+    ),
+    tags=("documents", "decontamination", "sketch"),
+)
+def doc_bloom_decontaminate(spark, sf_dir):
+    from ..operators.bloom import bloom_build, bloom_contains, optimal_params
+    from ..operators.dedup import shingles
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    bench = shingles(docs.filter(F.col("doc_id") % 17 == 0)).select(
+        F.col("shingle").alias("v")
+    )
+    n_bench = bench.count()
+    m, k = optimal_params(max(n_bench, 1), fp_rate=0.01)
+    filt = bloom_build(bench, "v", m, k)
+
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    cs = shingles(corpus).select("doc_id", F.col("shingle").alias("v"))
+    tested = bloom_contains(cs, "v", filt, m, k)
+    per_doc_bloom = tested.groupBy("doc_id").agg(
+        F.max(F.col("maybe_member").cast("int")).alias("bloom_hit")
+    )
+    # exact truth via the broadcast-join path (same as doc_decontaminate)
+    ev_h = bench.select(F.xxhash64("v").alias("h")).distinct()
+    per_doc_exact = (
+        cs.select("doc_id", F.xxhash64("v").alias("h"))
+        .join(F.broadcast(ev_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    j = (
+        corpus.select("doc_id", "source")
+        .join(per_doc_bloom, "doc_id", "left")
+        .join(per_doc_exact, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.col("exact_hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bloom"),
+    )
