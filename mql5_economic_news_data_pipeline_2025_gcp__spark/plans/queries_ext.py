@@ -1193,12 +1193,15 @@ def doc_levenshtein_verify(spark, sf_dir):
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    # nt feeds la/lb (length prefilter) AND ta/tb (text joins) — four
+    # references, each of which would re-derive the corpus scan +
+    # normalization (no cross-reference CSE); checkpoint once
     nt = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
             "ntext"
         ),
-    ).withColumn("nlen", F.length("ntext"))
+    ).withColumn("nlen", F.length("ntext")).localCheckpoint()
     # stage 1: length-only prefilter — join just (id, len), never text
     la = nt.select(F.col("doc_id").alias("id_a"), F.col("nlen").alias("la"))
     lb = nt.select(F.col("doc_id").alias("id_b"), F.col("nlen").alias("lb"))
@@ -1344,7 +1347,7 @@ def doc_dedup_pipeline(spark, sf_dir):
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
             "ntext"
         ),
-    ).withColumn("nlen", F.length("ntext"))
+    ).withColumn("nlen", F.length("ntext")).localCheckpoint()
     la = nt.select(F.col("doc_id").alias("id_a"), F.col("nlen").alias("la"))
     lb = nt.select(F.col("doc_id").alias("id_b"), F.col("nlen").alias("lb"))
     banded = (
