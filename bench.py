@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "stream_pydatasource_counts",
     "evt_partition_skew_report",
     "rel_join_cardinality_audit",
+    "doc_lsh_tuning_curve",
 ]
 
 

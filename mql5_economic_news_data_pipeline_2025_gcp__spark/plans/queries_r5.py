@@ -1550,3 +1550,137 @@ def doc_bloom_decontaminate(spark, sf_dir):
         .cast("bigint")
         .alias("n_bloom"),
     )
+
+
+@register(
+    "doc_lsh_tuning_curve",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    b42 AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    b24 AS (
+      SELECT doc_id, 0 AS band,
+             mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1,
+             mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+    p42 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM b42 a JOIN b42 b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    p24 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM b24 a JOIN b24 b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT 'b4r2' AS config, id_a, id_b FROM p42
+      UNION ALL SELECT 'b2r4', id_a, id_b FROM p24),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.config, p.id_a, p.id_b, count(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.config, p.id_a, p.id_b),
+    verified AS (
+      SELECT p.config,
+             count(*) AS n_candidates,
+             count(CASE WHEN coalesce(c.c, 0) * 10
+                          >= 3 * (sa.sz + sb.sz - coalesce(c.c, 0))
+                        THEN 1 END) AS n_verified
+      FROM pairs p
+      LEFT JOIN common c
+        ON c.config = p.config AND c.id_a = p.id_a AND c.id_b = p.id_b
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      GROUP BY p.config)
+    SELECT config,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(round(CAST(n_verified AS DOUBLE)
+                      / n_candidates * 1000000) AS BIGINT)
+             AS precision_micro
+    FROM verified
+    """,
+    description=(
+        "LSH banding tuning readout: the SAME 8-hash signatures banded "
+        "two ways — (bands=4, rows=2) high-recall/low-precision vs "
+        "(bands=2, rows=4) low-recall/high-precision — each scored by "
+        "candidate volume and exact-Jaccard(≥0.3) verified count, i.e. "
+        "measured PRECISION per operating point. This is the "
+        "measurement that picks (b, r) before a 100 TB dedup run "
+        "commits (SCALE.md's band-selectivity response made "
+        "queryable); the exact verify joins shingles only through the "
+        "candidate set. The integer cross-multiplied Jaccard test "
+        "(10·c ≥ 3·(sa+sb−c)) keeps the verdict float-free"
+    ),
+    tags=("documents", "dedup", "evaluation", "sketch"),
+)
+def doc_lsh_tuning_curve(spark, sf_dir):
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_mapside,
+        shingles,
+    )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8).localCheckpoint()
+    p42 = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).select(
+        F.lit("b4r2").alias("config"), "id_a", "id_b"
+    )
+    p24 = lsh_candidate_pairs(sig, bands=2, rows_per_band=4).select(
+        F.lit("b2r4").alias("config"), "id_a", "id_b"
+    )
+    pairs = p42.unionByName(p24)
+    sh = shingles(docs, n=3).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand_sh = pairs.join(
+        sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+    )
+    common = (
+        cand_sh.join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("config", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    v = (
+        pairs.join(common, ["config", "id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.count(
+                F.when(
+                    c0 * 10 >= 3 * (F.col("sz_a") + F.col("sz_b") - c0), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_verified"),
+        )
+    )
+    return v.select(
+        "config",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_candidates")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("precision_micro"),
+    )
