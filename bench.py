@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "evt_partition_skew_report",
     "rel_join_cardinality_audit",
     "doc_lsh_tuning_curve",
+    "evt_geo_hotspot_grid",
+    "evt_geo_radius_join",
 ]
 
 

@@ -1684,3 +1684,211 @@ def doc_lsh_tuning_curve(spark, sf_dir):
         .cast("bigint")
         .alias("precision_micro"),
     )
+
+
+@register(
+    "evt_geo_hotspot_grid",
+    oracle="""
+    WITH pt AS (
+      SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 180000000 - 90000000 AS lat_u,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 360000000 - 180000000 AS lon_u
+      FROM events),
+    cells AS (
+      SELECT CAST(floor(lat_u / 1000000.0) AS BIGINT) AS cla,
+             CAST(floor(lon_u / 1000000.0) AS BIGINT) AS clo,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pt GROUP BY 1, 2),
+    stencil AS (
+      SELECT c.cla + dx.d AS cla, c.clo + dy.d AS clo, c.n
+      FROM cells c,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy),
+    neigh AS (
+      SELECT cla, clo, CAST(sum(n) AS BIGINT) AS neigh_n
+      FROM stencil GROUP BY cla, clo),
+    scored AS (
+      SELECT c.cla, c.clo, c.n, g.neigh_n,
+             row_number() OVER (ORDER BY g.neigh_n DESC, c.cla, c.clo)
+               AS rnk
+      FROM cells c JOIN neigh g ON g.cla = c.cla AND g.clo = c.clo)
+    SELECT cla, clo, n, neigh_n, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 10
+    """,
+    description=(
+        "spatial grid hotspot detection (geohash-style binning without "
+        "a geo library): deterministic synthetic coordinates from "
+        "md5(user_id) in integer micro-degrees, 1°-cell aggregation, "
+        "then a 3×3 NEIGHBORHOOD STENCIL — each cell's count scatters "
+        "to its 9 neighbors via a constant explode and one re-group, "
+        "so 'dense area' means the smoothed neighborhood sum, not one "
+        "lucky cell. Top-10 with full deterministic tie-break. Shape: "
+        "one corpus-sized cell aggregate (map-side combined); the "
+        "stencil multiplies only the CELL table by 9 — the standard "
+        "trick that turns spatial neighbor joins into equi-joins (no "
+        "range/theta join anywhere), which is exactly how it survives "
+        "100 TB of points"
+    ),
+    tags=("events", "spatial", "aggregate", "topk"),
+)
+def evt_geo_hotspot_grid(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    h1 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    pt = ev.select(
+        (h1 % 180000000 - 90000000).alias("lat_u"),
+        (h2 % 360000000 - 180000000).alias("lon_u"),
+    )
+    cells = pt.groupBy(
+        F.floor(F.col("lat_u") / 1000000.0).cast("bigint").alias("cla"),
+        F.floor(F.col("lon_u") / 1000000.0).cast("bigint").alias("clo"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    offs = F.explode(
+        F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    )
+    stencil = (
+        cells.withColumn("dx", offs)
+        .withColumn("dy", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            (F.col("cla") + F.col("dx")).alias("cla"),
+            (F.col("clo") + F.col("dy")).alias("clo"),
+            "n",
+        )
+    )
+    neigh = stencil.groupBy("cla", "clo").agg(
+        F.sum("n").cast("bigint").alias("neigh_n")
+    )
+    scored = cells.join(neigh, ["cla", "clo"])
+    w = Window.orderBy(F.desc("neigh_n"), "cla", "clo")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("cla", "clo", "n", "neigh_n", "rnk")
+    )
+
+
+@register(
+    "evt_geo_radius_join",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 180000000 - 90000000 AS lat_u,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 360000000 - 180000000 AS lon_u
+      FROM events),
+    poi AS (
+      SELECT i AS poi_id,
+             CAST(('0x' || substring(md5('poi' || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 180000000 - 90000000 AS plat,
+             CAST(('0x' || substring(md5('poi' || CAST(i AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 360000000 - 180000000 AS plon
+      FROM range(0, 20) r(i)),
+    uc AS (
+      SELECT user_id, lat_u, lon_u,
+             CAST(floor(lat_u / 10000000.0) AS BIGINT) AS cla,
+             CAST(floor(lon_u / 10000000.0) AS BIGINT) AS clo
+      FROM u),
+    pc AS (
+      SELECT poi_id, plat, plon,
+             CAST(floor(plat / 10000000.0) AS BIGINT) + dx.d AS cla,
+             CAST(floor(plon / 10000000.0) AS BIGINT) + dy.d AS clo
+      FROM poi,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy),
+    hits AS (
+      SELECT p.poi_id, u.user_id
+      FROM pc p JOIN uc u ON u.cla = p.cla AND u.clo = p.clo
+      WHERE (u.lat_u - p.plat) * (u.lat_u - p.plat)
+            + (u.lon_u - p.plon) * (u.lon_u - p.plon)
+            <= CAST(10000000 AS BIGINT) * 10000000)
+    SELECT poi_id,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM hits GROUP BY poi_id
+    """,
+    description=(
+        "point-in-radius spatial join, the canonical scalable form: "
+        "bucket both sides on a 10°-cell grid, replicate the SMALL side "
+        "(20 POIs × 9 stencil cells) so candidate pairs resolve in a "
+        "broadcast EQUI-join, then refine with the exact integer "
+        "squared-distance test (micro-degree planar metric — the "
+        "deterministic stand-in for haversine; swap the refine "
+        "expression for real geodesics). The cell size equals the "
+        "radius, so the 3×3 stencil provably covers every qualifying "
+        "pair (no range join, no cross join anywhere). User checksum "
+        "pins the exact membership. At 100 TB: points shuffle once to "
+        "cells at most — here not even that, the POI side broadcasts"
+    ),
+    tags=("events", "spatial", "join"),
+)
+def evt_geo_radius_join(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir)
+    h1 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    u = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            (h1 % 180000000 - 90000000).alias("lat_u"),
+            (h2 % 360000000 - 180000000).alias("lon_u"),
+        )
+    )
+    spark_range = u.sparkSession.range(0, 20).select(
+        F.col("id").cast("bigint").alias("poi_id")
+    )
+    p1 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("poi"), F.col("poi_id").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    p2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("poi"), F.col("poi_id").cast("string"))),
+            9, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    poi = spark_range.select(
+        "poi_id",
+        (p1 % 180000000 - 90000000).alias("plat"),
+        (p2 % 360000000 - 180000000).alias("plon"),
+    )
+    cell = lambda c: F.floor(c / 10000000.0).cast("bigint")  # noqa: E731
+    uc = u.select(
+        "user_id", "lat_u", "lon_u",
+        cell(F.col("lat_u")).alias("cla"), cell(F.col("lon_u")).alias("clo"),
+    )
+    d = F.explode(F.array(*[F.lit(x) for x in (-1, 0, 1)]))
+    pc = (
+        poi.withColumn("dx", d)
+        .withColumn("dy", F.explode(F.array(*[F.lit(x) for x in (-1, 0, 1)])))
+        .select(
+            "poi_id", "plat", "plon",
+            (cell(F.col("plat")) + F.col("dx")).alias("cla"),
+            (cell(F.col("plon")) + F.col("dy")).alias("clo"),
+        )
+    )
+    r = F.lit(10000000).cast("bigint")
+    hits = (
+        uc.join(F.broadcast(pc), ["cla", "clo"])
+        .filter(
+            (F.col("lat_u") - F.col("plat")) * (F.col("lat_u") - F.col("plat"))
+            + (F.col("lon_u") - F.col("plon"))
+            * (F.col("lon_u") - F.col("plon"))
+            <= r * r
+        )
+    )
+    return hits.groupBy("poi_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("user_checksum"),
+    )
