@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "doc_lsh_tuning_curve",
     "evt_geo_hotspot_grid",
     "evt_geo_radius_join",
+    "doc_substring_search_trgm",
 ]
 
 

@@ -1892,3 +1892,88 @@ def evt_geo_radius_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("user_id").cast("bigint").alias("user_checksum"),
     )
+
+
+@register(
+    "doc_substring_search_trgm",
+    oracle=r"""
+    WITH nt AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+      FROM documents),
+    tg AS (
+      SELECT DISTINCT doc_id, substring(ntext, i, 3) AS tri
+      FROM nt, unnest(range(1, length(ntext) - 1)) AS u(i)
+      WHERE length(ntext) >= 3),
+    needle AS (
+      SELECT unnest(['tab', 'abl', 'ble']) AS tri),
+    cand AS (
+      SELECT tg.doc_id
+      FROM tg JOIN needle n ON tg.tri = n.tri
+      GROUP BY tg.doc_id
+      HAVING count(*) = 3),
+    hits AS (
+      SELECT nt.doc_id,
+             CAST((length(nt.ntext)
+                   - length(replace(nt.ntext, 'table', ''))) / 5 AS BIGINT)
+               AS n_occ
+      FROM cand JOIN nt ON nt.doc_id = cand.doc_id
+      WHERE nt.ntext LIKE '%table%')
+    SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
+    """,
+    description=(
+        "substring (LIKE '%needle%') search through a TRIGRAM index — "
+        "the pg_trgm pattern that turns an un-indexable contains() "
+        "scan into posting-list intersection: docs must contain ALL "
+        "trigrams of 'table' (equi-join + count=|trigrams| — a "
+        "necessary condition, so recall is exact), then the candidate "
+        "set alone pays the exact LIKE verify and the "
+        "occurrence count via the length/replace identity (integer-"
+        "exact both engines). At serving scale the trigram postings "
+        "persist bucketed like the phrase index (build_postings); "
+        "needle trigrams broadcast; the corpus is never re-scanned "
+        "per query. Complements term search (BM25/phrase): this one "
+        "finds substrings WITHIN tokens"
+    ),
+    tags=("documents", "text", "search"),
+)
+def doc_substring_search_trgm(spark, sf_dir):
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    nt = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "ntext"
+        ),
+    ).localCheckpoint()
+    tris = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(ntext) - 2, 0)),"
+            " i -> substring(ntext, i, 3))"
+        )
+    )
+    tg = nt.filter(F.length("ntext") >= 3).select(
+        "doc_id", F.explode(tris).alias("tri")
+    )
+    needle = nt.sparkSession.createDataFrame(
+        [("tab",), ("abl",), ("ble",)], "tri string"
+    )
+    cand = (
+        tg.join(F.broadcast(needle), "tri")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 3)
+        .select("doc_id")
+    )
+    n_occ = (
+        (
+            F.length("ntext")
+            - F.length(F.replace(F.col("ntext"), F.lit("table")))
+        )
+        / 5
+    ).cast("bigint")
+    return (
+        cand.join(nt, "doc_id")
+        .filter(F.col("ntext").contains("table"))
+        .select("doc_id", n_occ.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+    )
