@@ -262,3 +262,61 @@ def test_stream_hll_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_listener_records_progress(spark, tmp_path):
+    """StreamingQueryListener surface: the recorder sees every
+    micro-batch's rows/durations and the clean termination, and its
+    row total equals what actually flowed through the sink."""
+    import time
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.pysource import (
+        register,
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.monitor import (
+        watch,
+    )
+
+    register(spark)
+    rec = watch(spark, jsonl_path=str(tmp_path / "progress.jsonl"))
+    try:
+        sdf = (
+            spark.readStream.format("synthetic_events")
+            .option("batch_rows", "250")
+            .option("max_rows", "1000")
+            .load()
+        )
+        out = str(tmp_path / "out")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if rec.total_input_rows() >= 1000:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.streams.removeListener(rec)
+
+    assert rec.starts and rec.starts[-1]["id"]
+    assert rec.total_input_rows() == 1000
+    assert len(rec.records) >= 4  # 1000 rows / 250 per batch
+    assert rec.slowest_batches(1)[0]["batch_ms"] is not None
+    # listener captured the clean termination
+    assert any(t["exception"] is None for t in rec.terminations)
+    # the JSONL mirror holds the same batches
+    import json as _json
+
+    lines = [
+        _json.loads(l)
+        for l in open(tmp_path / "progress.jsonl").read().splitlines()
+    ]
+    assert sum(r["n_input_rows"] for r in lines) == 1000
+    # and the sink agrees with the telemetry
+    assert spark.read.parquet(out).count() == 1000
