@@ -106,3 +106,80 @@ def incremental_join_append(
     if maintained is None:
         return enriched
     return maintained.unionByName(enriched)
+
+
+def refresh_rollup_changed_partitions(
+    spark,
+    source: DataFrame,
+    rollup_dir: str,
+    part_col: str,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    state_dir: str | None = None,
+) -> dict:
+    """Materialized-rollup refresh with CHANGE DETECTION: fingerprint
+    the source per partition (``sources.backfill`` content digests),
+    recompute rollup partials ONLY for partitions whose fingerprint
+    moved since the last refresh, and dynamic-partition-overwrite just
+    those slices of the stored rollup.
+
+    This closes the loop the pieces leave open: ``partial_agg`` /
+    ``merge_partials`` maintain state when you KNOW the delta;
+    ``backfill_partitions`` repairs a copy of the same table. A
+    materialized VIEW's input delta is "whatever changed in the
+    source", which only a content diff can tell you after replays,
+    late data, or manual fixes.
+
+    State: ``{state_dir}/fingerprints.json`` maps partition →
+    (n_rows, digest) as of the last refresh (tiny, one file). First
+    run = full build. Returns {checked, refreshed, parts}.
+
+    Scale: one map-side-combined fingerprint pass over the source
+    (the rollup input scan it would pay anyway), partial recompute
+    restricted by a pushed-down partition filter, |changed| partition
+    rewrites of |groups|-sized rollup slices.
+    """
+    import json
+    import os
+
+    from ..sources.backfill import partition_fingerprints
+
+    state_dir = state_dir or rollup_dir + "_state"
+    fp_path = os.path.join(state_dir, "fingerprints.json")
+    prev: dict = {}
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            prev = {k: tuple(v) for k, v in json.load(fh).items()}
+
+    cur = {
+        r["part"]: (r["n_rows"], str(r["digest"]))
+        for r in partition_fingerprints(source, part_col).collect()
+    }
+    changed = sorted(p for p, fp in cur.items() if prev.get(p) != fp)
+    if changed:
+        delta = source.filter(
+            F.col(part_col).cast("string").isin(list(changed))
+        )
+        parts = partial_agg(delta, [part_col, *keys], sums=sums)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            parts.write.mode("overwrite").partitionBy(part_col).parquet(
+                rollup_dir
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = fp_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({k: list(v) for k, v in cur.items()}, fh)
+        os.replace(tmp, fp_path)
+    return {
+        "checked": len(cur),
+        "refreshed": len(changed),
+        "parts": changed,
+    }

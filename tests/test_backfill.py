@@ -110,3 +110,56 @@ def test_backfill_reports_orphans_without_deleting(spark, tmp_path):
     assert report["orphan_parts"] == [months[0]]
     # the orphan partition is still on disk (policy, not repair)
     assert _part_files(target, months[0])
+
+
+def test_rollup_refresh_only_recomputes_changed_partitions(spark, tmp_path):
+    """Materialized-rollup refresh: first run builds everything; after
+    one partition's source rows change, exactly that rollup partition
+    refreshes (others' files untouched) and the rollup equals a full
+    recompute."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.incremental import (
+        refresh_rollup_changed_partitions,
+    )
+
+    src_full = _source(spark)
+    rollup = str(tmp_path / "rollup")
+    state = str(tmp_path / "state")
+
+    r1 = refresh_rollup_changed_partitions(
+        spark, src_full, rollup, "event_month", keys=["event_type"],
+        sums=["value_c"], state_dir=state,
+    )
+    assert r1["refreshed"] == r1["checked"] > 1  # first run = full build
+
+    days = sorted(p for p in r1["parts"])
+    victim, healthy = days[0], days[1]
+    healthy_files = _part_files(rollup, healthy)
+
+    # no source change → no-op
+    r2 = refresh_rollup_changed_partitions(
+        spark, src_full, rollup, "event_month", keys=["event_type"],
+        sums=["value_c"], state_dir=state,
+    )
+    assert r2["refreshed"] == 0
+
+    # change ONE partition's source rows (drop half of them)
+    src_changed = src_full.filter(
+        ~((F.col("event_month") == victim) & (F.col("event_id") % 2 == 0))
+    )
+    r3 = refresh_rollup_changed_partitions(
+        spark, src_changed, rollup, "event_month", keys=["event_type"],
+        sums=["value_c"], state_dir=state,
+    )
+    assert r3["parts"] == [victim]
+    assert _part_files(rollup, healthy) == healthy_files
+
+    got = (
+        spark.read.parquet(rollup)
+        .select("event_month", "event_type", "n", "sum_value_c")
+    )
+    want = src_changed.groupBy("event_month", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
