@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "evt_geo_hotspot_grid",
     "evt_geo_radius_join",
     "doc_substring_search_trgm",
+    "evt_ltv_discounted",
 ]
 
 

@@ -1977,3 +1977,87 @@ def doc_substring_search_trgm(spark, sf_dir):
         .select("doc_id", n_occ.alias("n_occ"))
         .filter(F.col("n_occ") > 0)
     )
+
+
+@register(
+    "evt_ltv_discounted",
+    oracle="""
+    WITH RECURSIVE g(d, fac) AS (
+      SELECT 0, CAST(1000000 AS BIGINT)
+      UNION ALL
+      SELECT d + 1, fac * 19 // 20 FROM g WHERE d < 365),
+    f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT e.user_id,
+             CAST(round(e.value * 100) AS BIGINT) * g.fac AS dv
+      FROM events e
+      JOIN f ON f.user_id = e.user_id
+      JOIN g ON g.d = CAST(ts AS DATE) - f.d0
+      WHERE e.value IS NOT NULL AND e.value > 0),
+    ltv AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dv) AS BIGINT) AS ltv_micro_c
+      FROM v GROUP BY user_id),
+    d AS (
+      SELECT user_id, n_events, ltv_micro_c,
+             ntile(10) OVER (ORDER BY ltv_micro_c DESC, user_id) AS decile
+      FROM ltv)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ltv_micro_c) AS BIGINT) AS decile_ltv_micro_c
+    FROM d GROUP BY decile
+    """,
+    description=(
+        "exponentially time-discounted lifetime value (gamma=0.95 per "
+        "day since each user's first activity) rolled into LTV "
+        "deciles — the retention-weighted ranking that plain spend "
+        "totals miss (early spenders who churn discount toward their "
+        "head; steady users keep accruing). Determinism: gamma^d is a "
+        "PURE-INTEGER recurrence g_d = g_(d-1)*19 div 20 in micro-"
+        "units (0.95 = 19/20) — the transcendental form structurally "
+        "lands on .5 grid boundaries (0.95^2·1000 = 902.5 exactly) "
+        "where JVM and libm exp() round apart, so no float ever "
+        "enters the value path; deciles tie-break on user_id. "
+        "Shape: first-activity dates are one map-side-combined agg "
+        "joined back (broadcast: |users| rows), the discounted sum is "
+        "a second; the decile window is a |users|-row presentation "
+        "stage (approx-quantile cutoffs at 100 TB, the RFM seam)"
+    ),
+    tags=("events", "aggregate", "statistics"),
+)
+def evt_ltv_discounted(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    # exact integer decay table (Python ints == DuckDB BIGINT division)
+    fac, facs = 1000000, []
+    for day in range(366):
+        facs.append((day, fac))
+        fac = fac * 19 // 20
+    g = F.broadcast(
+        ev.sparkSession.createDataFrame(facs, "d int, fac long")
+    )
+    v = (
+        ev.join(F.broadcast(f), "user_id")
+        .withColumn("d", F.datediff(F.to_date("ts"), F.col("d0")))
+        .join(g, "d")
+        .select("user_id", (F.col("value_c") * F.col("fac")).alias("dv"))
+    )
+    ltv = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dv").cast("bigint").alias("ltv_micro_c"),
+    )
+    d = ltv.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("ltv_micro_c"), F.asc("user_id"))
+        ),
+    )
+    return d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("ltv_micro_c").cast("bigint").alias("decile_ltv_micro_c"),
+    )
