@@ -294,9 +294,16 @@ def test_streaming_listener_records_progress(spark, tmp_path):
             .trigger(processingTime="0 seconds")
             .start()
         )
+        qid = str(q.id)
+
+        def mine():
+            # the listener is session-wide: other tests' queries (or
+            # their stragglers) also emit events — scope to THIS query
+            return [r for r in rec.records if r["id"] == qid]
+
         deadline = time.time() + 120
         while time.time() < deadline:
-            if rec.total_input_rows() >= 1000:
+            if sum(r["n_input_rows"] or 0 for r in mine()) >= 1000:
                 break
             time.sleep(0.5)
         q.stop()
@@ -304,18 +311,22 @@ def test_streaming_listener_records_progress(spark, tmp_path):
     finally:
         spark.streams.removeListener(rec)
 
-    assert rec.starts and rec.starts[-1]["id"]
-    assert rec.total_input_rows() == 1000
-    assert len(rec.records) >= 4  # 1000 rows / 250 per batch
-    assert rec.slowest_batches(1)[0]["batch_ms"] is not None
-    # listener captured the clean termination
-    assert any(t["exception"] is None for t in rec.terminations)
+    assert any(s_["id"] == qid for s_ in rec.starts)
+    m = mine()
+    assert sum(r["n_input_rows"] or 0 for r in m) == 1000
+    assert len(m) >= 4  # 1000 rows / 250 per batch
+    assert any(r["batch_ms"] is not None for r in m)
+    # listener captured this query's clean termination
+    assert any(
+        t["id"] == qid and t["exception"] is None for t in rec.terminations
+    )
     # the JSONL mirror holds the same batches
     import json as _json
 
     lines = [
         _json.loads(l)
         for l in open(tmp_path / "progress.jsonl").read().splitlines()
+        if _json.loads(l)["id"] == qid
     ]
     assert sum(r["n_input_rows"] for r in lines) == 1000
     # and the sink agrees with the telemetry
