@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "evt_geo_radius_join",
     "doc_substring_search_trgm",
     "evt_ltv_discounted",
+    "emb_davies_bouldin",
 ]
 
 

@@ -2061,3 +2061,140 @@ def evt_ltv_discounted(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("ltv_micro_c").cast("bigint").alias("decile_ltv_micro_c"),
     )
+
+
+@register(
+    "emb_davies_bouldin",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(v.e, c.e), 6) AS cs
+      FROM v JOIN cent c ON v.vec_id >= 8),
+    ranked AS (
+      SELECT vec_id, cid, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cid ASC) AS rnk
+      FROM scored),
+    assign AS (
+      SELECT vec_id, cid,
+             CAST(round((1 - cs) * 1000000) AS BIGINT) AS d_micro
+      FROM ranked WHERE rnk = 1),
+    scatter AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d_micro) AS BIGINT) AS sd
+      FROM assign GROUP BY cid),
+    cm AS (
+      SELECT a.cid AS ci, b.cid AS cj,
+             CAST(round((1 - round(list_cosine_similarity(a.e, b.e), 6))
+                        * 1000000) AS BIGINT) AS m_micro
+      FROM cent a JOIN cent b ON a.cid <> b.cid),
+    r AS (
+      SELECT i.cid AS ci, c.cj,
+             round((CAST(i.sd AS DOUBLE) / i.n
+                    + CAST(j.sd AS DOUBLE) / j.n) / c.m_micro, 6) AS rij
+      FROM scatter i
+      JOIN cm c ON c.ci = i.cid
+      JOIN scatter j ON j.cid = c.cj),
+    db AS (
+      SELECT ci, cj, rij,
+             row_number() OVER (PARTITION BY ci
+                                ORDER BY rij DESC, cj ASC) AS rk
+      FROM r)
+    SELECT ci AS centroid_id, cj AS worst_partner, rij AS db_component
+    FROM db WHERE rk = 1
+    """,
+    description=(
+        "Davies–Bouldin cluster-quality components over the same seed "
+        "centroids as emb_kmeans_assign / emb_silhouette: per cluster, "
+        "within-cluster scatter S_i (micro-quantized cosine distance "
+        "to own centroid, integer-summed) and the WORST partner ratio "
+        "max_j (S_i+S_j)/M_ij — the 'which two clusters should merge' "
+        "readout silhouette's per-point view doesn't give. All pair "
+        "math runs on the k×k centroid frame (64 rows here), the "
+        "corpus pays exactly the one broadcast assignment pass. "
+        "Deterministic: distances rounded to 1e-6 before any ratio, "
+        "partner ties break on cluster id"
+    ),
+    tags=("embeddings", "similarity", "evaluation"),
+)
+def emb_davies_bouldin(spark, sf_dir):
+    from ..operators.similarity import _as_double, cosine
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    scored = (
+        v.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(cosine(F.col("e"), F.col("ce")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cid",
+            F.round((F.lit(1) - F.col("cs")) * 1000000)
+            .cast("bigint")
+            .alias("d_micro"),
+        )
+    )
+    scatter = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d_micro").cast("bigint").alias("sd"),
+    )
+    ca = cent.select(F.col("cid").alias("ci"), F.col("ce").alias("ea"))
+    cb = cent.select(F.col("cid").alias("cj"), F.col("ce").alias("eb"))
+    cm = (
+        ca.crossJoin(cb)
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.round(
+                (F.lit(1) - F.round(cosine(F.col("ea"), F.col("eb")), 6))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("m_micro"),
+        )
+    )
+    si = scatter.select(
+        F.col("cid").alias("ci"),
+        (F.col("sd").cast("double") / F.col("n")).alias("si"),
+    )
+    sj = scatter.select(
+        F.col("cid").alias("cj"),
+        (F.col("sd").cast("double") / F.col("n")).alias("sj"),
+    )
+    r = (
+        cm.join(si, "ci")
+        .join(sj, "cj")
+        .select(
+            "ci",
+            "cj",
+            F.round(
+                (F.col("si") + F.col("sj")) / F.col("m_micro"), 6
+            ).alias("rij"),
+        )
+    )
+    wr = Window.partitionBy("ci").orderBy(F.desc("rij"), F.asc("cj"))
+    return (
+        r.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("ci").alias("centroid_id"),
+            F.col("cj").alias("worst_partner"),
+            F.col("rij").alias("db_component"),
+        )
+    )
