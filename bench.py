@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "doc_substring_search_trgm",
     "evt_ltv_discounted",
     "emb_davies_bouldin",
+    "emb_ivfpq_residual_check",
 ]
 
 
@@ -239,6 +240,13 @@ def main() -> None:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
 
     spark = get_spark("bench")
+    # The handful of post-aggregation presentation stages that rank a
+    # small aggregate globally (documented approx-quantile seams) emit a
+    # WindowExec single-partition WARN per run; at 200+ queries × N
+    # iterations the repeated warnings dominate the driver's bounded
+    # stdout tail and have twice nearly decapitated the summary line.
+    # Bench output is for the one JSON contract line — drop to ERROR.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM JIT + AQE + parquet footer caches + Python worker
     # daemons (pandas-UDF queries otherwise pay ~8 s one-time spawn cost)
@@ -247,9 +255,12 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    # Best-of-2 per query: iteration 1 pays one-time codegen compilation
-    # for that query's operators; iteration 2 measures the plan itself.
-    # min also damps noisy-neighbor CPU spikes on shared hosts.
+    # Best-of-N per query: iteration 1 pays one-time codegen compilation
+    # for that query's operators; later iterations measure the plan
+    # itself. min damps noisy-neighbor CPU spikes on shared hosts —
+    # min-of-2 still showed ±1.6× swings on two queries r4→r5, so the
+    # default is 3 (round-5 verdict task #5).
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     bench_set = (
         [q for q in only.split(",") if q in set(BENCH_QUERIES)]
@@ -260,7 +271,7 @@ def main() -> None:
     for name in bench_set:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(iters):
             t0 = time.time()
             df = spec.spark_fn(spark, SF_DIR)
             # noop sink forces full materialization of every output column
@@ -279,7 +290,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "iterations": 2,
+        "iterations": iters,
         "agg": "min",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -306,7 +317,7 @@ def main() -> None:
         "unit": "sec",
         "sf": result["sf"],
         "n_queries": len(timings),
-        "iterations": 2,
+        "iterations": iters,
         "agg": "min",
         "queries": slowest,
         "full_results": os.path.basename(out_path),

@@ -17,8 +17,10 @@ Protocol (fixed, engine-portable): bit positions are
 both hashes compute JVM-SIDE (whole-stage codegen), so Python touches
 only packed bitsets:
 
-- build: per-partition numpy bitsets (``m/8`` bytes each) OR-merged on
-  the driver — the collect is bounded by partitions × m/8, asserted.
+- build: per-partition numpy bitsets (``m/8`` bytes each) OR-merged
+  EXECUTOR-SIDE via ``treeReduce(depth=2)`` — the driver receives only
+  the final tree fan-in of fixed-size bitsets, never partitions × m/8,
+  so partition count cannot OOM the driver even with m at the 2^29 cap.
 - apply: the merged bitset broadcasts; an Arrow-batched pass tests k
   bits per row with numpy indexing.
 
@@ -83,11 +85,22 @@ def bloom_build(df: DataFrame, col: str, m_bits: int, k: int) -> bytes:
         if saw:
             yield pd.DataFrame({"b": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(_partial, schema="b binary").collect()
-    merged = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
-    for r in parts:
-        merged |= np.frombuffer(r["b"], dtype=np.uint8)
-    return merged.tobytes()
+    parts = hashed.mapInPandas(_partial, schema="b binary").rdd.map(
+        lambda r: bytes(r["b"])
+    )
+    # OR-merge executor-side: treeReduce collapses the P partial bitsets
+    # in a 2-level tree, so the driver receives the tree fan-in of
+    # fixed-size m/8 bitsets — NOT P × m/8 (a plain collect would be
+    # 64 MiB per non-empty partition with m at the cap).
+    if parts.isEmpty():
+        return np.zeros(m_bits // 8 + 1, dtype=np.uint8).tobytes()
+    return parts.treeReduce(
+        lambda a, b: (
+            np.frombuffer(a, dtype=np.uint8)
+            | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes(),
+        depth=2,
+    )
 
 
 def bloom_contains(

@@ -2020,19 +2020,25 @@ def doc_substring_search_trgm(spark, sf_dir):
         "units (0.95 = 19/20) — the transcendental form structurally "
         "lands on .5 grid boundaries (0.95^2·1000 = 902.5 exactly) "
         "where JVM and libm exp() round apart, so no float ever "
-        "enters the value path; deciles tie-break on user_id. "
+        "enters the value path; deciles tie-break on user_id. d0 is "
+        "first activity over ALL events (not just positive-value ones) "
+        "— matching the oracle's f CTE exactly. "
         "Shape: first-activity dates are one map-side-combined agg "
-        "joined back (broadcast: |users| rows), the discounted sum is "
-        "a second; the decile window is a |users|-row presentation "
-        "stage (approx-quantile cutoffs at 100 TB, the RFM seam)"
+        "shuffle-joined back on user_id (NO broadcast hint: f is "
+        "user-cardinality — billions of rows at 100 TB — so the hint "
+        "would force an OOM; AQE picks the strategy and the exchange "
+        "is reused by the downstream groupBy(user_id)); the decile "
+        "window is a |users|-row presentation stage (approx-quantile "
+        "cutoffs at 100 TB, the RFM seam)"
     ),
     tags=("events", "aggregate", "statistics"),
 )
 def evt_ltv_discounted(spark, sf_dir):
-    ev = keyed_events(spark, sf_dir).filter(
-        F.col("value").isNotNull() & (F.col("value") > 0)
-    )
-    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    all_ev = keyed_events(spark, sf_dir)
+    # d0 over ALL events (oracle's f CTE has no value filter); only the
+    # discounted-value stage restricts to positive spend.
+    f = all_ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    ev = all_ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
     # exact integer decay table (Python ints == DuckDB BIGINT division)
     fac, facs = 1000000, []
     for day in range(366):
@@ -2042,7 +2048,7 @@ def evt_ltv_discounted(spark, sf_dir):
         ev.sparkSession.createDataFrame(facs, "d int, fac long")
     )
     v = (
-        ev.join(F.broadcast(f), "user_id")
+        ev.join(f, "user_id")
         .withColumn("d", F.datediff(F.to_date("ts"), F.col("d0")))
         .join(g, "d")
         .select("user_id", (F.col("value_c") * F.col("fac")).alias("dv"))

@@ -109,6 +109,12 @@ class EngineAPI:
         self.sink_dir = sink_dir
         self._train_result: PipelineResult | None = None
         self._lock = threading.Lock()
+        #: ``save_conditional`` is read-then-write (append vs overwrite)
+        #: against a fixed per-stage path — two concurrent requests for
+        #: the same stage would interleave and corrupt the sink dir, so
+        #: persistence is serialized (separate from ``_lock``: model-
+        #: state reads must not block behind a parquet write).
+        self._persist_lock = threading.Lock()
 
     def _persist(self, stage: str, res: PipelineResult) -> None:
         if not self.sink_dir:
@@ -117,12 +123,13 @@ class EngineAPI:
 
         from .sources.sinks import save_conditional
 
-        save_conditional(
-            self.spark, res.metrics, os.path.join(self.sink_dir, f"{stage}_metrics")
-        )
-        save_conditional(
-            self.spark, res.summary, os.path.join(self.sink_dir, f"{stage}_summary")
-        )
+        with self._persist_lock:
+            save_conditional(
+                self.spark, res.metrics, os.path.join(self.sink_dir, f"{stage}_metrics")
+            )
+            save_conditional(
+                self.spark, res.summary, os.path.join(self.sink_dir, f"{stage}_summary")
+            )
 
     # ---- param resolution (API:241-264 + API:124-150) ----
     def _resolve_params(self, body_params: dict | None) -> dict:

@@ -84,3 +84,33 @@ def test_query_runs_under_default_session_confs(stock_confs, name):
         assert not isinstance(f.dataType, TimestampNTZType), (
             f"{name}.{f.name} leaked TIMESTAMP_NTZ to the driver compare"
         )
+
+
+# ---------------------------------------------------------------------------
+# Whole-registry stock-session smoke (round-5 verdict task #7): the NTZ
+# class of break — a stock-default conf changing what the driver's
+# session hands our queries — would have been caught BEFORE any driver
+# run by executing every registry entry under stock confs. Running all
+# ~274 queries takes minutes even at sf0.001, so this is opt-in
+# (SPARK_GRAFT_FULL_COMPAT=1 — the CI-cadence switch); the 7 pinned
+# round-4 casualties above always run.
+# ---------------------------------------------------------------------------
+
+_FULL = pytest.mark.skipif(
+    "SPARK_GRAFT_FULL_COMPAT" not in __import__("os").environ,
+    reason="whole-registry compat smoke is CI-cadence; "
+    "set SPARK_GRAFT_FULL_COMPAT=1 to run",
+)
+
+
+@_FULL
+@pytest.mark.parametrize("name", sorted(_plans.REGISTRY))
+def test_registry_query_runs_under_stock_confs(stock_confs, name):
+    spark = stock_confs
+    _set_stock_defaults(spark)
+    df = _plans.REGISTRY[name].spark_fn(spark, SF_DIR)
+    assert df.count() >= 0
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, TimestampNTZType), (
+            f"{name}.{f.name} leaked TIMESTAMP_NTZ to the driver compare"
+        )

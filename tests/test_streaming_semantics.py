@@ -308,6 +308,15 @@ def test_streaming_listener_records_progress(spark, tmp_path):
             time.sleep(0.5)
         q.stop()
         q.awaitTermination(30)
+        # listener dispatch is async: awaitTermination() returning does
+        # NOT guarantee onQueryTerminated has been delivered — poll for
+        # this query's termination record before removing the listener
+        # (mirrors the input-rows wait loop above).
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(t["id"] == qid for t in rec.terminations):
+                break
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(rec)
 
