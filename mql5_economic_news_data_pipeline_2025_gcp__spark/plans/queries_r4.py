@@ -861,7 +861,13 @@ def _corpus_overlap_oracle() -> str:
         "sources (bounded by |sources| per shingle), ordered pairs "
         "exploded from the list (≤ sources² rows per shingle), counted "
         "— the sh self-join in the oracle is the same computation "
-        "DuckDB-side. Pair frame is |sources|², always broadcastable"
+        "DuckDB-side. Pair frame is |sources|², always broadcastable. "
+        "The distinct-shingle frame feeds three aggregations (sizes, "
+        "postings, signatures) and is persisted once instead of "
+        "re-shingling the corpus thrice (MEMORY_AND_DISK; at 100 TB "
+        "this is the standard cache-or-recompute trade — the frame is "
+        "~|corpus| rows of (source, shingle) and each recompute is a "
+        "full scan + explode, so one materialization wins at 3 uses)"
     ),
     tags=("documents", "dedup", "minhash", "contamination"),
 )
@@ -882,6 +888,13 @@ def doc_corpus_overlap(spark, sf_dir):
         .agg(F.lit(1))
         .select("source", "shingle")
     )
+    # sh feeds THREE separate aggregations (sizes, posting lists,
+    # signatures) and Spark has no CSE across DataFrame references —
+    # unpersisted, the corpus is re-scanned and re-shingled three times
+    # (the r4→r5 bench regression on this query). Distinct-shingle rows
+    # are the genuine second-lineage case: persist once, reuse thrice
+    # (plan_audit.py fix-pattern #4).
+    sh = sh.persist()
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     # inverted index: per-shingle posting list of sources → ordered pairs
     pres = sh.groupBy("shingle").agg(

@@ -104,6 +104,21 @@ BUDGETS = {
     "mm_storage_report": 1,
     "evt_partition_skew_report": 2,
     "rel_join_cardinality_audit": 2,
+    # r5 stragglers + r6 additions (measured via scripts/plan_audit.py
+    # at the round-6 refresh; round-5 verdict task #4)
+    "evt_geo_hotspot_grid": 3,
+    "evt_geo_radius_join": 2,
+    # 2 = first-activity agg + discounted-sum agg, both on user_id (the
+    # broadcast-hint removal keeps the join on the SAME key as the
+    # downstream groupBy — no third exchange appears)
+    "evt_ltv_discounted": 2,
+    "doc_substring_search_trgm": 1,
+    "emb_davies_bouldin": 7,
+    "doc_temperature_mix": 3,
+    # map-only Arrow encode + one broadcast LUT join + per-query top-k
+    "emb_ivfpq_residual_check": 1,
+    # (b,r) sweep: one banding branch per config by construction
+    "doc_lsh_tuning_curve": 13,
 }
 
 
