@@ -232,6 +232,13 @@ BENCH_QUERIES = [
     "evt_ltv_discounted",
     "emb_davies_bouldin",
     "emb_ivfpq_residual_check",
+    "evt_drawdown",
+    "evt_bollinger_bands",
+    "evt_rsi",
+    "evt_event_study_car",
+    "doc_dsir_importance",
+    "emb_matryoshka_recall",
+    "emb_rrf_fusion",
 ]
 
 

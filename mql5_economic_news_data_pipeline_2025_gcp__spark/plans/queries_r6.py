@@ -243,3 +243,732 @@ def emb_ivfpq_residual_check(spark, sf_dir):
         .filter(F.col("rnk") <= TOPK)
         .select("query_id", "neighbor_id", "adc_d2", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-analytics family: the reference pipeline feeds MQL5 economic-news
+# series into trading models (SURVEY §1) — these are the standard
+# price/flow indicators computed ON the engine rather than in the trading
+# terminal: running drawdown, Bollinger bands, RSI, and an event-study
+# cumulative abnormal return around high-impact days. All integer-exact:
+# rolling sums/counts/extremes are BIGINT cents; every division or sqrt
+# is a final presentation step with an IDENTICAL expression tree on both
+# engines (sqrt is IEEE-exact, correctly rounded in both JVM and libm).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    c0 AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(v) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s),
+    c AS (
+      SELECT user_id, event_type, cum,
+             max(cum) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c0)
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_c,
+           CAST(max(peak) AS BIGINT) AS peak_c
+    FROM c
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 5
+    """,
+    description=(
+        "maximum drawdown per series: running cumulative value, its "
+        "running peak, and the largest peak-to-trough gap — the "
+        "risk-of-ruin statistic every trading-model evaluation needs "
+        "next to R² (a model can have good fit and a catastrophic "
+        "equity curve). ENTIRELY integer: cumsum, running max, and the "
+        "final max-gap are BIGINT cents end-to-end, no float anywhere. "
+        "Shape: two stacked windows + one agg, all partitioned on the "
+        "series key — a single hash exchange, each series' rows stay "
+        "on one partition (series count ≫ cores at 100 TB, skew "
+        "bounded by per-series row counts)"
+    ),
+    tags=("events", "window", "finance"),
+)
+def evt_drawdown(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("value_c").over(w).alias("cum"),
+    ).select(
+        "user_id",
+        "event_type",
+        "cum",
+        F.max("cum")
+        .over(
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("peak"),
+    )
+    return (
+        c.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(F.col("peak") - F.col("cum")).cast("bigint")
+            .alias("max_drawdown_c"),
+            F.max("peak").cast("bigint").alias("peak_c"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "evt_bollinger_bands",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, event_type, event_id, v,
+             row_number() OVER w AS rn,
+             sum(v)     OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+             sum(v * v) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS q20
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+    SELECT user_id, event_type, event_id,
+           CAST(v AS BIGINT) AS value_c,
+           round(CAST(s20 AS DOUBLE) / 20, 6) AS mean_c,
+           round(sqrt(CAST(20 * q20 - s20 * s20 AS DOUBLE) / 400), 6) AS sd_c,
+           round(CAST(s20 AS DOUBLE) / 20
+                 + 2 * sqrt(CAST(20 * q20 - s20 * s20 AS DOUBLE) / 400), 6)
+             AS upper_c,
+           round(CAST(s20 AS DOUBLE) / 20
+                 - 2 * sqrt(CAST(20 * q20 - s20 * s20 AS DOUBLE) / 400), 6)
+             AS lower_c,
+           CASE WHEN 20 * q20 - s20 * s20 = 0 THEN NULL
+                ELSE round((v - (CAST(s20 AS DOUBLE) / 20
+                       - 2 * sqrt(CAST(20 * q20 - s20 * s20 AS DOUBLE) / 400)))
+                     / (4 * sqrt(CAST(20 * q20 - s20 * s20 AS DOUBLE) / 400)), 6)
+           END AS pct_b
+    FROM r WHERE rn >= 20
+    """,
+    description=(
+        "Bollinger bands (20-observation SMA ± 2σ, population σ) plus "
+        "%B band position per series row — the volatility envelope the "
+        "reference's trading consumers chart against news timestamps. "
+        "Determinism: rolling Σv and Σv² are exact BIGINT windows over "
+        "a fixed 20-row frame (so the divisor is the CONSTANT 20 — no "
+        "data-dependent count), variance is the integer identity "
+        "(n·Σv² − (Σv)²)/n² evaluated as ONE double division, and "
+        "sqrt is correctly rounded by IEEE-754 in both engines; every "
+        "emitted float is round(expr, 6) of an identical tree. "
+        "Shape: one hash exchange on the series key, two window "
+        "passes, map-only arithmetic after"
+    ),
+    tags=("events", "window", "finance"),
+)
+def evt_bollinger_bands(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w20 = wo.rowsBetween(-19, Window.currentRow)
+    r = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("value_c").alias("v"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum("value_c").over(w20).alias("s20"),
+        F.sum(F.col("value_c") * F.col("value_c")).over(w20).alias("q20"),
+    ).filter(F.col("rn") >= 20)
+    var_num = F.lit(20) * F.col("q20") - F.col("s20") * F.col("s20")
+    mean = F.col("s20").cast("double") / F.lit(20)
+    sd = F.sqrt(var_num.cast("double") / F.lit(400))
+    return r.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("v").cast("bigint").alias("value_c"),
+        F.round(mean, 6).alias("mean_c"),
+        F.round(sd, 6).alias("sd_c"),
+        F.round(mean + F.lit(2) * sd, 6).alias("upper_c"),
+        F.round(mean - F.lit(2) * sd, 6).alias("lower_c"),
+        F.when(var_num == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("v") - (mean - F.lit(2) * sd)) / (F.lit(4) * sd), 6
+            )
+        )
+        .alias("pct_b"),
+    )
+
+
+@register(
+    "evt_rsi",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER w AS rn,
+             v - lag(v) OVER w AS delta
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, event_type, event_id, rn,
+             sum(greatest(delta, 0)) OVER (w ROWS BETWEEN 13 PRECEDING
+                                           AND CURRENT ROW) AS gain_sum,
+             sum(greatest(-delta, 0)) OVER (w ROWS BETWEEN 13 PRECEDING
+                                            AND CURRENT ROW) AS loss_sum
+      FROM d
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+    SELECT user_id, event_type, event_id,
+           CAST(gain_sum AS BIGINT) AS gain_c,
+           CAST(loss_sum AS BIGINT) AS loss_c,
+           CASE WHEN loss_sum = 0 THEN CAST(100 AS DOUBLE)
+                ELSE round(100 - 100 / (1 + CAST(gain_sum AS DOUBLE)
+                                            / loss_sum), 6)
+           END AS rsi
+    FROM g WHERE rn >= 15
+    """,
+    description=(
+        "RSI-14 (simple-average Cutler form — the recursive Wilder "
+        "smoothing is order-dependent float; the SMA form is the "
+        "standard deterministic variant) per series row: rolling "
+        "14-delta gain/loss sums as exact BIGINT windows, RSI emitted "
+        "once per row with ≥14 deltas of history. loss=0 pins RSI to "
+        "exactly 100 (both engines, no division). One exchange on the "
+        "series key, three window passes sharing it"
+    ),
+    tags=("events", "window", "finance"),
+)
+def evt_rsi(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w14 = wo.rowsBetween(-13, Window.currentRow)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.row_number().over(wo).alias("rn"),
+        (F.col("value_c") - F.lag("value_c").over(wo)).alias("delta"),
+    )
+    g = d.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "rn",
+        F.sum(F.greatest("delta", F.lit(0))).over(w14).alias("gain_sum"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0))).over(w14)
+        .alias("loss_sum"),
+    ).filter(F.col("rn") >= 15)
+    return g.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("gain_sum").cast("bigint").alias("gain_c"),
+        F.col("loss_sum").cast("bigint").alias("loss_c"),
+        F.when(F.col("loss_sum") == 0, F.lit(100).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(100)
+                - F.lit(100)
+                / (
+                    F.lit(1)
+                    + F.col("gain_sum").cast("double") / F.col("loss_sum")
+                ),
+                6,
+            )
+        )
+        .alias("rsi"),
+    )
+
+
+@register(
+    "evt_event_study_car",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day),
+    w AS (
+      SELECT event_type, day, n, s, mx,
+             row_number() OVER o AS rn,
+             CAST(s AS DOUBLE) / n AS m,
+             sum(s) OVER (o ROWS BETWEEN 12 PRECEDING AND 3 PRECEDING)
+               AS est_s,
+             sum(n) OVER (o ROWS BETWEEN 12 PRECEDING AND 3 PRECEDING)
+               AS est_n
+      FROM daily
+      WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+    l AS (
+      SELECT event_type, day, n, mx, rn,
+             CAST(est_s AS DOUBLE) / est_n AS est,
+             lag(m, 2)  OVER o AS m_m2,
+             lag(m, 1)  OVER o AS m_m1,
+             m          AS m_0,
+             lead(m, 1) OVER o AS m_p1,
+             lead(m, 2) OVER o AS m_p2
+      FROM w
+      WINDOW o AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           n AS n_events,
+           round(est, 6) AS est_mean_c,
+           CAST(round((m_m2 - est) * 1000000) AS BIGINT)
+           + CAST(round((m_m1 - est) * 1000000) AS BIGINT)
+           + CAST(round((m_0 - est) * 1000000) AS BIGINT)
+           + CAST(round((m_p1 - est) * 1000000) AS BIGINT)
+           + CAST(round((m_p2 - est) * 1000000) AS BIGINT)
+             AS car_micro
+    FROM l
+    WHERE mx >= 9500 AND rn >= 13 AND m_p2 IS NOT NULL
+    """,
+    description=(
+        "event-study cumulative abnormal return around high-impact "
+        "days — the canonical news-impact measurement for the "
+        "reference's economic-calendar series: per event_type, daily "
+        "mean value; anchor days are those whose daily max reaches "
+        "the 95-level (value_c ≥ 9500) with a full estimation window; "
+        "the expected level is the trailing 10-OBSERVATION mean "
+        "(rows −12..−3, integer Σs/Σn — row-based, gap-robust, "
+        "identical both engines); abnormal return per offset "
+        "o ∈ [−2, +2] is micro-quantized BEFORE summation "
+        "(round((m_o − est)·1e6) per offset, then an integer 5-term "
+        "sum — a float CAR would be addition-order-dependent). "
+        "Shape: one daily aggregation (map-side combined), then two "
+        "window passes over |types|·|days| rows — tiny after the agg; "
+        "at 100 TB the only data-sized stage is the first groupBy"
+    ),
+    tags=("events", "window", "finance", "statistics"),
+)
+def evt_event_study_car(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_c").cast("bigint").alias("s"),
+        F.max("value_c").cast("bigint").alias("mx"),
+    )
+    o = Window.partitionBy("event_type").orderBy("day")
+    west = o.rowsBetween(-12, -3)
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        "mx",
+        F.row_number().over(o).alias("rn"),
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        F.sum("s").over(west).alias("est_s"),
+        F.sum("n").over(west).alias("est_n"),
+    )
+    l = w.select(
+        "event_type",
+        "day",
+        "n",
+        "mx",
+        "rn",
+        (F.col("est_s").cast("double") / F.col("est_n")).alias("est"),
+        F.lag("m", 2).over(o).alias("m_m2"),
+        F.lag("m", 1).over(o).alias("m_m1"),
+        F.col("m").alias("m_0"),
+        F.lead("m", 1).over(o).alias("m_p1"),
+        F.lead("m", 2).over(o).alias("m_p2"),
+    )
+
+    def ar(c):
+        return F.round((F.col(c) - F.col("est")) * F.lit(1000000), 0).cast(
+            "bigint"
+        )
+
+    return (
+        l.filter(
+            (F.col("mx") >= 9500)
+            & (F.col("rn") >= 13)
+            & F.col("m_p2").isNotNull()
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n").alias("n_events"),
+            F.round("est", 6).alias("est_mean_c"),
+            (ar("m_m2") + ar("m_m1") + ar("m_0") + ar("m_p1") + ar("m_p2"))
+            .alias("car_micro"),
+        )
+    )
+
+
+@register(
+    "doc_dsir_importance",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    tk AS (SELECT doc_id, source, tok FROM toks WHERE length(tok) > 0),
+    hashed AS (
+      SELECT doc_id, source, tok,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM tk),
+    bstats AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+             CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS rc
+      FROM hashed GROUP BY bucket),
+    scored AS (
+      SELECT h.doc_id, h.source,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CAST(round(1000000 * CAST(b.tc + 1 AS DOUBLE)
+                                 / (b.tc + b.rc + 2)) AS BIGINT))
+                  AS BIGINT) AS score_micro
+      FROM hashed h JOIN bstats b ON b.bucket = h.bucket
+      WHERE h.source NOT IN ('src0','src1','src2')
+      GROUP BY h.doc_id, h.source),
+    ranked AS (
+      SELECT doc_id, source, n_tok, score_micro,
+             round(CAST(score_micro AS DOUBLE) / n_tok / 1000000, 6)
+               AS avg_target_share,
+             row_number() OVER (
+               ORDER BY CAST(score_micro AS DOUBLE) / n_tok DESC,
+                        doc_id ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, source, n_tok, score_micro, avg_target_share,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 200
+    """,
+    description=(
+        "DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+        "for Language Models via Importance Resampling'): tokens hash "
+        "into 1024 buckets (engine-portable md5-prefix hash — the "
+        "paper's hashed n-gram feature space), bucket counts under the "
+        "TARGET domain (sources src0-2) vs the RAW pool estimate the "
+        "two feature distributions, and each raw-pool document scores "
+        "the Laplace-smoothed target share of its tokens; the top-200 "
+        "by average share are the resampling selection. LOG-FREE "
+        "surrogate: the paper's log-ratio importance weight is a "
+        "transcendental (ln differs in the last ulp across libms — "
+        "the determinism contract bans it); per-token shares are "
+        "micro-quantized after ONE identical division, then summed as "
+        "integers. Shape: the 1024-row bucket table is a broadcast; "
+        "scoring is one corpus pass + per-doc aggregation; the global "
+        "top-200 window ranks |raw docs| score rows (the standard "
+        "approx-threshold seam at 100 TB: replace the exact window "
+        "with a sampled score-quantile cutoff)"
+    ),
+    tags=("documents", "text", "sampling", "llm-data"),
+)
+def doc_dsir_importance(spark, sf_dir):
+    from ..operators.dedup import _base_hash
+    from .common import fan_out
+
+    TARGET = ("src0", "src1", "src2")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = toks.withColumn("bucket", _base_hash(F.col("tok")) % 1024)
+    is_target = F.col("source").isin(*TARGET)
+    bstats = hashed.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("tc"),
+        F.sum(F.when(is_target, 0).otherwise(1)).cast("bigint").alias("rc"),
+    )
+    ratio_micro = F.round(
+        F.lit(1000000)
+        * (F.col("tc") + 1).cast("double")
+        / (F.col("tc") + F.col("rc") + 2),
+        0,
+    ).cast("bigint")
+    scored = (
+        hashed.filter(~is_target)
+        .join(F.broadcast(bstats), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(ratio_micro).cast("bigint").alias("score_micro"),
+        )
+    )
+    avg = F.col("score_micro").cast("double") / F.col("n_tok")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "score_micro",
+        F.round(avg / F.lit(1000000), 6).alias("avg_target_share"),
+        F.row_number()
+        .over(Window.orderBy(avg.desc(), F.col("doc_id").asc()))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 200)
+
+
+#: Milli-unit integer quantization of an embedding column (one IEEE
+#: multiply + identical rounding rule in both engines — the r6 vector
+#: determinism recipe shared by the check/eval queries below).
+def _qvec(col="embedding"):
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(1000.0), 0).cast("bigint")
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int_d2_arr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS idx,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS x
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(CASE WHEN c.idx <= 16
+                      THEN (c.x - q.x) * (c.x - q.x) ELSE 0 END) AS s16,
+             sum(CASE WHEN c.idx <= 32
+                      THEN (c.x - q.x) * (c.x - q.x) ELSE 0 END) AS s32,
+             sum((c.x - q.x) * (c.x - q.x)) AS s64
+      FROM ve q JOIN ve c ON c.idx = q.idx
+      WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s16 ASC, neighbor_id ASC) AS r16,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s32 ASC, neighbor_id ASC) AS r32,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s64 ASC, neighbor_id ASC) AS r64
+      FROM pairs)
+    SELECT query_id,
+           CAST(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit16,
+           CAST(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit32,
+           round(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END)
+                 / CAST(5 AS DOUBLE), 6) AS recall16,
+           round(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END)
+                 / CAST(5 AS DOUBLE), 6) AS recall32
+    FROM ranked GROUP BY query_id
+    """,
+    description=(
+        "matryoshka-truncation retrieval eval (Kusupati et al. 2022, "
+        "MRL): per query, exact L2 top-5 under the FIRST 16 and 32 "
+        "dims vs the full-64-dim top-5 ground truth — recall@5 per "
+        "truncation width, the measurement that decides how many "
+        "dims a serving index can drop. All distances are exact "
+        "BIGINT sums over milli-quantized components (prefix sums "
+        "s16 ⊂ s32 ⊂ s64 computed in ONE pairwise pass, not three); "
+        "ranks tie-break on neighbor id. Shape: queries are a "
+        "20-row broadcast against the corpus (map-only pair scoring, "
+        "corpus never shuffles), then per-query rank windows over "
+        "|corpus| candidate rows — the brute-force eval harness; "
+        "production retrieval at truncated dims routes through the "
+        "IVF/PQ paths this eval calibrates"
+    ),
+    tags=("embeddings", "similarity", "eval"),
+)
+def emb_matryoshka_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _qvec().alias("qv"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_d2_arr(F.slice("qv", 1, 16), F.slice("qq", 1, 16))
+            .alias("s16"),
+            _int_d2_arr(F.slice("qv", 1, 32), F.slice("qq", 1, 32))
+            .alias("s32"),
+            _int_d2_arr(F.col("qv"), F.col("qq")).alias("s64"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = pairs.select(
+        "query_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("s16").asc(), F.col("neighbor_id").asc()))
+        .alias("r16"),
+        F.row_number()
+        .over(wq.orderBy(F.col("s32").asc(), F.col("neighbor_id").asc()))
+        .alias("r32"),
+        F.row_number()
+        .over(wq.orderBy(F.col("s64").asc(), F.col("neighbor_id").asc()))
+        .alias("r64"),
+    )
+    hit16 = F.sum(
+        F.when((F.col("r16") <= 5) & (F.col("r64") <= 5), 1).otherwise(0)
+    ).cast("bigint")
+    hit32 = F.sum(
+        F.when((F.col("r32") <= 5) & (F.col("r64") <= 5), 1).otherwise(0)
+    ).cast("bigint")
+    return ranked.groupBy("query_id").agg(
+        hit16.alias("hit16"),
+        hit32.alias("hit32"),
+        F.round(hit16 / F.lit(5).cast("double"), 6).alias("recall16"),
+        F.round(hit32 / F.lit(5).cast("double"), 6).alias("recall32"),
+    )
+
+
+@register(
+    "emb_rrf_fusion",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS idx,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS x
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum((c.x - q.x) * (c.x - q.x)) AS d2,
+             sum(c.x * q.x) AS dot,
+             sum(c.x * c.x) AS nc,
+             sum(q.x * q.x) AS nq
+      FROM ve q JOIN ve c ON c.idx = q.idx
+      WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS ra,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (sqrt(CAST(nc AS DOUBLE))
+                                          * sqrt(CAST(nq AS DOUBLE))), 6) DESC,
+                                         neighbor_id ASC) AS rb
+      FROM pairs),
+    fused AS (
+      SELECT query_id, neighbor_id, ra, rb,
+             CAST(round(1000000.0 / (60 + ra)) AS BIGINT)
+             + CAST(round(1000000.0 / (60 + rb)) AS BIGINT) AS rrf_micro
+      FROM ranked),
+    top AS (
+      SELECT query_id, neighbor_id, rrf_micro,
+             CAST(ra AS BIGINT) AS rank_l2, CAST(rb AS BIGINT) AS rank_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, neighbor_id ASC)
+               AS rnk
+      FROM fused)
+    SELECT query_id, neighbor_id, rrf_micro, rank_l2, rank_cos,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM top WHERE rnk <= 5
+    """,
+    description=(
+        "reciprocal-rank fusion of two retrievers (Cormack et al. "
+        "2009 — the standard hybrid-search combiner): retriever A "
+        "ranks by exact integer L2, retriever B by cosine (rounded "
+        "to 6 before ranking — unnormalized vs normalized geometry "
+        "genuinely disagree on ranks), fused score "
+        "Σ 1/(60+rank) in micro-units (each reciprocal is ONE "
+        "identical double division then micro-rounded; the fused sum "
+        "is integer). Top-5 per query with id tie-breaks. Shape: the "
+        "pair frame is computed once (one broadcast of the 20-query "
+        "side, corpus map-only), both rank windows and the fusion "
+        "window partition on query_id — a single exchange reused "
+        "across all three"
+    ),
+    tags=("embeddings", "similarity", "fusion"),
+)
+def emb_rrf_fusion(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _qvec().alias("qv"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_d2_arr(F.col("qv"), F.col("qq")).alias("d2"),
+            _int_dot(F.col("qv"), F.col("qq")).alias("dot"),
+            _int_dot(F.col("qv"), F.col("qv")).alias("nc"),
+            _int_dot(F.col("qq"), F.col("qq")).alias("nq"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    cos = F.round(
+        F.col("dot")
+        / (
+            F.sqrt(F.col("nc").cast("double"))
+            * F.sqrt(F.col("nq").cast("double"))
+        ),
+        6,
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("d2").asc(), F.col("neighbor_id").asc()))
+        .alias("ra"),
+        F.row_number()
+        .over(wq.orderBy(cos.desc(), F.col("neighbor_id").asc()))
+        .alias("rb"),
+    )
+    rec = lambda r: F.round(F.lit(1000000.0) / (F.lit(60) + F.col(r)), 0).cast(
+        "bigint"
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        (rec("ra") + rec("rb")).alias("rrf_micro"),
+        F.col("ra").cast("bigint").alias("rank_l2"),
+        F.col("rb").cast("bigint").alias("rank_cos"),
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                wq.orderBy(F.col("rrf_micro").desc(), F.col("neighbor_id").asc())
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
