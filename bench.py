@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "doc_dsir_importance",
     "emb_matryoshka_recall",
     "emb_rrf_fusion",
+    "emb_lloyd_step_check",
 ]
 
 

@@ -972,3 +972,130 @@ def emb_rrf_fusion(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "emb_lloyd_step_check",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS idx,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS x
+      FROM embeddings),
+    cent AS (SELECT vec_id AS cid, idx, x AS cx FROM ve WHERE vec_id < 8),
+    ad AS (
+      SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+      FROM ve v JOIN cent c USING (idx)
+      WHERE v.vec_id >= 8
+      GROUP BY v.vec_id, c.cid),
+    assign AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS rnk
+      FROM ad),
+    a1 AS (SELECT vec_id, cid, d2 FROM assign WHERE rnk = 1),
+    newc AS (
+      SELECT a.cid, v.idx,
+             CAST(sum(v.x) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a1 a JOIN ve v ON v.vec_id = a.vec_id
+      GROUP BY a.cid, v.idx),
+    shift AS (
+      SELECT n2.cid, n2.n,
+             sum(CAST(round((CAST(n2.sx AS DOUBLE) / n2.n - c.cx)
+                            * 1000) AS BIGINT)
+                 * CAST(round((CAST(n2.sx AS DOUBLE) / n2.n - c.cx)
+                              * 1000) AS BIGINT)) AS shift_sq_milli
+      FROM newc n2 JOIN cent c ON c.cid = n2.cid AND c.idx = n2.idx
+      GROUP BY n2.cid, n2.n),
+    inertia AS (
+      SELECT cid, CAST(sum(d2) AS BIGINT) AS inertia_c
+      FROM a1 GROUP BY cid)
+    SELECT s.cid AS centroid_id,
+           s.n AS n_assigned,
+           i.inertia_c,
+           CAST(s.shift_sq_milli AS BIGINT) AS shift_sq_milli
+    FROM shift s JOIN inertia i ON i.cid = s.cid
+    """,
+    description=(
+        "hash-checkable single Lloyd iteration — the oracle-paired "
+        "twin of the rows-only emb_lloyd_kmeans (whose multi-round "
+        "float means are engine-divergent by nature): seeds are "
+        "vectors 0..7, assignment minimizes exact BIGINT L2 over "
+        "milli-quantized components (ties to the lower seed id), the "
+        "update step recomputes each centroid as the integer "
+        "mean-numerator pair (Σx, n) — the EXACT sufficient statistic "
+        "a distributed Lloyd round shuffles — and reports per-cluster "
+        "size, integer inertia, and the squared centroid shift "
+        "(each new-minus-old coordinate is ONE identical division "
+        "then milli-quantized before the squared sum, so the shift "
+        "is integer too). Proves the assignment/update/convergence "
+        "mechanics of operators/kmeans.py::lloyd_kmeans against an "
+        "independent engine; the production operator keeps its "
+        "fixed-point pytest gates for the multi-round float path. "
+        "Shape: one |corpus|×8 assignment pass (centroid literals "
+        "would be the broadcast at scale), one groupBy(cell) partial "
+        "aggregation of (Σx, n) — exactly the Lloyd shuffle, "
+        "map-side combined"
+    ),
+    tags=("embeddings", "clustering", "kmeans"),
+)
+def emb_lloyd_step_check(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _qvec().alias("qv"))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "qv",
+        "cid",
+        _int_d2_arr(F.col("qv"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    a1 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cid", "d2", "qv")
+    )
+    # update step: per-(cell, dim) integer sums — posexplode so the
+    # aggregation is the real distributed Lloyd shuffle shape. d2 rides
+    # along on every exploded row, so inertia folds into the SAME
+    # aggregation (Σ over 64 dims = 64·Σd2 per cell; the /64 integer
+    # division is exact) — a separate a1.groupBy would re-derive the
+    # whole assignment lineage (no CSE across references: measured 6
+    # exchanges / 5 scans before this fold, 3 / 2 after).
+    dim = 64
+    newc = (
+        a1.select("cid", "d2", F.posexplode("qv").alias("idx0", "x"))
+        .groupBy("cid", (F.col("idx0") + 1).alias("idx"))
+        .agg(
+            F.sum("x").cast("bigint").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d2").cast("bigint").alias("d2_rep"),
+        )
+    )
+    oldc = cent.select("cid", F.posexplode("cv").alias("idx0", "cx")).select(
+        "cid", (F.col("idx0") + 1).alias("idx"), "cx"
+    )
+    delta_milli = F.round(
+        (F.col("sx").cast("double") / F.col("n") - F.col("cx"))
+        * F.lit(1000),
+        0,
+    ).cast("bigint")
+    return (
+        newc.join(F.broadcast(oldc), ["cid", "idx"])
+        .groupBy("cid", "n")
+        .agg(
+            F.sum(delta_milli * delta_milli).alias("shift_sq_milli"),
+            (F.sum("d2_rep") / F.lit(dim)).cast("bigint").alias("inertia_c"),
+        )
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.col("n").alias("n_assigned"),
+            "inertia_c",
+            F.col("shift_sq_milli").cast("bigint").alias("shift_sq_milli"),
+        )
+    )

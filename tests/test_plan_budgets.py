@@ -119,6 +119,17 @@ BUDGETS = {
     "emb_ivfpq_residual_check": 1,
     # (b,r) sweep: one banding branch per config by construction
     "doc_lsh_tuning_curve": 13,
+    # r6 additions (measured at registration)
+    "evt_drawdown": 1,
+    "evt_bollinger_bands": 1,
+    "evt_rsi": 1,
+    "evt_event_study_car": 2,
+    "doc_dsir_importance": 2,
+    "emb_matryoshka_recall": 1,
+    "emb_rrf_fusion": 1,
+    # assignment window + (cid,idx) update agg + final (cid,n) agg —
+    # inertia folds into the update agg (the /64 trick in the query)
+    "emb_lloyd_step_check": 3,
 }
 
 
