@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "emb_matryoshka_recall",
     "emb_rrf_fusion",
     "emb_lloyd_step_check",
+    "evt_cusum_check",
+    "emb_mmr_check",
 ]
 
 

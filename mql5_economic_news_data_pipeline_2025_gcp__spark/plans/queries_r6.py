@@ -1099,3 +1099,270 @@ def emb_lloyd_step_check(spark, sf_dir):
             F.col("shift_sq_milli").cast("bigint").alias("shift_sq_milli"),
         )
     )
+
+
+@register(
+    "evt_cusum_check",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    base AS (
+      SELECT user_id, event_type, ts, event_id, v,
+             CAST(sum(v) OVER p AS BIGINT) AS sv,
+             CAST(count(*) OVER p AS BIGINT) AS n,
+             row_number() OVER o AS rn
+      FROM s
+      WINDOW p AS (PARTITION BY user_id, event_type),
+             o AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)),
+    c AS (
+      SELECT user_id, event_type, n, rn,
+             sum(n * v - sv - n * 100) OVER o AS cum_hi,
+             sum(sv - n * v - n * 100) OVER o AS cum_lo
+      FROM base
+      WINDOW o AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+    st AS (
+      SELECT user_id, event_type, n, rn,
+             cum_hi - least(CAST(0 AS BIGINT),
+                            min(cum_hi) OVER o) AS hi,
+             cum_lo - least(CAST(0 AS BIGINT),
+                            min(cum_lo) OVER o) AS lo
+      FROM c
+      WINDOW o AS (PARTITION BY user_id, event_type
+                   ORDER BY rn ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_type, n,
+           round(CAST(max(hi) AS DOUBLE) / n / 100, 6) AS cusum_hi_max,
+           round(CAST(max(lo) AS DOUBLE) / n / 100, 6) AS cusum_lo_max,
+           CAST(min(CASE WHEN hi >= n * 1000 OR lo >= n * 1000
+                         THEN rn END) AS BIGINT) AS first_alarm_rn
+    FROM st
+    GROUP BY user_id, event_type, n
+    HAVING n >= 5
+    """,
+    description=(
+        "hash-checkable tabular CUSUM via the prefix-minimum identity "
+        "— the oracle-paired twin of the rows-only evt_cusum_alarms "
+        "(whose loop-carried form earns a Python seam): the recursion "
+        "s_t = max(0, s_(t-1) + d_t) equals "
+        "cum_t − min(0, min_(i≤t) cum_i), so BOTH one-sided statistics "
+        "become two stacked windows (running sum, then running min) — "
+        "a pure JVM-side, shuffle-once form no recursion needs. "
+        "Self-calibration stays integer by scaling through the series "
+        "count: d_t = n·x_t − Σx − n·k cancels the mean without a "
+        "division (slack k = 1.00, alarm threshold 10.00 units, both "
+        "scale-multiplied by n); per-series outputs are the max "
+        "statistics (ONE final division, micro-rounded) and the first "
+        "alarm row index. Mirrors the mapInPandas operator's "
+        "semantics; the identity is also the production recommendation "
+        "— the Python-seam form remains for monitors whose recursions "
+        "(two-sided resets, adaptive slack) have no prefix identity"
+    ),
+    tags=("events", "window", "monitoring"),
+)
+def evt_cusum_check(spark, sf_dir):
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    p = Window.partitionBy("user_id", "event_type")
+    o = p.orderBy("ts", "event_id")
+    ocum = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    K, H = 100, 1000  # slack 1.00, threshold 10.00 (cents)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value_c").alias("v"),
+        F.sum("value_c").over(p).cast("bigint").alias("sv"),
+        F.count(F.lit(1)).over(p).cast("bigint").alias("n"),
+        F.row_number().over(o).alias("rn"),
+    )
+    c = base.select(
+        "user_id",
+        "event_type",
+        "n",
+        "rn",
+        F.sum(
+            F.col("n") * F.col("v") - F.col("sv") - F.col("n") * F.lit(K)
+        ).over(ocum).alias("cum_hi"),
+        F.sum(
+            F.col("sv") - F.col("n") * F.col("v") - F.col("n") * F.lit(K)
+        ).over(ocum).alias("cum_lo"),
+    )
+    orn = p.orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = c.select(
+        "user_id",
+        "event_type",
+        "n",
+        "rn",
+        (
+            F.col("cum_hi")
+            - F.least(F.lit(0).cast("bigint"), F.min("cum_hi").over(orn))
+        ).alias("hi"),
+        (
+            F.col("cum_lo")
+            - F.least(F.lit(0).cast("bigint"), F.min("cum_lo").over(orn))
+        ).alias("lo"),
+    )
+    alarm = F.when(
+        (F.col("hi") >= F.col("n") * F.lit(H))
+        | (F.col("lo") >= F.col("n") * F.lit(H)),
+        F.col("rn"),
+    )
+    return (
+        st.groupBy("user_id", "event_type", "n")
+        .agg(
+            F.round(
+                F.max("hi").cast("double") / F.col("n") / F.lit(100), 6
+            ).alias("cusum_hi_max"),
+            F.round(
+                F.max("lo").cast("double") / F.col("n") / F.lit(100), 6
+            ).alias("cusum_lo_max"),
+            F.min(alarm).cast("bigint").alias("first_alarm_rn"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "emb_mmr_check",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS idx,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS x
+      FROM embeddings),
+    q AS (SELECT idx, x AS qx FROM ve WHERE vec_id = 0),
+    relx AS (
+      SELECT v.vec_id,
+             CAST(round(CAST(sum(v.x * q.qx) AS DOUBLE)
+                        / (sqrt(CAST(sum(v.x * v.x) AS DOUBLE))
+                           * sqrt(CAST(sum(q.qx * q.qx) AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS rel
+      FROM ve v JOIN q ON q.idx = v.idx
+      WHERE v.vec_id >= 8
+      GROUP BY v.vec_id),
+    short AS (
+      SELECT vec_id, rel,
+             row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rr
+      FROM relx QUALIFY rr <= 20),
+    ps AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(round(CAST(sum(va.x * vb.x) AS DOUBLE)
+                        / (sqrt(CAST(sum(va.x * va.x) AS DOUBLE))
+                           * sqrt(CAST(sum(vb.x * vb.x) AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS sim
+      FROM short a
+      JOIN short b ON a.vec_id != b.vec_id
+      JOIN ve va ON va.vec_id = a.vec_id
+      JOIN ve vb ON vb.vec_id = b.vec_id AND vb.idx = va.idx
+      GROUP BY a.vec_id, b.vec_id),
+    sel1 AS (
+      SELECT vec_id, 7 * rel AS score
+      FROM short ORDER BY 7 * rel DESC, vec_id ASC LIMIT 1),
+    sc2 AS (
+      SELECT s.vec_id,
+             7 * s.rel - 3 * p.sim AS score
+      FROM short s
+      JOIN ps p ON p.ida = s.vec_id AND p.idb = (SELECT vec_id FROM sel1)
+      WHERE s.vec_id != (SELECT vec_id FROM sel1)),
+    sel2 AS (SELECT vec_id, score FROM sc2
+             ORDER BY score DESC, vec_id ASC LIMIT 1),
+    sc3 AS (
+      SELECT s.vec_id,
+             7 * s.rel - 3 * greatest(p1.sim, p2.sim) AS score
+      FROM short s
+      JOIN ps p1 ON p1.ida = s.vec_id AND p1.idb = (SELECT vec_id FROM sel1)
+      JOIN ps p2 ON p2.ida = s.vec_id AND p2.idb = (SELECT vec_id FROM sel2)
+      WHERE s.vec_id NOT IN (SELECT vec_id FROM sel1
+                             UNION ALL SELECT vec_id FROM sel2)),
+    sel3 AS (SELECT vec_id, score FROM sc3
+             ORDER BY score DESC, vec_id ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rnk, vec_id AS neighbor_id,
+           CAST(score AS BIGINT) AS mmr_score FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), vec_id, CAST(score AS BIGINT) FROM sel2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), vec_id, CAST(score AS BIGINT) FROM sel3
+    """,
+    description=(
+        "hash-checkable MMR re-rank — oracle-paired twin of the "
+        "rows-only emb_mmr_rerank (whose float greedy loop is gated "
+        "by a numpy-reference pytest): single query (vec 0), top-20 "
+        "cosine shortlist, greedy k=3 with integer scores "
+        "7·rel − 3·max_sim (λ=0.7 scaled by 10 — no float enters a "
+        "comparison; rel/sim are micro-quantized cosines, each ONE "
+        "identical division+multiply tree in both engines, ties to "
+        "the lower id). The Spark side mirrors the production shape: "
+        "candidate scoring + top-20 ranking distributed (query row "
+        "broadcast, JVM expressions), then the inherently-sequential "
+        "greedy runs on the COLLECTED 20-row shortlist — the same "
+        "bounded-pool contract as the applyInPandas operator, driver "
+        "arithmetic in exact ints + IEEE ops identical to the SQL"
+    ),
+    tags=("embeddings", "similarity", "fusion"),
+)
+def emb_mmr_check(spark, sf_dir):
+    import math
+
+    from ..operators.pq import bounded_collect
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _qvec().alias("qv"))
+    qrow = bounded_collect(
+        emb.filter(F.col("vec_id") == 0), "mmr_check query vector"
+    )[0]
+    qv = list(qrow["qv"])
+    qlit = F.lit(qv)
+    rel_micro = F.round(
+        _int_dot(F.col("qv"), qlit).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+            * F.sqrt(_int_dot(qlit, qlit).cast("double"))
+        )
+        * F.lit(1000000),
+        0,
+    ).cast("bigint")
+    short = (
+        emb.filter(F.col("vec_id") >= 8)
+        .select("vec_id", "qv", rel_micro.alias("rel"))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rr") <= 20)
+    )
+    rows = bounded_collect(short, "mmr_check shortlist")
+    pool = [(r["vec_id"], list(r["qv"]), int(r["rel"])) for r in rows]
+
+    def half_away(y: float) -> int:
+        return (
+            int(math.floor(y + 0.5))
+            if y >= 0
+            else -int(math.floor(-y + 0.5))
+        )
+
+    def sim(a: list[int], b: list[int]) -> int:
+        dot = float(sum(x * y for x, y in zip(a, b)))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(x * x for x in b)))
+        return half_away(dot / (na * nb) * 1000000.0)
+
+    selected: list[tuple[int, int, int]] = []  # (rnk, id, score)
+    chosen: list[tuple[int, list[int]]] = []
+    for rnk in (1, 2, 3):
+        best = None
+        for vid, vec, rel in pool:
+            if any(vid == c[0] for c in chosen):
+                continue
+            max_sim = max((sim(vec, cv) for _, cv in chosen), default=0)
+            score = 7 * rel - 3 * max_sim
+            if best is None or (score, -vid) > (best[2], -best[0]):
+                best = (vid, vec, score)
+        selected.append((rnk, best[0], best[2]))
+        chosen.append((best[0], best[1]))
+    return spark.createDataFrame(
+        selected, "rnk long, neighbor_id long, mmr_score long"
+    )
