@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "emb_lloyd_step_check",
     "evt_cusum_check",
     "emb_mmr_check",
+    "evt_hll_portable_rollup",
 ]
 
 

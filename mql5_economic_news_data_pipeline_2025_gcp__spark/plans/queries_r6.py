@@ -1366,3 +1366,130 @@ def emb_mmr_check(spark, sf_dir):
     return spark.createDataFrame(
         selected, "rnk long, neighbor_id long, mmr_score long"
     )
+
+
+@register(
+    "evt_hll_portable_rollup",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events),
+    h AS (
+      SELECT event_type, day,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM u),
+    b AS (
+      SELECT event_type, day, hv % 256 AS bucket, hv // 256 AS w FROM h),
+    r AS (
+      SELECT event_type, day, bucket,
+             max(CASE WHEN w = 0 THEN 25
+                      ELSE 25 - length(bin(w)) END) AS reg
+      FROM b GROUP BY event_type, day, bucket),
+    m AS (
+      SELECT event_type, bucket, max(reg) AS reg
+      FROM r GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << (25 - reg)) AS BIGINT)
+               AS sum_present
+      FROM m GROUP BY event_type),
+    days AS (
+      SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      FROM r GROUP BY event_type),
+    ex AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM u GROUP BY event_type)
+    SELECT a.event_type, d.n_days,
+           CAST(256 - a.n_buckets AS BIGINT) AS zero_registers,
+           CAST(a.sum_present
+                + (256 - a.n_buckets) * 33554432 AS BIGINT) AS sum_scaled,
+           round(1579498136381.3938
+                 / (a.sum_present + (256 - a.n_buckets) * 33554432), 6)
+             AS hll_estimate,
+           e.exact_distinct
+    FROM agg a
+    JOIN days d ON d.event_type = a.event_type
+    JOIN ex e ON e.event_type = a.event_type
+    """,
+    description=(
+        "engine-PORTABLE HyperLogLog rollup — the oracle-paired twin "
+        "of evt_hll_rollup_distinct (whose DataSketches binaries are "
+        "engine-specific, rows-only by nature): from-scratch HLL over "
+        "the md5-prefix hash with m=256 registers, built as ordinary "
+        "relational state — rho = 25 − bit_length(w) via the "
+        "bin()-string trick (both engines agree exactly; no log2, "
+        "whose libm rounding at exact powers of two is the classic "
+        "cross-engine trap), daily register tables max-merged to "
+        "monthly (the register TABLE is the mergeable artifact — "
+        "same max-merge associativity DataSketches relies on, but "
+        "queryable, diffable, and portable across engines/jobs), and "
+        "the harmonic denominator kept EXACT as Σ 2^(25−reg) in "
+        "BIGINT via shiftleft (absent buckets contribute 2^25) — the "
+        "only float is the final alpha·m²·2^25 / sum division "
+        "(numerator precomputed once, inlined as the same 17-digit "
+        "literal in both engines). Raw estimate emitted alongside "
+        "zero-register count and exact distinct; the small-range "
+        "linear-counting correction needs ln → documented consumer "
+        "seam, not computed. At 100 TB: per-day partials are "
+        "map-side-combined maxes over ≤ types·256 rows — the rollup "
+        "never reshuffles users"
+    ),
+    tags=("events", "sketch", "aggregate"),
+)
+def evt_hll_portable_rollup(spark, sf_dir):
+    from ..operators.dedup import _base_hash
+
+    M, WBITS = 256, 25
+    NUM = 1579498136381.3938  # 0.7213/(1+1.079/256) * 256^2 * 2^25
+    ev = keyed_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    h = ev.select(
+        "event_type",
+        "day",
+        _base_hash(F.col("user_id").cast("string")).alias("hv"),
+    )
+    b = h.select(
+        "event_type",
+        "day",
+        (F.col("hv") % M).alias("bucket"),
+        F.floor(F.col("hv") / M).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(WBITS)).otherwise(
+        F.lit(WBITS) - F.length(F.bin("w"))
+    )
+    r = b.groupBy("event_type", "day", "bucket").agg(
+        F.max(rho).alias("reg")
+    )
+    m = r.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+    agg = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - reg)"))
+        .cast("bigint")
+        .alias("sum_present"),
+    )
+    days = r.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    sum_scaled = F.col("sum_present") + (F.lit(M) - F.col("n_buckets")) * F.lit(
+        1 << WBITS
+    )
+    return (
+        agg.join(days, "event_type")
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            (F.lit(M) - F.col("n_buckets")).cast("bigint")
+            .alias("zero_registers"),
+            sum_scaled.cast("bigint").alias("sum_scaled"),
+            F.round(F.lit(NUM) / sum_scaled, 6).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
