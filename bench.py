@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "evt_cusum_check",
     "emb_mmr_check",
     "evt_hll_portable_rollup",
+    "evt_markov_absorption_check",
+    "evt_dtw_check",
 ]
 
 

@@ -1493,3 +1493,206 @@ def evt_hll_portable_rollup(spark, sf_dir):
             "exact_distinct",
         )
     )
+
+
+@register(
+    "evt_markov_absorption_check",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN rn END) AS first_p
+      FROM seq GROUP BY user_id),
+    kept AS (
+      SELECT s.user_id, s.event_type, s.rn
+      FROM seq s JOIN fp ON fp.user_id = s.user_id
+      WHERE fp.first_p IS NULL OR s.rn <= fp.first_p),
+    stepped AS (
+      SELECT user_id, event_type,
+             coalesce(lag(event_type) OVER w, 'START') AS src,
+             lead(event_type) OVER w AS nxt
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    edges AS (
+      SELECT src, event_type AS dst FROM stepped
+      UNION ALL
+      SELECT event_type AS src, 'NULL' AS dst FROM stepped
+      WHERE nxt IS NULL AND event_type != 'purchase'),
+    counts AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM edges GROUP BY src, dst),
+    tot AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY src),
+    it(iter, src, v) AS (
+      SELECT 0, src, CAST(0 AS BIGINT) FROM tot
+      UNION ALL
+      SELECT vv.iter + 1, c.src,
+             CAST(sum(c.n * vv.v) // min(t2.tot) AS BIGINT)
+      FROM counts c
+      JOIN (SELECT iter, src AS state, v FROM it
+            UNION ALL
+            SELECT DISTINCT iter, 'purchase',
+                   CAST(1000000 AS BIGINT) FROM it
+            UNION ALL
+            SELECT DISTINCT iter, 'NULL', CAST(0 AS BIGINT) FROM it) vv
+        ON vv.state = c.dst
+      JOIN tot t2 ON t2.src = c.src
+      WHERE vv.iter < 60
+      GROUP BY vv.iter, c.src)
+    SELECT src AS state, CAST(v AS BIGINT) AS absorb_micro
+    FROM it WHERE iter = 60
+    """,
+    description=(
+        "hash-checkable Markov absorption probabilities — the "
+        "oracle-paired twin of evt_markov_attribution (whose numpy "
+        "linear solve is rows-only): the SAME journey semantics "
+        "(truncate at first purchase, START source, NULL absorber for "
+        "non-converters, one user_id window shuffle for transition "
+        "counts), then P(convert | state) by 60 FIXED-POINT value "
+        "iterations in EXACT integer arithmetic — v'(s) = "
+        "Σ_d n_sd·val(d) // n_s in micro-units with floor division, "
+        "so both engines execute the identical integer recurrence "
+        "(DuckDB replays it as a recursive CTE with grouped "
+        "aggregation; Spark iterates on the driver over the collected "
+        "≤(|types|+1)² count matrix — the bounded out-of-band solve "
+        "pattern, asserted). Converged to the linear-system solution "
+        "within ~1e-4 (gated in tests/test_r6.py against the numpy "
+        "solve); the distributed stage scales with the event log, the "
+        "iteration is O(|types|²·T) regardless of data size"
+    ),
+    tags=("events", "sequence", "markov", "driver-solve"),
+)
+def evt_markov_absorption_check(spark, sf_dir):
+    from .queries_r4b import _markov_transition_counts
+
+    counts = _markov_transition_counts(spark, sf_dir)
+    rows = counts.collect()  # bounded: ≤ (|types|+1) × (|types|+2)
+    assert len(rows) <= 2048, "transition matrix unexpectedly large"
+    by_src: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_src.setdefault(r["src"], {})[r["dst"]] = int(r["n"])
+    tot = {s: sum(d.values()) for s, d in by_src.items()}
+    v = {s: 0 for s in by_src}
+    for _ in range(60):
+        nv = {}
+        for s, dsts in by_src.items():
+            acc = 0
+            for d, n in dsts.items():
+                val = (
+                    1000000
+                    if d == "purchase"
+                    else 0 if d == "NULL" else v.get(d, 0)
+                )
+                acc += n * val
+            nv[s] = acc // tot[s]
+        v = nv
+    return spark.createDataFrame(
+        sorted(v.items()), "state string, absorb_micro long"
+    )
+
+
+@register(
+    "evt_dtw_check",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT min(user_id) AS uid FROM events),
+    a AS (
+      SELECT row_number() OVER (ORDER BY ts, event_id) AS i,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events, base
+      WHERE user_id = base.uid AND event_type = 'view'
+        AND value IS NOT NULL
+      ORDER BY ts, event_id LIMIT 32),
+    b AS (
+      SELECT row_number() OVER (ORDER BY ts, event_id) AS j,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events, base
+      WHERE user_id = base.uid AND event_type = 'click'
+        AND value IS NOT NULL
+      ORDER BY ts, event_id LIMIT 32),
+    nn AS (SELECT (SELECT max(i) FROM a) AS n, (SELECT max(j) FROM b) AS m),
+    dp(d, i, j, val) AS (
+      SELECT 2, 1, 1, abs(a.v - b.v)
+      FROM a, b WHERE a.i = 1 AND b.j = 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT cur.d + 1 AS d, a.i, b.j,
+               abs(a.v - b.v) + min(nb.val) AS val
+        FROM (SELECT max(d) AS d FROM dp) cur, nn, a, b, dp nb
+        WHERE a.i + b.j = cur.d + 1
+          AND cur.d < nn.n + nn.m
+          AND ((nb.i = a.i - 1 AND nb.j = b.j)
+               OR (nb.i = a.i AND nb.j = b.j - 1)
+               OR (nb.i = a.i - 1 AND nb.j = b.j - 1))
+        GROUP BY cur.d, a.i, b.j, a.v, b.v
+        UNION ALL
+        SELECT p.d, p.i, p.j, p.val
+        FROM dp p, (SELECT max(d) AS d FROM dp) cur, nn
+        WHERE p.d = cur.d AND cur.d < nn.n + nn.m))
+    SELECT nn.n, nn.m, CAST(min(dp.val) AS BIGINT) AS dtw_c
+    FROM dp, nn
+    WHERE dp.i = nn.n AND dp.j = nn.m
+    GROUP BY nn.n, nn.m
+    """,
+    description=(
+        "hash-checkable dynamic time warping — oracle-paired twin of "
+        "the rows-only evt_series_dtw (whose per-pair numpy DP is "
+        "gated by a reference pytest): the full integer DP "
+        "D(i,j) = |a_i − b_j| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) "
+        "between two bounded series (first user's view vs click "
+        "values, 32 points each — cents, BIGINT end-to-end), replayed "
+        "in DuckDB as a recursive CTE marching anti-diagonals with a "
+        "two-diagonal working set (diagonal d needs only d−1 and "
+        "d−2 — the same wavefront dependency a blocked/parallel DTW "
+        "exploits). Spark mirrors the production contract: series "
+        "collect bounded (32 rows each, the applyInPandas operator's "
+        "per-group pool), exact-int DP on the driver. Border cells "
+        "take the min over their PRESENT neighbors (absent joins = "
+        "standard DTW edge semantics). The scale path for corpus-wide "
+        "DTW stays evt_series_dtw's grouped Arrow kernel; this twin "
+        "proves its recurrence cross-engine"
+    ),
+    tags=("events", "sequence", "similarity"),
+)
+def evt_dtw_check(spark, sf_dir):
+    from ..operators.pq import bounded_collect
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    uid_row = ev.agg(F.min("user_id").alias("u")).collect()[0]
+    uid = uid_row["u"]
+
+    def series(etype: str, col: str) -> list[int]:
+        rows = bounded_collect(
+            ev.filter(
+                (F.col("user_id") == uid) & (F.col("event_type") == etype)
+            )
+            .orderBy("ts", "event_id")
+            .select("value_c")
+            .limit(32),
+            f"dtw_check {etype} series",
+        )
+        return [int(r["value_c"]) for r in rows]
+
+    a, b = series("view", "a"), series("click", "b")
+    schema = "n long, m long, dtw_c long"
+    if not a or not b:
+        return spark.createDataFrame([], schema)
+    n, m = len(a), len(b)
+    INF = float("inf")
+    prev = [INF] * (m + 1)
+    curr = [INF] * (m + 1)
+    for i in range(1, n + 1):
+        curr = [INF] * (m + 1)
+        for j in range(1, m + 1):
+            cost = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                curr[j] = cost
+            else:
+                best = min(prev[j], curr[j - 1], prev[j - 1])
+                curr[j] = cost + best
+        prev = curr
+    return spark.createDataFrame([(n, m, int(curr[m]))], schema)

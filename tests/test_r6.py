@@ -88,6 +88,26 @@ def test_mmr_check_first_pick_is_top_relevance(spark):
     assert out[1]["mmr_score"] >= out[2]["mmr_score"]
 
 
+def test_markov_absorption_converges_to_solve(spark):
+    """60 integer value iterations land within 1e-3 of the numpy
+    linear-system absorption probability the attribution op solves."""
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.queries_r4b import (  # noqa: E501
+        _markov_transition_counts,
+        _removal_effects,
+    )
+
+    rows = (
+        REGISTRY["evt_markov_absorption_check"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    )
+    it = {r["state"]: r["absorb_micro"] / 1e6 for r in rows}
+    counts = _markov_transition_counts(spark, SF_DIR).collect()
+    effects = _removal_effects([(r["src"], r["dst"], r["n"]) for r in counts])
+    p_base = effects[0][1]  # (channel, p_base, removal_effect)
+    assert abs(it["START"] - p_base) < 1e-3, (it["START"], p_base)
+
+
 def test_drawdown_invariants(spark):
     rows = REGISTRY["evt_drawdown"].spark_fn(spark, SF_DIR).collect()
     assert rows
