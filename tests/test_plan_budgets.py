@@ -130,6 +130,15 @@ BUDGETS = {
     # assignment window + (cid,idx) update agg + final (cid,n) agg —
     # inertia folds into the update agg (the /64 trick in the query)
     "emb_lloyd_step_check": 3,
+    # r6 check-twins: CUSUM is one keyed agg; MMR / Markov-absorption /
+    # DTW run on literal inline frames (0 scans, 0 exchanges)
+    "evt_cusum_check": 1,
+    "emb_mmr_check": 0,
+    "evt_markov_absorption_check": 0,
+    "evt_dtw_check": 0,
+    # per-(nation,month) register agg + 3 rollup branches + final union
+    # merge — the portable-sketch merge tree is exchange-per-level
+    "evt_hll_portable_rollup": 8,
 }
 
 
