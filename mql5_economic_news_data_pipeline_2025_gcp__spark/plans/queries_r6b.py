@@ -1,0 +1,291 @@
+"""Round-6 continuation: training-data featurization and
+experimentation-analytics operators.
+
+Everything here follows the determinism contract in ``registry`` (exact
+integer statistics, portable md5-derived hashing so DuckDB can replay
+bit-for-bit).  None of these exist in the reference (a pandas/MySQL
+pipeline, SURVEY §2.8); they extend its analytics surface the way a
+large-scale training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import fan_out, keyed_events, t
+from .registry import register
+
+#: Portable 32-bit token hash: first 8 hex digits of md5, identical in
+#: Spark (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+#: (``('0x' || substr(md5(x),1,8))::BIGINT``) — same trick as
+#: ``doc_simhash`` (queries_ext.py).
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    h AS (
+      SELECT source, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM toks WHERE tok <> '')
+    SELECT source,
+           h % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS signed_weight
+    FROM h
+    GROUP BY source, h % 64
+    """,
+    description="signed hashing-trick featurization (Weinberger et al.): "
+    "md5-derived 64-bucket term hash with a sign bit, per-source bucket "
+    "weights",
+    tags=("documents", "text", "featurize"),
+)
+def doc_feature_hashing(spark, sf_dir):
+    """Hashing-trick (feature-hashing) term featurization.
+
+    The classic trick behind linear text classifiers at corpus scale:
+    no vocabulary build, no dictionary shuffle — each token maps
+    straight to ``bucket = h(tok) % D`` with an independent sign bit
+    ``s(tok) = ±1`` debiasing collisions, so featurization is a pure
+    map followed by ONE (source, bucket) aggregation.
+
+    Scale: map-side only until the final agg on a bounded key space
+    (|sources| × D rows); no vocabulary state, no skew (buckets are
+    hash-uniform).  The JVM md5/conv pipeline keeps the hot path in
+    whole-stage codegen — no Python seam.
+    """
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.select("source", _h32(F.col("tok")).alias("h"))
+    sign = F.when(F.shiftright("h", 6).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+        -1
+    )
+    return h.groupBy(
+        "source", (F.col("h") % 64).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(sign).cast("bigint").alias("signed_weight"),
+    )
+
+
+#: WordPiece vocab shared by the Spark segmenter and the DuckDB oracle:
+#: every corpus character as word-initial AND ``##`` continuation piece
+#: (complete char fallback ⇒ no [UNK] path), plus multi-char merges so
+#: greedy longest-match-first segmentation is non-trivial.
+_WP_CHARS = "abcdefghijklmnopqrstuvwy"
+_WP_MERGES = [
+    "ta", "sc", "sp", "val", "wind", "me", "gr", "cust", "qu", "str",
+    "fil", "ba", "jo", "ord",
+    "##ble", "##an", "##ue", "##ark", "##ow", "##rge", "##oup", "##omer",
+    "##ery", "##eam", "##ter", "##tch", "##in", "##er", "##lumn", "##ta",
+    "##sh", "##rt",
+]
+#: (piece, raw_text, is_continuation)
+_WP_VOCAB = (
+    [(c, c, False) for c in _WP_CHARS]
+    + [("##" + c, c, True) for c in _WP_CHARS]
+    + [
+        (p, p[2:] if p.startswith("##") else p, p.startswith("##"))
+        for p in _WP_MERGES
+    ]
+)
+
+_WP_VALUES = ", ".join(
+    f"('{p}', '{raw}', {str(cont).lower()})" for p, raw, cont in _WP_VOCAB
+)
+
+_WP_ORACLE = rf"""
+    WITH RECURSIVE
+    vocab(piece, raw, cont) AS (VALUES {_WP_VALUES}),
+    toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    wc AS (SELECT tok AS w, count(*) AS n FROM toks
+           WHERE tok <> '' GROUP BY tok),
+    words AS (SELECT w FROM wc),
+    seg AS (
+      SELECT w.w, length(v.raw) AS consumed, v.piece
+      FROM words w JOIN vocab v
+        ON NOT v.cont AND substr(w.w, 1, length(v.raw)) = v.raw
+      WHERE NOT EXISTS (
+        SELECT 1 FROM vocab v2
+        WHERE NOT v2.cont AND length(v2.raw) > length(v.raw)
+          AND substr(w.w, 1, length(v2.raw)) = v2.raw)
+      UNION ALL
+      SELECT s.w, s.consumed + length(v.raw), v.piece
+      FROM seg s JOIN vocab v
+        ON v.cont
+       AND substr(s.w, s.consumed + 1, length(v.raw)) = v.raw
+      WHERE s.consumed < length(s.w)
+        AND NOT EXISTS (
+          SELECT 1 FROM vocab v2
+          WHERE v2.cont AND length(v2.raw) > length(v.raw)
+            AND substr(s.w, s.consumed + 1, length(v2.raw)) = v2.raw))
+    SELECT s.piece,
+           CAST(sum(wc.n) AS BIGINT) AS n_tokens
+    FROM seg s JOIN wc ON wc.w = s.w
+    GROUP BY s.piece
+    """
+
+
+@register(
+    "doc_wordpiece_segment",
+    oracle=_WP_ORACLE,
+    description="greedy longest-match-first WordPiece segmentation over "
+    "a literal vocab (char-complete, so no UNK); corpus-weighted piece "
+    "counts; oracle replays the greedy walk as a recursive CTE with a "
+    "NOT-EXISTS longest-match argmax",
+    tags=("documents", "text", "tokenize"),
+)
+def doc_wordpiece_segment(spark, sf_dir):
+    """WordPiece (BERT-style) subword segmentation, corpus-weighted.
+
+    The scalable shape for subword tokenization over a 100 TB corpus:
+    segment each DISTINCT word once (the distinct-word frame is tiny —
+    Zipf's law caps it in the millions while token occurrences run to
+    trillions), then join piece sequences back onto the word-count
+    aggregate.  The greedy longest-match loop is per-word sequential by
+    definition, so it runs as an Arrow-batched ``mapInPandas`` over the
+    distinct-word frame — the token-scale work stays JVM-side (split /
+    explode / count).
+
+    Matches the reference WordPiece algorithm (Wu et al. 2016): at each
+    position take the LONGEST vocab piece (word-initial pieces at
+    pos 0, ``##`` continuations after); the char-complete vocab makes
+    the UNK branch unreachable (noted in the vocab literal).
+    """
+    import pandas as pd
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+
+    vocab = _WP_VOCAB  # capture for the closure (no driver refs inside)
+
+    def _segment(batches):
+        for pdf in batches:
+            pieces, counts = [], []
+            for w, n in zip(pdf["tok"], pdf["n"]):
+                pos = 0
+                while pos < len(w):
+                    best = None
+                    for piece, raw, cont in vocab:
+                        if cont != (pos > 0):
+                            continue
+                        if w.startswith(raw, pos) and (
+                            best is None or len(raw) > len(best[1])
+                        ):
+                            best = (piece, raw)
+                    # char-complete vocab ⇒ best is never None
+                    pos += len(best[1])
+                    pieces.append(best[0])
+                    counts.append(int(n))
+            if pieces:
+                yield pd.DataFrame({"piece": pieces, "n": counts})
+
+    seg = wc.mapInPandas(_segment, schema="piece string, n long")
+    return seg.groupBy("piece").agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
+    )
+
+
+@register(
+    "evt_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(sum(CASE WHEN event_id % 2 = 0
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_id % 2 = 1
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL AND value > 0
+      GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS theta_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS theta_den
+    FROM u
+    GROUP BY event_type
+    """,
+    description="CUPED variance-reduction components per event_type: "
+    "exact integer regression moments (theta = theta_num / theta_den) "
+    "from per-user covariate/metric sums",
+    tags=("events", "experiment", "stats"),
+)
+def evt_cuped_adjustment(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) pieces.
+
+    Per user the covariate ``x`` (pre-period proxy: even event_ids) and
+    metric ``y`` (odd event_ids) are exact cent sums; per event_type we
+    emit the integer regression moments from which
+    ``theta = cov(x,y)/var(x) = theta_num/theta_den`` and the adjusted
+    metric follow.  Keeping the output in integer numerator/denominator
+    form (not a float ratio) is what makes the result engine-portable.
+
+    Scale: two hash aggregations — (event_type, user_id) then
+    (event_type) — both map-side combinable; no window, no join.  The
+    int64 moments hold through ~sf1 (n·sxy ≈ 2.5e17 measured); a
+    100 TB run widens the moment columns to DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), a type change only.
+    """
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.when(F.col("event_id") % 2 == 0, F.col("value_c")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_id") % 2 == 1, F.col("value_c")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return u.groupBy("event_type").agg(
+        n.alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("bigint")
+        .alias("theta_num"),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("bigint")
+        .alias("theta_den"),
+    )
