@@ -83,6 +83,204 @@ def doc_feature_hashing(spark, sf_dir):
     )
 
 
+def _dupgraph_bfs_oracle() -> str:
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    seeds AS (
+      SELECT v FROM nodes n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.s = n.v AND e.d < n.v)),
+    walk AS (
+      SELECT v, 0 AS dist FROM seeds
+      UNION
+      SELECT e.d, w.dist + 1 FROM walk w JOIN edges e ON e.s = w.v
+      WHERE w.dist < 3)
+    SELECT v AS doc_id, CAST(min(dist) AS BIGINT) AS hops
+    FROM walk GROUP BY v
+    """
+
+
+@register(
+    "doc_dupgraph_bfs",
+    oracle=_dupgraph_bfs_oracle(),
+    description="multi-source BFS hop distances (cap 3) from every "
+    "local-minimum node over the LSH candidate-pair dup-graph; oracle "
+    "is a recursive CTE with distinct (node, dist) states",
+    tags=("documents", "dedup", "graph", "iterative"),
+)
+def doc_dupgraph_bfs(spark, sf_dir):
+    """Breadth-first hop distances over the near-duplicate graph.
+
+    Dup-graph neighborhoods answer "how far does this contamination
+    cluster reach?" — the same iterative equi-join shape as the CC
+    dedup clustering, but distance-labelled.  Edges are the LSH banded
+    candidate pairs (map-side minhash signatures → band equi-join —
+    never all-pairs), symmetrized; BFS runs MULTI-SOURCE from every
+    local-minimum node (no neighbor with a smaller id — each
+    component's natural roots), so one pass labels the whole graph.
+    Each of the three synchronous rounds is an edge join keyed on the
+    node id followed by a min-dist aggregate on the same key — one
+    co-partitioned shuffle per round.  ``localCheckpoint`` truncates
+    the iteration lineage exactly as the CC operator does.
+
+    The 3-hop cap bounds work AND makes the oracle's recursive CTE
+    (distinct (node, dist) states) terminate; production BFS over a
+    100 TB dup-graph keeps a frontier frame instead of re-expanding
+    the full distance table per round — noted here because at 3
+    rounds the simpler full re-expand costs less than the extra
+    anti-join a frontier needs.
+    """
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures_mapside
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("mn"))
+        .filter(F.col("mn") > F.col("s"))
+        .select(F.col("s").alias("v"), F.lit(0).alias("dist"))
+    )
+    for r in (1, 2, 3):
+        expanded = cur.join(edges, cur["v"] == edges["s"]).select(
+            F.col("d").alias("v"), F.lit(r).alias("dist")
+        )
+        cur = (
+            cur.unionAll(expanded)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return cur.select(
+        F.col("v").alias("doc_id"), F.col("dist").cast("bigint").alias("hops")
+    )
+
+
+@register(
+    "doc_suffix_ranks",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    1, 40) AS s
+      FROM documents WHERE doc_id < 32),
+    pos AS (
+      SELECT doc_id, s, unnest(range(0, length(s))) AS p FROM d),
+    suf AS (SELECT doc_id, p, substr(s, p + 1) AS suffix FROM pos)
+    SELECT doc_id,
+           CAST(p AS BIGINT) AS pos,
+           CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT)
+             AS suffix_rank
+    FROM suf
+    """,
+    description="suffix-array ranks by prefix doubling (Manber-Myers, "
+    "distributed as log(n) sort+rank rounds); oracle sorts the suffix "
+    "strings directly — equal ranks iff equal suffixes",
+    tags=("documents", "text", "dedup", "iterative"),
+)
+def doc_suffix_ranks(spark, sf_dir):
+    """Distributed suffix-array construction by prefix doubling.
+
+    Suffix arrays are the machinery behind exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): duplicate spans are adjacent in suffix order.  A
+    100 TB corpus can't sort suffix STRINGS (quadratic bytes); the
+    Manber–Myers prefix-doubling scheme sorts fixed-size integer pairs
+    for log(maxlen) rounds instead:
+
+      rank_0[i]   = char code at i
+      rank_2k[i]  = dense-rank of (rank_k[i], rank_k[i+k] or -1)
+
+    Each round is (a) a per-doc ``lead(rank, k)`` window — suffixes
+    never cross documents, so the window is PARTITIONED by doc_id, no
+    global window — and (b) a distributed dense rank over distinct
+    pairs: ``sortBy + zipWithIndex`` (range-partitioned sort, the
+    canonical cluster-side rank assignment) joined back on the pair.
+    Rounds are data-independent (fixed k schedule), plans stay bounded.
+
+    The -1 sentinel for past-the-end reproduces binary string collation
+    ("ab" < "abc"); equal full suffixes share a rank, matching the
+    oracle's dense_rank over the suffix strings.  Input is capped
+    (doc_id < 32, first 40 chars) to keep the demo's oracle quadratic
+    in kilobytes, not the algorithm — the Spark side never materializes
+    a suffix string.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 40
+    )
+    chars = docs.select(
+        "doc_id", F.posexplode(F.split(s, "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    cur = chars.select(
+        "doc_id", "pos", F.ascii("ch").cast("long").alias("rank")
+    )
+
+    from pyspark.sql import Window
+
+    k = 1
+    while k < 40:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        paired = cur.select(
+            "doc_id",
+            "pos",
+            F.col("rank").alias("r1"),
+            F.coalesce(F.lead("rank", k).over(w), F.lit(-1)).alias("r2"),
+        )
+        # distributed dense rank of (r1, r2): range-partitioned sort +
+        # zipWithIndex on the DISTINCT pair set, joined back — no
+        # single-partition window anywhere.
+        ranked = (
+            paired.select("r1", "r2")
+            .distinct()
+            .rdd.map(lambda r: (r["r1"], r["r2"]))
+            .sortBy(lambda x: x)
+            .zipWithIndex()
+            .map(lambda ti: (ti[0][0], ti[0][1], ti[1] + 1))
+        )
+        rankdf = spark.createDataFrame(ranked, "r1 long, r2 long, nr long")
+        cur = paired.join(rankdf, ["r1", "r2"]).select(
+            "doc_id", "pos", F.col("nr").alias("rank")
+        )
+        # truncate lineage so the plan doesn't grow with rounds
+        cur = cur.localCheckpoint(eager=False)
+        k *= 2
+    return cur.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("rank").cast("bigint").alias("suffix_rank"),
+    )
+
+
 #: WordPiece vocab shared by the Spark segmenter and the DuckDB oracle:
 #: every corpus character as word-initial AND ``##`` continuation piece
 #: (complete char fallback ⇒ no [UNK] path), plus multi-char merges so
