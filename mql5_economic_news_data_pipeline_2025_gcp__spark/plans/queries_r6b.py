@@ -83,6 +83,351 @@ def doc_feature_hashing(spark, sf_dir):
     )
 
 
+#: Holt-Winters recursive-CTE state update, templated once so the SQL
+#: and the Python loop can't drift.  Integer dynamics with TRUNCATING
+#: division (DuckDB's `//` truncates toward zero; the Python twin uses
+#: the matching tdiv), alpha=2/8, beta=1/8, gamma=2/8, period 7.
+_HW_SOLD = (
+    "(CASE ((h.t + 1) % 7) WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 "
+    "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 "
+    "WHEN 5 THEN h.s5 ELSE h.s6 END)"
+)
+_HW_LNEW = f"((2 * (i.y - {_HW_SOLD}) + 6 * (h.l + h.b)) // 8)"
+_HW_BNEW = f"((({_HW_LNEW}) - h.l + 7 * h.b) // 8)"
+_HW_SNEW = f"((2 * (i.y - ({_HW_LNEW})) + 6 * {_HW_SOLD}) // 8)"
+_HW_SCOLS = ", ".join(
+    f"CASE WHEN (h.t + 1) % 7 = {k} THEN {_HW_SNEW} ELSE h.s{k} END AS s{k}"
+    for k in range(7)
+)
+
+
+@register(
+    "evt_holt_winters_check",
+    oracle=f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               - 1 AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    hw AS (
+      SELECT i0.event_type, 0 AS t, i0.n,
+             i0.y AS l, i1.y - i0.y AS b,
+             CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+             CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+             CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+             CAST(0 AS BIGINT) AS s6
+      FROM idx i0
+      JOIN idx i1 ON i1.event_type = i0.event_type AND i1.t = 1
+      WHERE i0.t = 0
+      UNION ALL
+      SELECT h.event_type, h.t + 1, h.n,
+             {_HW_LNEW} AS l, {_HW_BNEW} AS b,
+             {_HW_SCOLS}
+      FROM hw h
+      JOIN idx i ON i.event_type = h.event_type AND i.t = h.t + 1
+      WHERE h.t + 1 <= h.n - 1),
+    last AS (SELECT * FROM hw WHERE t = n - 1)
+    SELECT event_type, CAST(slot AS BIGINT) AS slot,
+           CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT event_type, 0 AS slot, s0 AS val FROM last
+      UNION ALL SELECT event_type, 1, s1 FROM last
+      UNION ALL SELECT event_type, 2, s2 FROM last
+      UNION ALL SELECT event_type, 3, s3 FROM last
+      UNION ALL SELECT event_type, 4, s4 FROM last
+      UNION ALL SELECT event_type, 5, s5 FROM last
+      UNION ALL SELECT event_type, 6, s6 FROM last
+      UNION ALL SELECT event_type, 7, l FROM last
+      UNION ALL SELECT event_type, 8, b FROM last)
+    """,
+    description="additive Holt-Winters (level/trend/7-day seasonal) "
+    "with exact truncating-integer dynamics over per-type daily sums; "
+    "final state unpivoted to (slot, val) — oracle replays the "
+    "recursion one day per recursive-CTE step from a shared SQL "
+    "template",
+    tags=("events", "timeseries", "forecast"),
+)
+def evt_holt_winters_check(spark, sf_dir):
+    """Triple exponential smoothing, oracle-paired.
+
+    Completes the smoothing family (EWMA → Holt → Holt-Winters) with
+    the seasonal component.  The recursion is loop-carried with
+    coupled level/trend/seasonal state — no prefix identity exists (cf.
+    the CUSUM twin, which has one) — so the engine runs it per series
+    inside ``applyInPandas`` after a JVM daily aggregation; the frame
+    crossing the Arrow seam is days × types, not raw events.
+
+    Determinism: all state is int64 cents with division TRUNCATING
+    toward zero (matching DuckDB's ``//``); the update expressions are
+    rendered from one module-level template used verbatim by the
+    oracle, so the two sides cannot drift.  alpha=2/8, beta=1/8,
+    gamma=2/8, seasonal period 7 (day-of-week).
+    """
+    import pandas as pd
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value_c").cast("bigint").alias("y"))
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = [int(v) for v in pdf["y"]]
+        et = pdf["event_type"].iloc[0]
+        l, b = y[0], y[1] - y[0]
+        s = [0] * 7
+        for tt in range(1, len(y)):
+            s_old = s[tt % 7]
+            l_new = tdiv(2 * (y[tt] - s_old) + 6 * (l + b), 8)
+            b_new = tdiv((l_new - l) + 7 * b, 8)
+            s[tt % 7] = tdiv(2 * (y[tt] - l_new) + 6 * s_old, 8)
+            l, b = l_new, b_new
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "slot": list(range(9)),
+                "val": s + [l, b],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        _hw, schema="event_type string, slot long, val long"
+    )
+
+
+@register(
+    "evt_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS rows_
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    planned AS (
+      SELECT event_type, day, rows_,
+             coalesce(sum(rows_) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 800 AS bin
+      FROM files)
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           min(day) AS min_day, max(day) AS max_day
+    FROM planned GROUP BY event_type, bin
+    """,
+    description="small-files compaction plan: per (event_type, day) "
+    "pseudo-files packed into ~800-row bins by day-ordered running "
+    "sum (time-adjacent merges preserve clustering), with per-bin "
+    "zone-map bounds",
+    tags=("events", "layout", "optimize"),
+)
+def evt_compaction_plan(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction planner.
+
+    Daily-partitioned event tables accumulate one small file per
+    (type, day); readers then pay per-file open cost and lose scan
+    parallelism granularity.  The plan packs ADJACENT days (ordered
+    running sum, exclusive, floor-divided by the target) so compaction
+    preserves time clustering and each output bin's (min_day, max_day)
+    zone map stays tight — the same planning rule AQE uses to coalesce
+    shuffle partitions, applied to table maintenance.
+
+    Scale: one (type, day) aggregation, one PARTITIONED cumulative
+    window (never global), one bin aggregation.  The plan frame is
+    days × types — the executor would then rewrite each bin's files
+    with a targeted read, never a full-table shuffle.
+    """
+    files = keyed_events(spark, sf_dir).groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("rows_").over(w), F.lit(0)) / F.lit(800)
+        ),
+    )
+    return planned.groupBy(
+        "event_type", F.col("bin").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("rows_").cast("bigint").alias("total_rows"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+
+
+#: Exact-integer LTTB triangle-area comparator, shared by both engines:
+#: prev selected (ta, va), candidate (tp, vp), next-bucket centroid kept
+#: as integer sums (st, sv, n) — the true area × 2n, so comparisons are
+#: exact.  SQL text and the Python loop below implement the SAME form.
+_LTTB_AREA_SQL = (
+    "abs((s.tm * c.n - c.st) * (i{w}.v - s.v)"
+    " - (s.tm - i{w}.tm) * (c.sv - s.v * c.n))"
+)
+
+
+@register(
+    "evt_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    base AS (
+      SELECT event_type,
+             (us - min(us) OVER (PARTITION BY event_type)) // 60000000
+               AS tm,
+             v,
+             row_number() OVER (PARTITION BY event_type ORDER BY us, v)
+               - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n_pts
+      FROM raw),
+    firstp AS (SELECT event_type, tm, v, idx FROM base WHERE idx = 0),
+    lastp AS (SELECT event_type, tm, v, idx FROM base
+              WHERE idx = n_pts - 1),
+    interior AS (
+      SELECT event_type, tm, v, idx,
+             ((idx - 1) * 10) // (n_pts - 2) AS bucket
+      FROM base WHERE idx >= 1 AND idx <= n_pts - 2),
+    cent AS (
+      SELECT event_type, bucket, sum(tm) AS st, sum(v) AS sv,
+             count(*) AS n
+      FROM interior GROUP BY event_type, bucket),
+    nextc AS (
+      SELECT event_type, bucket - 1 AS k, st, sv, n
+      FROM cent WHERE bucket >= 1
+      UNION ALL
+      SELECT event_type, 9, tm, v, 1 FROM lastp),
+    sel AS (
+      SELECT event_type, -1 AS k, tm, v, idx FROM firstp
+      UNION ALL
+      SELECT i.event_type, s.k + 1, i.tm, i.v, i.idx
+      FROM sel s
+      JOIN interior i
+        ON i.event_type = s.event_type AND i.bucket = s.k + 1
+      JOIN nextc c
+        ON c.event_type = s.event_type AND c.k = s.k + 1
+      WHERE s.k < 9 AND NOT EXISTS (
+        SELECT 1 FROM interior i2
+        WHERE i2.event_type = i.event_type AND i2.bucket = i.bucket
+          AND ({_LTTB_AREA_SQL.format(w='2')}
+                 > {_LTTB_AREA_SQL.format(w='')}
+               OR ({_LTTB_AREA_SQL.format(w='2')}
+                     = {_LTTB_AREA_SQL.format(w='')}
+                   AND i2.idx < i.idx))))
+    SELECT event_type, CAST(tm AS BIGINT) AS tm,
+           CAST(v AS BIGINT) AS value_c
+    FROM (SELECT event_type, tm, v FROM sel
+          UNION ALL SELECT event_type, tm, v FROM lastp)
+    """,
+    description="Largest-Triangle-Three-Buckets downsampling to 12 "
+    "points per event_type series (TimescaleDB lttb parity), exact "
+    "integer triangle areas; oracle walks the sequential selection as "
+    "a recursive CTE with a NOT-EXISTS argmax per bucket",
+    tags=("events", "timeseries", "downsample"),
+)
+def evt_lttb_downsample(spark, sf_dir):
+    """LTTB (Steinarsson 2013) visual downsampling, per series.
+
+    The standard dashboard downsampler (TimescaleDB ships it as
+    ``lttb()``): keep first and last points, split the interior into
+    equal-count buckets, and from each bucket keep the point forming
+    the largest triangle with the PREVIOUSLY selected point and the
+    NEXT bucket's centroid.  The selection is sequential by definition
+    (each pick conditions the next), so it runs per-series inside
+    ``applyInPandas`` — the scalable frame is (series × 12 points) out
+    of millions of raw rows, and the corpus-scale work (ordering,
+    bucketing) happens before the Python seam only in the sense of
+    sort-within-group; nothing global.
+
+    Determinism: timestamps are scaled to minute offsets from the
+    series start and areas compared as exact int64 cross products
+    (×2n, n = centroid count — bounds measured: <1e15 at sf1); ties
+    break on the smaller point index.  Oracle replays the walk as a
+    recursive CTE, one bucket per recursion step.
+    """
+    import pandas as pd
+
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    raw = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value_c").alias("v"),
+    )
+
+    def _lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["us", "v"]).reset_index(drop=True)
+        tmin = int(pdf["us"].min())
+        tm = [(int(u) - tmin) // 60000000 for u in pdf["us"]]
+        v = [int(x) for x in pdf["v"]]
+        n = len(pdf)
+        et = pdf["event_type"].iloc[0]
+        if n <= 12:
+            return pd.DataFrame(
+                {"event_type": et, "tm": tm, "value_c": v}
+            )
+        nb = 10
+        buckets: list[list[int]] = [[] for _ in range(nb)]
+        for idx in range(1, n - 1):
+            buckets[((idx - 1) * nb) // (n - 2)].append(idx)
+        out = [(tm[0], v[0])]
+        prev = (tm[0], v[0])
+        for k in range(nb):
+            if k < nb - 1:
+                nxt = buckets[k + 1]
+                st = sum(tm[i] for i in nxt)
+                sv = sum(v[i] for i in nxt)
+                cn = len(nxt)
+            else:
+                st, sv, cn = tm[n - 1], v[n - 1], 1
+            ta, va = prev
+            best = None
+            for i in buckets[k]:
+                area = abs(
+                    (ta * cn - st) * (v[i] - va)
+                    - (ta - tm[i]) * (sv - va * cn)
+                )
+                if best is None or area > best[0] or (
+                    area == best[0] and i < best[1]
+                ):
+                    best = (area, i)
+            i = best[1]
+            out.append((tm[i], v[i]))
+            prev = (tm[i], v[i])
+        out.append((tm[n - 1], v[n - 1]))
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "tm": [t for t, _ in out],
+                "value_c": [x for _, x in out],
+            }
+        )
+
+    return raw.groupBy("event_type").applyInPandas(
+        _lttb, schema="event_type string, tm long, value_c long"
+    )
+
+
 #: 8-bit × 8-bit Morton interleave, generated once and rendered into
 #: BOTH engines' expressions (x gets even bits, y odd bits).
 _MORTON_SQL = " + ".join(
