@@ -245,6 +245,16 @@ BENCH_QUERIES = [
     "evt_hll_portable_rollup",
     "evt_markov_absorption_check",
     "evt_dtw_check",
+    "doc_feature_hashing",
+    "doc_wordpiece_segment",
+    "evt_cuped_adjustment",
+    "doc_suffix_ranks",
+    "doc_dupgraph_bfs",
+    "evt_isotonic_calibration",
+    "evt_zorder_layout",
+    "evt_lttb_downsample",
+    "evt_holt_winters_check",
+    "evt_compaction_plan",
 ]
 
 

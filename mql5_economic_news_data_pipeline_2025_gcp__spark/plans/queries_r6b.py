@@ -83,6 +83,291 @@ def doc_feature_hashing(spark, sf_dir):
     )
 
 
+@register(
+    "doc_cdc_chunks",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      FROM documents),
+    ch AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(s, ''), 1) AS p,
+             CAST(ascii(unnest(string_split(s, ''))) AS BIGINT) AS c
+      FROM d),
+    h AS (
+      SELECT doc_id, source, p, c,
+             c
+             + lag(c, 1) OVER w * 31
+             + lag(c, 2) OVER w * 961
+             + lag(c, 3) OVER w * 29791
+             + lag(c, 4) OVER w * 923521
+             + lag(c, 5) OVER w * 28629151
+             + lag(c, 6) OVER w * 887503681
+             + lag(c, 7) OVER w * 27512614111 AS roll
+      FROM ch
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    marked AS (
+      SELECT doc_id, source, p, c,
+             CASE WHEN p >= 8 AND roll % 64 = 0 THEN 1 ELSE 0 END AS cut
+      FROM h),
+    assigned AS (
+      SELECT doc_id, source, p, c,
+             coalesce(sum(cut) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM marked),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(chr(CAST(c AS INTEGER)), '' ORDER BY p)) AS fp
+      FROM assigned GROUP BY doc_id, source, chunk_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST((1000000 * (count(*) - count(DISTINCT fp)))
+                // count(*) AS BIGINT) AS dup_micro
+    FROM chunks GROUP BY source
+    """,
+    description="content-defined chunking (rolling 8-char polynomial "
+    "hash, cut where h%64==0) with md5 chunk fingerprints; per-source "
+    "chunk-level dedup ratio — the rsync/CDC storage-dedup primitive",
+    tags=("documents", "dedup", "chunking"),
+)
+def doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + chunk-fingerprint dedup audit.
+
+    Fixed-size chunking breaks under insertion (every boundary after
+    the edit shifts); CONTENT-defined boundaries (cut where a rolling
+    hash of the last 8 chars ≡ 0 mod 64) re-synchronize immediately —
+    the principle behind rsync, backup dedup stores, and
+    shift-tolerant near-dup chunk indexes for training corpora.
+
+    The engine side chunks each document independently inside
+    ``mapInPandas`` (a per-doc linear scan; only (source, fp) rows —
+    never text — cross the Arrow seam or the shuffle), then one
+    per-source aggregation computes the dedup ratio.  The oracle
+    replays the identical recurrence char-relationally: 8 lag terms
+    (31^k weights, max sum 7.4e12 — exact int64, no modulus needed),
+    an exclusive running sum for chunk ids, string_agg + md5 per
+    chunk.  Production note: real CDC adds min/max chunk-size clamps;
+    omitted here to keep the two sides one formula.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("s"),
+    )
+    pow31 = [31**k for k in range(8)]
+
+    def _chunks(batches):
+        for pdf in batches:
+            srcs, fps = [], []
+            for src, s in zip(pdf["source"], pdf["s"]):
+                cur = []
+                for i, chx in enumerate(s):
+                    cur.append(chx)
+                    if i >= 7:
+                        roll = sum(
+                            ord(s[i - k]) * pow31[k] for k in range(8)
+                        )
+                        if roll % 64 == 0:
+                            srcs.append(src)
+                            fps.append(
+                                hashlib.md5(
+                                    "".join(cur).encode()
+                                ).hexdigest()
+                            )
+                            cur = []
+                if cur:
+                    srcs.append(src)
+                    fps.append(
+                        hashlib.md5("".join(cur).encode()).hexdigest()
+                    )
+            if srcs:
+                yield pd.DataFrame({"source": srcs, "fp": fps})
+
+    chunks = d.mapInPandas(_chunks, schema="source string, fp string")
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct"),
+        F.floor(
+            (1000000 * (F.count(F.lit(1)) - F.countDistinct("fp")))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dup_micro"),
+    )
+
+
+@register(
+    "evt_cms_portable_check",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_n
+      FROM events GROUP BY user_id),
+    hashed AS (
+      SELECT key, exact_n,
+             ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT % 32
+               AS j0,
+             ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT % 32
+               AS j1
+      FROM k),
+    c0 AS (SELECT j0 AS j, sum(exact_n) AS c FROM hashed GROUP BY j0),
+    c1 AS (SELECT j1 AS j, sum(exact_n) AS c FROM hashed GROUP BY j1)
+    SELECT h.key,
+           CAST(h.exact_n AS BIGINT) AS exact_n,
+           CAST(least(c0.c, c1.c) AS BIGINT) AS cms_est,
+           CAST(least(c0.c, c1.c) - h.exact_n AS BIGINT) AS overcount
+    FROM hashed h
+    JOIN c0 ON c0.j = h.j0
+    JOIN c1 ON c1.j = h.j1
+    ORDER BY h.exact_n DESC, h.key ASC
+    LIMIT 20
+    """,
+    description="portable Count-Min sketch (d=2, w=32, salted-md5 row "
+    "hashes) audited against exact counts for the top-20 keys — the "
+    "hash-checkable twin of the rows-only evt_cms_heavy_hitters, same "
+    "pattern as evt_hll_portable_rollup",
+    tags=("events", "sketch", "audit"),
+)
+def evt_cms_portable_check(spark, sf_dir):
+    """Count-Min estimate-vs-exact audit, engine-portable.
+
+    The rows-only ``evt_cms_heavy_hitters`` uses the numpy grid
+    operator; this twin re-expresses the SAME sketch relationally so
+    DuckDB can replay it bit-for-bit: per-row counter cell =
+    ``salted-md5(key) % w``, the d×w grid is two bounded (j → Σn)
+    aggregates (mergeable by addition — the portable-artifact property
+    that lets sketches roll up across partitions, days, or engines),
+    and the point estimate is the min over rows.  ``overcount`` makes
+    the one-sided error visible: CMS never undercounts.
+
+    Scale: the exact-count CTE here is the AUDIT baseline, not the
+    production path — a real run streams rows straight into the d×w
+    grid (map-side partial grids, one merge), cost O(d·w) memory
+    regardless of key cardinality.
+    """
+    ev = keyed_events(spark, sf_dir)
+    k = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+
+    def cell(salt: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("key"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        )
+
+    hashed = k.select(
+        "key", "exact_n", cell("cms0:").alias("j0"), cell("cms1:").alias("j1")
+    )
+    c0 = hashed.groupBy(F.col("j0").alias("j")).agg(
+        F.sum("exact_n").alias("c0")
+    )
+    c1 = hashed.groupBy(F.col("j1").alias("j")).agg(
+        F.sum("exact_n").alias("c1")
+    )
+    est = (
+        hashed.join(F.broadcast(c0), hashed["j0"] == c0["j"])
+        .drop("j")
+        .join(F.broadcast(c1), hashed["j1"] == c1["j"])
+        .select(
+            "key",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.least("c0", "c1").cast("bigint").alias("cms_est"),
+            (F.least("c0", "c1") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+    return est.orderBy(F.desc("exact_n"), F.asc("key")).limit(20)
+
+
+@register(
+    "evt_ab_assignment",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type,
+             ('0x' || substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 100 AS bucket
+      FROM events),
+    v AS (
+      SELECT event_type,
+             CASE WHEN bucket < 50 THEN 'control' ELSE 'treatment' END
+               AS variant,
+             count(*) AS n
+      FROM a GROUP BY 1, 2)
+    SELECT event_type, variant, CAST(n AS BIGINT) AS n_events,
+           CAST((sum(n) OVER (PARTITION BY event_type)) AS BIGINT)
+             AS type_total,
+           CAST((2 * n - sum(n) OVER (PARTITION BY event_type))
+                * (2 * n - sum(n) OVER (PARTITION BY event_type))
+                AS BIGINT) AS srm_num
+    FROM v
+    """,
+    description="deterministic salted-hash experiment assignment "
+    "(md5('exp42:'||user) % 100 -> 50/50 variants) with per-type "
+    "sample-ratio-mismatch numerator (2n - N)^2",
+    tags=("events", "experiment"),
+)
+def evt_ab_assignment(spark, sf_dir):
+    """Hash-based A/B bucketing + sample-ratio-mismatch audit.
+
+    The experimentation-infra primitive: assignment must be
+    deterministic (same user → same variant across sessions and
+    engines), uniform, and independent per experiment — a salted md5
+    gives all three with zero assignment state to store or join.  The
+    SRM numerator ``(2n − N)²`` is the exact-integer core of the χ²
+    sample-ratio test against the designed 50/50 split (divide by N
+    off-engine for the statistic).
+
+    Scale: pure map-side hashing (JVM md5 in codegen) + one
+    (type, variant) aggregation; the SRM window runs over the tiny
+    aggregate, never the events.
+    """
+    ev = keyed_events(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    v = ev.select(
+        "event_type",
+        F.when(bucket < 50, "control").otherwise("treatment").alias("variant"),
+    ).groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    total = F.sum("n").over(w)
+    return v.select(
+        "event_type",
+        "variant",
+        F.col("n").cast("bigint").alias("n_events"),
+        total.cast("bigint").alias("type_total"),
+        ((2 * F.col("n") - total) * (2 * F.col("n") - total))
+        .cast("bigint")
+        .alias("srm_num"),
+    )
+
+
 #: Holt-Winters recursive-CTE state update, templated once so the SQL
 #: and the Python loop can't drift.  Integer dynamics with TRUNCATING
 #: division (DuckDB's `//` truncates toward zero; the Python twin uses
