@@ -713,25 +713,13 @@ def evt_lttb_downsample(spark, sf_dir):
     )
 
 
-#: 8-bit × 8-bit Morton interleave, generated once and rendered into
-#: BOTH engines' expressions (x gets even bits, y odd bits).
+#: SQL twin of ``sources.layout.morton_key`` for 2 dims × 8 bits
+#: (x gets even bit positions, y odd) — the engine side reuses the
+#: layout module's expression tree directly.
 _MORTON_SQL = " + ".join(
     f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
     for b in range(8)
 )
-
-
-def _morton_col(x, y):
-    m = F.lit(0)
-    for b in range(8):
-        m = (
-            m
-            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
-            + F.shiftleft(
-                F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1
-            )
-        )
-    return m
 
 
 @register(
@@ -781,7 +769,11 @@ def evt_zorder_layout(spark, sf_dir):
         (F.hour("ts") * 60 + F.minute("ts")) / F.lit(6)
     ).cast("long")
     d = ev.select(x.alias("x"), y.alias("y"))
-    m = d.select("x", "y", _morton_col(F.col("x"), F.col("y")).alias("morton"))
+    from ..sources.layout import morton_key
+
+    m = d.select(
+        "x", "y", morton_key([F.col("x"), F.col("y")], 8).alias("morton")
+    )
     return m.groupBy(
         F.shiftright("morton", 8).cast("bigint").alias("file_bucket")
     ).agg(
