@@ -255,6 +255,10 @@ BENCH_QUERIES = [
     "evt_lttb_downsample",
     "evt_holt_winters_check",
     "evt_compaction_plan",
+    "doc_cdc_chunks",
+    "evt_ab_assignment",
+    "evt_cms_portable_check",
+    "emb_mahalanobis_ood",
 ]
 
 

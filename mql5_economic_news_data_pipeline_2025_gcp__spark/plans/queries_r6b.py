@@ -205,6 +205,109 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_mahalanobis_ood",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding::DOUBLE[], 1) AS d,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT)
+               AS x
+      FROM embeddings),
+    st AS (
+      SELECT label, d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM ve GROUP BY label, d),
+    sc AS (
+      SELECT v.vec_id, v.label,
+             sum(((v.x * t.n - t.s) * (v.x * t.n - t.s) * 10000)
+                 // (t.n * (t.n * t.q - t.s * t.s))) AS score
+      FROM ve v JOIN st t ON t.label = v.label AND t.d = v.d
+      GROUP BY v.vec_id, v.label),
+    r AS (
+      SELECT label, vec_id, CAST(score AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM sc)
+    SELECT label, vec_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+    description="diagonal-Mahalanobis out-of-distribution scores vs "
+    "each vector's own label statistics (exact integer moments, "
+    "per-dim floor-divided scaled ratios); top-10 outliers per label",
+    tags=("embeddings", "quality", "ood"),
+)
+def emb_mahalanobis_ood(spark, sf_dir):
+    """Out-of-distribution mining for labeled embeddings.
+
+    Mislabeled or out-of-distribution vectors are the ones far from
+    their OWN class under the class's scale — the diagonal Mahalanobis
+    distance ``Σ_d (x_d − μ_d)² / σ²_d``.  Cleaning these from a
+    training set is a standard curation pass (confident-learning
+    style), and the computation is fully relational: per-(label, dim)
+    integer moments (n, Σx, Σx²), then a map-side join back and one
+    per-vector aggregation — no Python seam, no all-pairs anything.
+
+    Determinism: coordinates scaled to int (×1000); each dimension's
+    ratio is computed as ``((x·n − s)² · 10⁴) // (n·(n·q − s²))`` —
+    exact int64 (bounds: numerator ≤ 2.5e17, denominator ≤ 3e15 at the
+    test scales), floor-divided BEFORE summing so both engines truncate
+    identically.  Ranking windows are partitioned by label.
+
+    At scale the per-label stats frame is (labels × dims) — broadcast
+    size — and the score pass is map-only against it; the top-k per
+    label uses the partitioned window, never a global sort.
+    """
+    ve = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d0", "xd"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("d0") + 1).alias("d"),
+            F.round(F.col("xd") * 1000).cast("bigint").alias("x"),
+        )
+    )
+    st = ve.groupBy("label", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    num = (F.col("x") * F.col("n") - F.col("s")) * (
+        F.col("x") * F.col("n") - F.col("s")
+    ) * F.lit(10000)
+    den = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    sc = (
+        ve.join(F.broadcast(st), ["label", "d"])
+        # integer `div`, NOT floor(a/b): the numerator exceeds 2^53, so
+        # a double-precision quotient could floor off by one
+        .select("vec_id", "label", num.alias("mnum"), den.alias("mden"))
+        .select("vec_id", "label", F.expr("mnum div mden").alias("ratio"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("ratio").cast("bigint").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "label", "vec_id", "score", F.col("rnk").cast("bigint").alias("rnk")
+        )
+    )
+
+
+@register(
     "evt_cms_portable_check",
     oracle="""
     WITH k AS (
