@@ -205,6 +205,141 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_activity_bitmaps",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             bit_or(CAST(1 AS BIGINT) << dayofweek(ts)) AS days_mask
+      FROM events GROUP BY user_id, date_trunc('week', ts))
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(bit_count(days_mask)) AS BIGINT) AS sum_active_days,
+           CAST(max(bit_count(days_mask)) AS BIGINT) AS max_active_days,
+           CAST(bit_count(bit_or(days_mask)) AS BIGINT) AS covered_days,
+           CAST(bit_count(bit_and(days_mask)) AS BIGINT) AS common_days
+    FROM m GROUP BY week
+    """,
+    description="roaring-style day-of-week presence bitmaps per "
+    "(user, week): bit_or fold + popcounts give active-day stats, "
+    "calendar coverage, and all-user common days in two aggregations",
+    tags=("events", "bitmap", "engagement"),
+)
+def evt_activity_bitmaps(spark, sf_dir):
+    """Presence-bitmap engagement rollup (the OLAP segment-index trick).
+
+    Encoding "which days was this user active" as one int64 bitmask
+    collapses a (user, month, day) cube into a (user, month) row:
+    set-union becomes ``bit_or``, set-size ``bit_count``, and
+    set-intersection across users ``bit_and`` — all JVM-side aggregate
+    functions with map-side partials.  The same encoding backs roaring
+    bitmap indexes in OLAP stores; here it answers MAU quality
+    questions (how many distinct days, how much calendar coverage,
+    which days EVERY user hit) with two hash aggregations and zero
+    distinct-counting machinery.
+    """
+    ev = keyed_events(spark, sf_dir)
+    # Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 — the
+    # `- 1` aligns the bit positions.  date_trunc('week') starts Monday
+    # in both engines.
+    m = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), dayofweek(ts) - 1))"
+        ).alias("days_mask")
+    )
+    return m.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.bit_count("days_mask")).cast("bigint").alias(
+            "sum_active_days"
+        ),
+        F.max(F.bit_count("days_mask")).cast("bigint").alias(
+            "max_active_days"
+        ),
+        F.bit_count(F.expr("bit_or(days_mask)"))
+        .cast("bigint")
+        .alias("covered_days"),
+        F.bit_count(F.expr("bit_and(days_mask)"))
+        .cast("bigint")
+        .alias("common_days"),
+    )
+
+
+@register(
+    "evt_behavior_cohorts",
+    oracle="""
+    WITH early AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    b AS (
+      SELECT user_id,
+             bit_or(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      WHEN 'view' THEN 16 ELSE 0 END) AS type_mask
+      FROM early WHERE rn <= 8 GROUP BY user_id)
+    SELECT CAST(type_mask AS BIGINT) AS type_mask,
+           CAST(bit_count(type_mask) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS example_user
+    FROM b GROUP BY type_mask
+    """,
+    description="behavior-cohort segmentation via event-type bitmasks "
+    "(fixed literal type->bit map): users bucketed by the exact "
+    "combination of event types they triggered",
+    tags=("events", "bitmap", "segmentation"),
+)
+def evt_behavior_cohorts(spark, sf_dir):
+    """Exact behavioral segmentation by type-combination bitmask.
+
+    "Which users click AND purchase but never error" style cohort
+    queries become integer equality once each user's event-type SET is
+    folded into a bitmask (fixed literal type→bit map, so the mask is
+    engine-portable).  Two hash aggregations: (user → bit_or), then
+    (mask → count) over a ≤2^|types| key space; any specific cohort
+    afterwards is a constant-predicate scan of the tiny result.
+
+    Masks fold each user's FIRST 8 events (ts, event_id order — a
+    user-partitioned ranking window, never global): lifetime masks
+    converge to all-types for every active user and carry no signal;
+    the early-behavior window is what product analytics segments on.
+    """
+    ev = keyed_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(0)
+    )
+    b = ev.select("user_id", bit.alias("bit")).groupBy("user_id").agg(
+        F.expr("bit_or(bit)").alias("type_mask")
+    )
+    g = b.groupBy(F.col("type_mask").cast("bigint").alias("type_mask")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("example_user"),
+    )
+    return g.select(
+        "type_mask",
+        F.bit_count("type_mask").cast("bigint").alias("n_types"),
+        "n_users",
+        "example_user",
+    )
+
+
+@register(
     "emb_mahalanobis_ood",
     oracle="""
     WITH ve AS (
@@ -370,9 +505,12 @@ def evt_cms_portable_check(spark, sf_dir):
             % 32
         )
 
+    # hashed feeds both grid rows AND the estimate join — without a
+    # checkpoint each reference re-runs the exact-count scan+agg (plan
+    # audit measured 3 scans); the materialized frame is key-cardinality
     hashed = k.select(
         "key", "exact_n", cell("cms0:").alias("j0"), cell("cms1:").alias("j1")
-    )
+    ).localCheckpoint(eager=False)
     c0 = hashed.groupBy(F.col("j0").alias("j")).agg(
         F.sum("exact_n").alias("c0")
     )

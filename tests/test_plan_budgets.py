@@ -139,6 +139,26 @@ BUDGETS = {
     # per-(nation,month) register agg + 3 rollup branches + final union
     # merge — the portable-sketch merge tree is exchange-per-level
     "evt_hll_portable_rollup": 8,
+    # r6b additions (measured via scripts/plan_audit.py at registration)
+    "doc_feature_hashing": 1,
+    "doc_wordpiece_segment": 2,
+    "evt_cuped_adjustment": 2,
+    # suffix-ranks / BFS end on a localCheckpoint boundary (iterative
+    # lineage truncation) — the audited residual plan is exchange-free
+    "doc_suffix_ranks": 0,
+    "doc_dupgraph_bfs": 0,
+    "evt_isotonic_calibration": 2,
+    "evt_zorder_layout": 1,
+    "evt_lttb_downsample": 1,
+    "evt_holt_winters_check": 2,
+    "evt_compaction_plan": 2,
+    "doc_cdc_chunks": 2,
+    "evt_ab_assignment": 2,
+    # checkpointed key frame feeds both grid rows + the estimate join
+    "evt_cms_portable_check": 2,
+    "emb_mahalanobis_ood": 3,
+    "evt_activity_bitmaps": 2,
+    "evt_behavior_cohorts": 2,
 }
 
 
