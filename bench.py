@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "evt_ab_assignment",
     "evt_cms_portable_check",
     "emb_mahalanobis_ood",
+    "evt_activity_bitmaps",
+    "evt_behavior_cohorts",
 ]
 
 

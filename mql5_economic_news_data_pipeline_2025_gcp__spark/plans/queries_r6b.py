@@ -1342,8 +1342,9 @@ def doc_suffix_ranks(spark, sf_dir):
 
 
 #: WordPiece vocab shared by the Spark segmenter and the DuckDB oracle:
-#: every corpus character as word-initial AND ``##`` continuation piece
-#: (complete char fallback ⇒ no [UNK] path), plus multi-char merges so
+#: every base-corpus character as word-initial AND ``##`` continuation
+#: piece (char fallback ⇒ in-alphabet words always segment; anything
+#: else is [UNK]), plus multi-char merges so
 #: greedy longest-match-first segmentation is non-trivial.
 _WP_CHARS = "abcdefghijklmnopqrstuvwy"
 _WP_MERGES = [
@@ -1377,7 +1378,8 @@ _WP_ORACLE = rf"""
       FROM documents),
     wc AS (SELECT tok AS w, count(*) AS n FROM toks
            WHERE tok <> '' GROUP BY tok),
-    words AS (SELECT w FROM wc),
+    words AS (SELECT w FROM wc
+              WHERE regexp_matches(w, '^[{_WP_CHARS}]+$')),
     seg AS (
       SELECT w.w, length(v.raw) AS consumed, v.piece
       FROM words w JOIN vocab v
@@ -1396,10 +1398,13 @@ _WP_ORACLE = rf"""
           SELECT 1 FROM vocab v2
           WHERE v2.cont AND length(v2.raw) > length(v.raw)
             AND substr(s.w, s.consumed + 1, length(v2.raw)) = v2.raw))
-    SELECT s.piece,
-           CAST(sum(wc.n) AS BIGINT) AS n_tokens
-    FROM seg s JOIN wc ON wc.w = s.w
-    GROUP BY s.piece
+    SELECT piece, CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT s.piece, wc.n FROM seg s JOIN wc ON wc.w = s.w
+      UNION ALL
+      SELECT '[UNK]' AS piece, n FROM wc
+      WHERE NOT regexp_matches(w, '^[{_WP_CHARS}]+$'))
+    GROUP BY piece
     """
 
 
@@ -1407,7 +1412,8 @@ _WP_ORACLE = rf"""
     "doc_wordpiece_segment",
     oracle=_WP_ORACLE,
     description="greedy longest-match-first WordPiece segmentation over "
-    "a literal vocab (char-complete, so no UNK); corpus-weighted piece "
+    "a literal vocab (char fallback; out-of-alphabet words -> [UNK]); "
+    "corpus-weighted piece "
     "counts; oracle replays the greedy walk as a recursive CTE with a "
     "NOT-EXISTS longest-match argmax",
     tags=("documents", "text", "tokenize"),
@@ -1426,8 +1432,10 @@ def doc_wordpiece_segment(spark, sf_dir):
 
     Matches the reference WordPiece algorithm (Wu et al. 2016): at each
     position take the LONGEST vocab piece (word-initial pieces at
-    pos 0, ``##`` continuations after); the char-complete vocab makes
-    the UNK branch unreachable (noted in the vocab literal).
+    pos 0, ``##`` continuations after); a word containing any
+    out-of-alphabet character becomes a single ``[UNK]`` token — with
+    the char fallback this is exactly the in-alphabet/complement split,
+    so the oracle detects it with one character-class regex.
     """
     import pandas as pd
 
@@ -1443,10 +1451,19 @@ def doc_wordpiece_segment(spark, sf_dir):
 
     vocab = _WP_VOCAB  # capture for the closure (no driver refs inside)
 
+    charset = set(_WP_CHARS)
+
     def _segment(batches):
         for pdf in batches:
             pieces, counts = [], []
             for w, n in zip(pdf["tok"], pdf["n"]):
+                # standard WordPiece UNK rule: any out-of-alphabet char
+                # makes the WHOLE word [UNK] (the char fallback keeps
+                # in-alphabet words always segmentable)
+                if not set(w) <= charset:
+                    pieces.append("[UNK]")
+                    counts.append(int(n))
+                    continue
                 pos = 0
                 while pos < len(w):
                     best = None
@@ -1457,7 +1474,6 @@ def doc_wordpiece_segment(spark, sf_dir):
                             best is None or len(raw) > len(best[1])
                         ):
                             best = (piece, raw)
-                    # char-complete vocab ⇒ best is never None
                     pos += len(best[1])
                     pieces.append(best[0])
                     counts.append(int(n))
