@@ -902,10 +902,12 @@ def evt_lttb_downsample(spark, sf_dir):
     )
 
     def _lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         pdf = pdf.sort_values(["us", "v"]).reset_index(drop=True)
         tmin = int(pdf["us"].min())
-        tm = [(int(u) - tmin) // 60000000 for u in pdf["us"]]
-        v = [int(x) for x in pdf["v"]]
+        tm = ((pdf["us"].to_numpy() - tmin) // 60000000).astype(np.int64)
+        v = pdf["v"].to_numpy().astype(np.int64)
         n = len(pdf)
         et = pdf["event_type"].iloc[0]
         if n <= 12:
@@ -913,34 +915,33 @@ def evt_lttb_downsample(spark, sf_dir):
                 {"event_type": et, "tm": tm, "value_c": v}
             )
         nb = 10
-        buckets: list[list[int]] = [[] for _ in range(nb)]
-        for idx in range(1, n - 1):
-            buckets[((idx - 1) * nb) // (n - 2)].append(idx)
-        out = [(tm[0], v[0])]
-        prev = (tm[0], v[0])
+        idx = np.arange(1, n - 1)
+        bno = ((idx - 1) * nb) // (n - 2)
+        # bucket boundaries in the (sorted) interior index space
+        starts = np.searchsorted(bno, np.arange(nb), side="left") + 1
+        ends = np.searchsorted(bno, np.arange(nb), side="right") + 1
+        out = [(int(tm[0]), int(v[0]))]
+        ta, va = int(tm[0]), int(v[0])
         for k in range(nb):
             if k < nb - 1:
-                nxt = buckets[k + 1]
-                st = sum(tm[i] for i in nxt)
-                sv = sum(v[i] for i in nxt)
-                cn = len(nxt)
+                lo, hi = starts[k + 1], ends[k + 1]
+                st = int(tm[lo:hi].sum())
+                sv = int(v[lo:hi].sum())
+                cn = int(hi - lo)
             else:
-                st, sv, cn = tm[n - 1], v[n - 1], 1
-            ta, va = prev
-            best = None
-            for i in buckets[k]:
-                area = abs(
-                    (ta * cn - st) * (v[i] - va)
-                    - (ta - tm[i]) * (sv - va * cn)
-                )
-                if best is None or area > best[0] or (
-                    area == best[0] and i < best[1]
-                ):
-                    best = (area, i)
-            i = best[1]
-            out.append((tm[i], v[i]))
-            prev = (tm[i], v[i])
-        out.append((tm[n - 1], v[n - 1]))
+                st, sv, cn = int(tm[n - 1]), int(v[n - 1]), 1
+            lo, hi = starts[k], ends[k]
+            # vectorized exact-int64 areas (bounds ~1e15, no overflow);
+            # np.argmax takes the FIRST max — ascending index order, so
+            # ties resolve to the smaller idx like the oracle
+            area = np.abs(
+                (ta * cn - st) * (v[lo:hi] - va)
+                - (ta - tm[lo:hi]) * (sv - va * cn)
+            )
+            i = lo + int(np.argmax(area))
+            out.append((int(tm[i]), int(v[i])))
+            ta, va = int(tm[i]), int(v[i])
+        out.append((int(tm[n - 1]), int(v[n - 1])))
         return pd.DataFrame(
             {
                 "event_type": et,
