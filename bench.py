@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "emb_mahalanobis_ood",
     "evt_activity_bitmaps",
     "evt_behavior_cohorts",
+    "evt_props_variant",
 ]
 
 

@@ -205,6 +205,62 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_props_variant",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    b AS (
+      SELECT event_type, k // 10 AS k_decade,
+             count(*) AS n, sum(k) AS k_sum
+      FROM v WHERE k IS NOT NULL
+      GROUP BY event_type, k // 10)
+    SELECT event_type, CAST(k_decade AS BIGINT) AS k_decade,
+           CAST(n AS BIGINT) AS n, CAST(k_sum AS BIGINT) AS k_sum
+    FROM b
+    """,
+    description="semi-structured props via the Spark 4 VARIANT type: "
+    "parse_json once, typed variant_get extraction, grouped rollup — "
+    "the open-schema ingestion path (Parquet VARIANT shredding)",
+    tags=("events", "semistructured", "variant"),
+)
+def evt_props_variant(spark, sf_dir):
+    """VARIANT-typed semi-structured access (Spark 4 / Parquet VARIANT).
+
+    ``get_json_object`` re-parses the JSON string at every extraction;
+    the VARIANT path (`parse_json` once → binary variant →
+    ``variant_get`` per field) parses once and keeps extraction
+    JVM-side and shreddable — on Parquet VARIANT columns the reader
+    pushes field access into the scan.  This is the open-schema
+    ingestion pattern for event streams whose properties evolve
+    without migrations.
+
+    The oracle uses DuckDB's JSON extraction — the point of the pairing
+    is that the VARIANT path is a pure representation change: typed
+    results must be bit-identical to string-path JSON semantics.
+    """
+    ev = keyed_events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 10).cast("bigint").alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )
+
+
+@register(
     "evt_activity_bitmaps",
     oracle="""
     WITH m AS (

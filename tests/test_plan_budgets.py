@@ -159,6 +159,7 @@ BUDGETS = {
     "emb_mahalanobis_ood": 3,
     "evt_activity_bitmaps": 2,
     "evt_behavior_cohorts": 2,
+    "evt_props_variant": 1,
 }
 
 
