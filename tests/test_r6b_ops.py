@@ -237,6 +237,60 @@ def test_holt_winters_seasonal_slots_complete(spark):
         assert sorted(rows["slot"]) == list(range(9))
 
 
+# --------------------------------------------- OOD / variant / masks
+
+
+def test_mahalanobis_topk_contract(spark):
+    pdf = REGISTRY["emb_mahalanobis_ood"].spark_fn(spark, SF).toPandas()
+    assert (pdf["score"] >= 0).all()
+    for _, g in pdf.groupby("label"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+        ordered = g.sort_values("rnk")
+        assert list(ordered["score"]) == sorted(ordered["score"], reverse=True)
+
+
+def test_behavior_cohort_masks_consistent(spark):
+    pdf = REGISTRY["evt_behavior_cohorts"].spark_fn(spark, SF).toPandas()
+    for r in pdf.itertuples():
+        assert 1 <= r.type_mask <= 31
+        assert r.n_types == bin(int(r.type_mask)).count("1")
+    assert pdf["type_mask"].is_unique
+
+
+def test_variant_path_equals_string_json_path(spark):
+    """The VARIANT representation must not change typed semantics —
+    compare against the get_json_object string path inside Spark."""
+    variant = (
+        REGISTRY["evt_props_variant"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "k_decade"])
+        .reset_index(drop=True)
+    )
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.common import (
+        keyed_events,
+    )
+
+    ev = keyed_events(spark, SF)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    legacy = (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 10).cast("bigint").alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "k_decade"])
+        .reset_index(drop=True)
+    )
+    assert variant.equals(legacy)
+
+
 # ------------------------------------------------------- suffix ranks
 
 
