@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "evt_activity_bitmaps",
     "evt_behavior_cohorts",
     "evt_props_variant",
+    "emb_ivf_nprobe_curve",
 ]
 
 

@@ -205,6 +205,102 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_ivf_nprobe_curve",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                        c.cid ASC) AS rnk
+      FROM v JOIN cents c ON true),
+    cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+    sweep AS (SELECT unnest(range(1, 5)) AS nprobe),
+    cand AS (
+      SELECT s.nprobe, a.vec_id AS query_id, m.vec_id AS neighbor_id
+      FROM sweep s
+      JOIN assign a ON a.vec_id < 10 AND a.rnk <= s.nprobe
+      JOIN cell m ON m.cell = a.cid AND m.vec_id != a.vec_id),
+    ivf5 AS (
+      SELECT nprobe, query_id, neighbor_id
+      FROM (
+        SELECT c.nprobe, c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.nprobe, c.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, n.e), 6)
+                            DESC, c.neighbor_id ASC) AS rnk
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v n ON n.vec_id = c.neighbor_id)
+      WHERE rnk <= 5),
+    exact5 AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, n.e), 6)
+                            DESC, n.vec_id ASC) AS rnk
+        FROM v q JOIN v n ON n.vec_id != q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rnk <= 5)
+    SELECT i.nprobe,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST((1000000 * count(*)) // 50 AS BIGINT) AS recall_micro
+    FROM ivf5 i JOIN exact5 x
+      ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+    GROUP BY i.nprobe
+    """,
+    description="IVF recall@5 vs nprobe sweep (1..4 probed cells, 8 "
+    "donor centroids, 10 queries) against exact brute-force top-5 — "
+    "the tuning curve that sets the ANN speed/recall operating point",
+    tags=("embeddings", "similarity", "ivf", "eval"),
+)
+def emb_ivf_nprobe_curve(spark, sf_dir):
+    """ANN operating-point curve: recall@5 as a function of nprobe.
+
+    The ANN counterpart of ``doc_lsh_tuning_curve``: before committing
+    a 100 TB corpus to an IVF index you sweep nprobe on a bounded query
+    sample and read off the recall/fan-out trade — each probed cell
+    costs ~|corpus|/|cells| candidate scores, so the curve directly
+    prices recall in compute.  Composed entirely from the existing
+    operators (``ivf_topk`` per nprobe, ``cosine_topk`` as truth) —
+    candidate generation is the banded cell equi-join, never all-pairs;
+    only the 10-query eval truth is brute-force by design.
+    """
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for p in (1, 2, 3, 4):
+        parts.append(
+            ivf_topk(emb, queries, centroids, k=5, nprobe=p).select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    ivf = parts[0]
+    for part in parts[1:]:
+        ivf = ivf.unionAll(part)
+    hits = ivf.join(exact, ["query_id", "neighbor_id"])
+    return hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits"),
+        F.expr("(1000000 * count(1)) div 50").alias("recall_micro"),
+    )
+
+
+@register(
     "evt_props_variant",
     oracle="""
     WITH v AS (

@@ -160,6 +160,9 @@ BUDGETS = {
     "evt_activity_bitmaps": 2,
     "evt_behavior_cohorts": 2,
     "evt_props_variant": 1,
+    # nprobe sweep: one IVF branch per probed-cell count by
+    # construction (cf. doc_lsh_tuning_curve's 13)
+    "emb_ivf_nprobe_curve": 8,
 }
 
 
