@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "evt_behavior_cohorts",
     "evt_props_variant",
     "emb_ivf_nprobe_curve",
+    "doc_textrank_keywords",
+    "rel_copurchase_topk",
 ]
 
 

@@ -205,6 +205,213 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "doc_textrank_keywords",
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' '), 1) AS p,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS tok
+      FROM documents),
+    adj AS (
+      SELECT a.tok AS u, b.tok AS v
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND a.tok <> b.tok
+      WHERE a.tok <> '' AND b.tok <> ''),
+    edges AS (
+      SELECT u, v, count(*) AS w FROM (
+        SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj)
+      GROUP BY u, v),
+    outw AS (SELECT u, sum(w) AS wout FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS word FROM edges),
+    pr AS (
+      SELECT 0 AS iter, word, CAST(1000000 AS BIGINT) AS r FROM nodes
+      UNION ALL
+      -- the symmetrized graph guarantees every node has an incoming
+      -- edge, so grouping the contributions covers all nodes
+      SELECT p.iter + 1, e.v AS word,
+             150000 + (85 * sum((p.r * e.w) // o.wout)) // 100
+      FROM pr p
+      JOIN edges e ON e.u = p.word
+      JOIN outw o ON o.u = p.word
+      WHERE p.iter < 10
+      GROUP BY p.iter, e.v),
+    fin AS (SELECT word, r FROM pr WHERE iter = 10)
+    SELECT word, CAST(r AS BIGINT) AS rank_scaled,
+           CAST(row_number() OVER (ORDER BY r DESC, word ASC) AS BIGINT)
+             AS rnk
+    FROM fin
+    ORDER BY rnk
+    LIMIT 10
+    """,
+    description="TextRank keyword extraction (Mihalcea-Tarau): damped "
+    "weighted PageRank over the token-adjacency co-occurrence graph, "
+    "10 fixed integer-scaled iterations; top-10 keywords",
+    tags=("documents", "text", "graph", "iterative"),
+)
+def doc_textrank_keywords(spark, sf_dir):
+    """TextRank: corpus keywords from the word co-occurrence graph.
+
+    The unsupervised keyword extractor (Mihalcea & Tarau 2004):
+    adjacent-token co-occurrence edges, damped PageRank, top-k by
+    rank.  Graph construction is the corpus-scale stage — one
+    tokenize/explode pass and a (u, v) count aggregation; the rank
+    iteration then runs over the VOCABULARY graph, which Zipf caps
+    orders of magnitude below corpus size, as 10 synchronous
+    join+agg rounds on the word key (same shape as
+    ``doc_pagerank_authority``), ``localCheckpoint`` per round.
+
+    Determinism: ranks are int64 micro-units with per-edge
+    floor-divided contributions (``(r·w) // W_u`` then a damped
+    floor-divide — all values non-negative, so DuckDB's truncating
+    ``//`` equals floor); ties in the final top-10 break on the word.
+    """
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+            )
+        ).alias("p", "tok"),
+    ).filter(F.col("tok") != "")
+    a = toks.select("doc_id", "p", F.col("tok").alias("u"))
+    b = toks.select(
+        "doc_id", (F.col("p") - 1).alias("p"), F.col("tok").alias("v")
+    )
+    adj = a.join(b, ["doc_id", "p"]).filter(F.col("u") != F.col("v"))
+    edges = (
+        adj.select("u", "v")
+        .unionAll(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("u").agg(F.sum("w").alias("wout"))
+    ew = edges.join(outw, "u").select(
+        "u", "v", "w", "wout"
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("u").alias("word")).distinct()
+    r = nodes.select("word", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(10):
+        contrib = (
+            r.join(ew, r["word"] == ew["u"])
+            .select(
+                F.col("v").alias("word"),
+                F.expr("(r * w) div wout").alias("c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(contrib, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(150000)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    w10 = Window.orderBy(F.desc("r"), F.asc("word"))
+    return (
+        r.withColumn("rnk", F.row_number().over(w10))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "word",
+            F.col("r").cast("bigint").alias("rank_scaled"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "rel_copurchase_topk",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS (SELECT p, count(*) AS n FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+      FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+    j AS (
+      SELECT pa, pb, n_ab,
+             CAST((1000000 * n_ab) // (fa.n + fb.n - n_ab) AS BIGINT)
+               AS jaccard_micro
+      FROM pairs
+      JOIN freq fa ON fa.p = pa
+      JOIN freq fb ON fb.p = pb
+      WHERE n_ab >= 2)
+    SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+           CAST(n_ab AS BIGINT) AS n_ab, jaccard_micro
+    FROM j
+    ORDER BY n_ab DESC, jaccard_micro DESC, pa ASC, pb ASC
+    LIMIT 20
+    """,
+    description="item-item co-purchase similarity from order baskets "
+    "(basket-bounded self-join on the order key, integer Jaccard): "
+    "top-20 part pairs — the Amazon-style 'bought together' shape",
+    tags=("relational", "recsys", "similarity"),
+)
+def rel_copurchase_topk(spark, sf_dir):
+    """Item-item collaborative similarity (co-purchase counts).
+
+    The classic item-item recsys precompute: candidate pairs come from
+    a self-join WITHIN orders — cost Σ basket² (TPC-H baskets are ≤7
+    lines), never |items|² — and similarity is exact-integer Jaccard
+    over order sets.  This is the same bounded-fan-out equi-join
+    pattern as the LSH band join: the key (order) caps the quadratic
+    term.  The ``n_ab >= 2`` support floor is the standard
+    noise/memory guard before anything is ranked.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    # (order, part) feeds the frequency agg AND both self-join sides —
+    # checkpoint so the distinct shuffle runs once, not three times
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    freq = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    fa = freq.select(F.col("p").alias("pa"), F.col("n").alias("na"))
+    fb = freq.select(F.col("p").alias("pb"), F.col("n").alias("nb"))
+    j = (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .select(
+            F.col("pa").cast("bigint").alias("pa"),
+            F.col("pb").cast("bigint").alias("pb"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("(1000000 * n_ab) div (na + nb - n_ab)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+    return j.orderBy(
+        F.desc("n_ab"), F.desc("jaccard_micro"), F.asc("pa"), F.asc("pb")
+    ).limit(20)
+
+
+@register(
     "emb_ivf_nprobe_curve",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -163,6 +163,10 @@ BUDGETS = {
     # nprobe sweep: one IVF branch per probed-cell count by
     # construction (cf. doc_lsh_tuning_curve's 13)
     "emb_ivf_nprobe_curve": 8,
+    # iterative rank rounds end on a localCheckpoint boundary
+    "doc_textrank_keywords": 0,
+    # checkpointed (order, part) frame: freq agg + pair agg + top-k
+    "rel_copurchase_topk": 3,
 }
 
 
