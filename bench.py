@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "emb_ivf_nprobe_curve",
     "doc_textrank_keywords",
     "rel_copurchase_topk",
+    "evt_rootcause_contributions",
+    "emb_dbscan_core_points",
 ]
 
 

@@ -205,6 +205,195 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_dbscan_core_points",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(round(embedding[1] * 1000) AS BIGINT) AS x,
+             CAST(round(embedding[2] * 1000) AS BIGINT) AS y
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, x, y,
+             (x + 65536) // 30 AS cx, (y + 65536) // 30 AS cy
+      FROM p),
+    probes AS (
+      SELECT a.vec_id, a.x, a.y,
+             a.cx + dx.d AS pcx, a.cy + dy.d AS pcy
+      FROM c a,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy),
+    neigh AS (
+      SELECT pr.vec_id, count(*) AS n_neighbors
+      FROM probes pr
+      JOIN c b ON b.cx = pr.pcx AND b.cy = pr.pcy
+             AND b.vec_id != pr.vec_id
+             AND (pr.x - b.x) * (pr.x - b.x)
+                 + (pr.y - b.y) * (pr.y - b.y) <= 900
+      GROUP BY pr.vec_id)
+    SELECT vec_id, CAST(n_neighbors AS BIGINT) AS n_neighbors
+    FROM neigh WHERE n_neighbors >= 5
+    """,
+    description="DBSCAN core-point detection (eps=0.030, minPts=5) on "
+    "the first two embedding dims via grid-cell candidate generation: "
+    "9-cell probe equi-join + exact integer distance verify — never "
+    "all-pairs",
+    tags=("embeddings", "clustering", "density"),
+)
+def emb_dbscan_core_points(spark, sf_dir):
+    """Density-based core-point detection, grid-partitioned.
+
+    The DBSCAN primitive (Ester et al. 1996): a point is CORE if ≥
+    minPts neighbors sit within ε.  At scale the neighbor search is
+    the whole game — the grid trick buckets points into ε-sized cells
+    so every true ε-neighbor lives in the 3×3 cell neighborhood, and
+    candidate generation becomes a 9-probe equi-join on the cell key
+    (the same bounded-fan-out shape as the LSH band join and the geo
+    radius join) with an exact integer distance verify.  Cores feed
+    cluster expansion exactly like the CC operator consumes LSH
+    candidate pairs.
+
+    Determinism: coordinates are ×1000 ints; the cell floor-divide is
+    offset (+65536) so both engines' truncating division IS floor on
+    the shifted non-negative domain; distances compare in exact int64.
+    """
+    p = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(F.col("embedding")[0] * 1000).cast("bigint").alias("x"),
+        F.round(F.col("embedding")[1] * 1000).cast("bigint").alias("y"),
+    )
+    c = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr("(x + 65536) div 30").alias("cx"),
+        F.expr("(y + 65536) div 30").alias("cy"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probes = (
+        c.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            "vec_id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    b = c.select(
+        F.col("vec_id").alias("bid"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    neigh = (
+        probes.join(b, ["pcx", "pcy"])
+        .filter(
+            (F.col("bid") != F.col("vec_id"))
+            & (
+                (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+                + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+                <= 900
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    )
+    return neigh.filter(F.col("n_neighbors") >= 5)
+
+
+@register(
+    "evt_rootcause_contributions",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS k_band,
+             CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS period,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    slices AS (
+      SELECT event_type, k_band,
+             CAST(sum(CASE WHEN period = 'a' THEN v ELSE 0 END)
+                  AS BIGINT) AS va,
+             CAST(sum(CASE WHEN period = 'b' THEN v ELSE 0 END)
+                  AS BIGINT) AS vb
+      FROM base GROUP BY event_type, k_band),
+    tot AS (SELECT sum(vb - va) AS td FROM slices)
+    SELECT event_type, CAST(k_band AS BIGINT) AS k_band, va, vb,
+           CAST(vb - va AS BIGINT) AS delta,
+           CAST((1000000 * (vb - va)) // t.td AS BIGINT)
+             AS contribution_micro,
+           CAST(row_number() OVER (
+             ORDER BY abs(vb - va) DESC, event_type ASC, k_band ASC)
+             AS BIGINT) AS rnk
+    FROM slices, tot t
+    ORDER BY rnk
+    LIMIT 10
+    """,
+    description="Adtributor-style root-cause decomposition: the "
+    "period-over-period metric delta split across (event_type, "
+    "k_band) slices, ranked by absolute contribution — 'what moved "
+    "the number' in one aggregation",
+    tags=("events", "analytics", "rootcause"),
+)
+def evt_rootcause_contributions(spark, sf_dir):
+    """Dimensional contribution analysis ("why did the metric move?").
+
+    The on-call question behind every metrics dashboard: which slices
+    explain the period-over-period delta.  One labeled pass (period
+    tag in the projection — no second scan), one (type, band) hash
+    aggregation, then ranking over the SLICE frame, which is bounded
+    by dimension cardinality, not data size.  Additive metrics
+    decompose exactly: slice deltas sum to the total delta, so
+    ``contribution_micro`` is an exact integer share of it
+    (Adtributor, Bhagwan et al. 2014, uses the same surprise/share
+    core before its explanatory-power heuristics).
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) div 25"
+        ).alias("k_band"),
+        F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b").alias("period"),
+        F.col("value_c").alias("v"),
+    )
+    slices = base.groupBy("event_type", "k_band").agg(
+        F.sum(F.when(F.col("period") == "a", F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("va"),
+        F.sum(F.when(F.col("period") == "b", F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("vb"),
+    )
+    tot = slices.agg(
+        F.sum(F.col("vb") - F.col("va")).alias("td")
+    )
+    from pyspark.sql import Window
+
+    j = slices.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("k_band").cast("bigint").alias("k_band"),
+        "va",
+        "vb",
+        (F.col("vb") - F.col("va")).cast("bigint").alias("delta"),
+        F.expr("(1000000 * (vb - va)) div td").alias("contribution_micro"),
+    )
+    w = Window.orderBy(
+        F.abs(F.col("delta")).desc(), F.asc("event_type"), F.asc("k_band")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "event_type", "k_band", "va", "vb", "delta",
+            "contribution_micro", F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
     "doc_textrank_keywords",
     oracle=r"""
     WITH RECURSIVE

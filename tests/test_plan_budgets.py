@@ -167,6 +167,9 @@ BUDGETS = {
     "doc_textrank_keywords": 0,
     # checkpointed (order, part) frame: freq agg + pair agg + top-k
     "rel_copurchase_topk": 3,
+    "evt_rootcause_contributions": 2,
+    # 9-cell probe equi-join + one neighbor-count agg
+    "emb_dbscan_core_points": 1,
 }
 
 
