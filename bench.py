@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "rel_copurchase_topk",
     "evt_rootcause_contributions",
     "emb_dbscan_core_points",
+    "evt_slo_burn_rate",
+    "evt_alert_rules",
 ]
 
 

@@ -205,6 +205,184 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_slo_burn_rate",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+               AS errors
+      FROM events GROUP BY date_trunc('hour', ts)),
+    w AS (
+      SELECT hour, total, errors,
+             CAST(sum(total) OVER l AS BIGINT) AS total_6h,
+             CAST(sum(errors) OVER l AS BIGINT) AS errors_6h
+      FROM h
+      WINDOW l AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING
+                   AND CURRENT ROW)),
+    b AS (
+      SELECT hour,
+             (100000000 * errors) // (total * 20) AS burn_short_micro,
+             (100000000 * errors_6h) // (total_6h * 20)
+               AS burn_long_micro
+      FROM w)
+    SELECT hour, CAST(burn_short_micro AS BIGINT) AS burn_short_micro,
+           CAST(burn_long_micro AS BIGINT) AS burn_long_micro,
+           CAST(CASE WHEN burn_short_micro >= 1000000
+                      AND burn_long_micro >= 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS page
+    FROM b
+    """,
+    description="SRE error-budget burn rate (SLO 80% non-error), "
+    "multi-window 1h/6h: burn = error_rate / budget in exact micro "
+    "units; page only when BOTH windows burn >= 1x (Google SRE "
+    "multi-window multi-burn alert)",
+    tags=("events", "sre", "monitoring"),
+)
+def evt_slo_burn_rate(spark, sf_dir):
+    """Multi-window error-budget burn-rate alerting.
+
+    The SRE workbook's recommended alert: page when the error budget
+    burns faster than 1× over BOTH a short and a long window — the
+    short window gives detection speed, the long one suppresses
+    flappy spikes.  One hour aggregation over the raw events, then a
+    6-row rolling sum over the HOURS frame (time-bounded state,
+    identical shape to the streaming sliding-window operator), and
+    exact integer burn ratios: budget is 20% here (synthetic corpus is
+    ~20% errors), so burn_micro = 1e6 · error_rate / 0.20 computed as
+    one integer division.
+    """
+    ev = keyed_events(spark, sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("bigint"))
+        .cast("bigint")
+        .alias("errors"),
+    )
+    from pyspark.sql import Window
+
+    l6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = h.select(
+        "hour",
+        "total",
+        "errors",
+        F.sum("total").over(l6).cast("bigint").alias("total_6h"),
+        F.sum("errors").over(l6).cast("bigint").alias("errors_6h"),
+    )
+    b = w.select(
+        "hour",
+        F.expr("(100000000 * errors) div (total * 20)").alias(
+            "burn_short_micro"
+        ),
+        F.expr("(100000000 * errors_6h) div (total_6h * 20)").alias(
+            "burn_long_micro"
+        ),
+    )
+    return b.select(
+        "hour",
+        "burn_short_micro",
+        "burn_long_micro",
+        F.when(
+            (F.col("burn_short_micro") >= 1000000)
+            & (F.col("burn_long_micro") >= 1000000),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("page"),
+    )
+
+
+@register(
+    "evt_alert_rules",
+    oracle="""
+    WITH rules(rule_id, metric, op, threshold) AS (VALUES
+      (1, 'n_events',  'gt', CAST(400 AS BIGINT)),
+      (2, 'sum_cents', 'gt', CAST(2500000 AS BIGINT)),
+      (3, 'n_users',   'lt', CAST(120 AS BIGINT)),
+      (4, 'max_cents', 'gt', CAST(5000000 AS BIGINT))),
+    m AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+    u AS (
+      SELECT event_type, day, 'n_events' AS metric, n_events AS val
+        FROM m
+      UNION ALL SELECT event_type, day, 'sum_cents', sum_cents FROM m
+      UNION ALL SELECT event_type, day, 'n_users', n_users FROM m
+      UNION ALL SELECT event_type, day, 'max_cents', max_cents FROM m),
+    fired AS (
+      SELECT r.rule_id, u.event_type, u.day, u.val, r.threshold
+      FROM u JOIN rules r ON r.metric = u.metric
+      WHERE (r.op = 'gt' AND u.val > r.threshold)
+         OR (r.op = 'lt' AND u.val < r.threshold))
+    SELECT CAST(rule_id AS BIGINT) AS rule_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_fired,
+           CAST(min(day) AS DATE) AS first_day,
+           CAST(max(day) AS DATE) AS last_day
+    FROM fired GROUP BY rule_id, event_type
+    """,
+    description="declarative alert-rule engine: literal (metric, op, "
+    "threshold) rules evaluated against per-(type, day) metrics via "
+    "unpivot + rule join — adding a rule is a data change, not a "
+    "query change",
+    tags=("events", "monitoring", "rules"),
+)
+def evt_alert_rules(spark, sf_dir):
+    """Rule-table-driven metric alerting.
+
+    Monitoring configs change much faster than code ships, so the
+    rules live in a TABLE (broadcast at runtime), not in the query:
+    computed metrics unpivot to (metric, value) rows and one join
+    against the rule table evaluates every rule — adding or retuning
+    a rule is an insert.  The metric pass is one (type, day) hash
+    aggregation; everything after runs on the days × types × metrics
+    frame, which is calendar-bounded.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    m = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_c").cast("bigint").alias("sum_cents"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.max("value_c").cast("bigint").alias("max_cents"),
+    )
+    u = m.selectExpr(
+        "event_type",
+        "day",
+        "stack(4, 'n_events', n_events, 'sum_cents', sum_cents, "
+        "'n_users', n_users, 'max_cents', max_cents) AS (metric, val)",
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "n_events", "gt", 400),
+            (2, "sum_cents", "gt", 2500000),
+            (3, "n_users", "lt", 120),
+            (4, "max_cents", "gt", 5000000),
+        ],
+        "rule_id int, metric string, op string, threshold long",
+    )
+    fired = u.join(F.broadcast(rules), "metric").filter(
+        ((F.col("op") == "gt") & (F.col("val") > F.col("threshold")))
+        | ((F.col("op") == "lt") & (F.col("val") < F.col("threshold")))
+    )
+    return fired.groupBy(
+        F.col("rule_id").cast("bigint").alias("rule_id"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fired"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+@register(
     "emb_dbscan_core_points",
     oracle="""
     WITH p AS (

@@ -170,6 +170,10 @@ BUDGETS = {
     "evt_rootcause_contributions": 2,
     # 9-cell probe equi-join + one neighbor-count agg
     "emb_dbscan_core_points": 1,
+    # hour agg; the 6h rolling window runs on the calendar-bounded
+    # hours frame (documented post-aggregation seam)
+    "evt_slo_burn_rate": 1,
+    "evt_alert_rules": 3,
 }
 
 
