@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "emb_dbscan_core_points",
     "evt_slo_burn_rate",
     "evt_alert_rules",
+    "evt_cohort_ltv_curve",
+    "evt_mtbf_mttr",
+    "doc_dataset_card",
 ]
 
 

@@ -205,6 +205,272 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "doc_dataset_card",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, fp) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+    med AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS median_chars
+      FROM r WHERE rn = (n + 1) // 2)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+             AS exact_dup_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((1000000 * sum(n_tokens)) // count(*) AS BIGINT)
+             AS tokens_per_doc_micro,
+           CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+           any_value(m.median_chars) AS median_chars
+    FROM d JOIN med m ON m.source = d.source
+    GROUP BY d.source
+    """,
+    description="datasheet-for-datasets card per source: doc/token/"
+    "char totals, exact-dup count, language mix, exact nearest-rank "
+    "median length — the one-row-per-source corpus summary",
+    tags=("documents", "profiling", "card"),
+)
+def doc_dataset_card(spark, sf_dir):
+    """Dataset card (Gebru et al., "Datasheets for Datasets") rollup.
+
+    The summary a corpus consumer reads before training: volume,
+    tokens, duplication, language mix, and length shape per source —
+    one labeled pass over the corpus, one source aggregation, plus an
+    exact nearest-rank median via a source-PARTITIONED ranking window
+    (ties broken by fingerprint so the rank row is unique).  At
+    100 TB the median window is the only per-doc ranked stage; swap
+    it for approxQuantile exactly as the split operator documents.
+    """
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fp"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "fp")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    med = r.filter(F.expr("rn = (n + 1) div 2")).select(
+        "source", F.col("n_chars").cast("bigint").alias("median_chars")
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("(1000000 * sum(n_tokens)) div count(1)").alias(
+            "tokens_per_doc_micro"
+        ),
+        F.sum((F.col("lang") == "en").cast("bigint"))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    return agg.join(med, "source")
+
+
+@register(
+    "evt_cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT e.user_id, f.cohort,
+             CAST(date_diff('week', f.cohort,
+                            date_trunc('week', e.ts)) AS BIGINT) AS age,
+             CAST(round(e.value * 100) AS BIGINT) AS v
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.value IS NOT NULL),
+    wk AS (
+      SELECT cohort, age,
+             CAST(sum(v) AS BIGINT) AS wv,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM v GROUP BY cohort, age),
+    c AS (
+      SELECT cohort, age, wv, active_users,
+             CAST(sum(wv) OVER (PARTITION BY cohort ORDER BY age)
+                  AS BIGINT) AS cum_value
+      FROM wk),
+    sz AS (SELECT cohort, count(*) AS n FROM f GROUP BY cohort)
+    SELECT c.cohort, c.age, c.wv, c.active_users, c.cum_value,
+           CAST(c.cum_value // sz.n AS BIGINT) AS cum_per_user
+    FROM c JOIN sz ON sz.cohort = c.cohort
+    """,
+    description="cohort LTV triangle: per (first-activity-week cohort, "
+    "age-in-weeks) value, actives, cumulative value, and exact "
+    "per-user cumulative — the growth-accounting revenue curve",
+    tags=("events", "analytics", "cohort"),
+)
+def evt_cohort_ltv_curve(spark, sf_dir):
+    """The cohort-revenue triangle behind every LTV model.
+
+    Cohort = first-activity week; age = weeks since.  The dataflow is
+    a first-touch aggregate joined back onto events (shuffle on
+    user_id, reused by the downstream per-user distinct), one
+    (cohort, age) aggregation, and a cumulative window PARTITIONED by
+    cohort over ages — the frame after the first agg is cohorts ×
+    ages, calendar-bounded.  ``cum_per_user`` divides by the FIXED
+    cohort size (not current actives), the convention that makes
+    curves comparable across cohorts; exact integer floor.
+    """
+    ev = keyed_events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort")
+    )
+    v = (
+        ev.filter(F.col("value").isNotNull())
+        .join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("age"),
+            F.col("value_c").alias("v"),
+        )
+    )
+    wk = v.groupBy("cohort", "age").agg(
+        F.sum("v").cast("bigint").alias("wv"),
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+    )
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy("cohort").orderBy("age")
+    c = wk.withColumn(
+        "cum_value", F.sum("wv").over(cw).cast("bigint")
+    )
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    return c.join(sz, "cohort").select(
+        "cohort",
+        "age",
+        "wv",
+        "active_users",
+        "cum_value",
+        F.expr("cum_value div n").alias("cum_per_user"),
+    )
+
+
+@register(
+    "evt_mtbf_mttr",
+    oracle="""
+    WITH mins AS (
+      SELECT DISTINCT date_trunc('minute', ts) AS m
+      FROM events WHERE event_type = 'error'),
+    isl AS (
+      SELECT m,
+             CAST(m AS TIMESTAMP)
+               - to_minutes(CAST(row_number() OVER (ORDER BY m) AS BIGINT))
+               AS grp
+      FROM mins),
+    ep AS (
+      SELECT grp, min(m) AS started, max(m) AS ended,
+             CAST(count(*) AS BIGINT) AS down_minutes
+      FROM isl GROUP BY grp),
+    seq AS (
+      SELECT started, ended, down_minutes,
+             lag(ended) OVER (ORDER BY started) AS prev_end
+      FROM ep)
+    SELECT CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(down_minutes) AS BIGINT) AS total_down_minutes,
+           CAST(max(down_minutes) AS BIGINT) AS worst_episode_minutes,
+           CAST(sum(down_minutes) // count(*) AS BIGINT)
+             AS mttr_minutes,
+           CAST(coalesce(sum(date_diff('minute', prev_end, started)),
+                         0) // greatest(count(*) - 1, 1) AS BIGINT)
+             AS mtbf_minutes
+    FROM seq
+    """,
+    description="reliability KPIs from error episodes: gaps-and-islands "
+    "over error minutes -> episode table -> MTTR (mean repair) and "
+    "MTBF (mean time between failures), exact integer minutes",
+    tags=("events", "sre", "reliability"),
+)
+def evt_mtbf_mttr(spark, sf_dir):
+    """MTTR / MTBF from the event stream.
+
+    Incident accounting without an incident tracker: any minute with
+    an error event is 'down'; consecutive down minutes form an
+    episode (the gaps-and-islands trick — row_number drift as the
+    island key, no iteration); MTTR averages episode lengths, MTBF
+    the recovery gaps between them.  The distinct-minute frame is
+    calendar-bounded, so everything past the first distinct is
+    window-over-tiny; output is one row of exact integer minutes.
+    """
+    ev = keyed_events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    mins = ev.select(
+        F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    from pyspark.sql import Window
+
+    o = Window.orderBy("m")
+    isl = mins.select(
+        "m",
+        (
+            F.col("m").cast("long")
+            - F.row_number().over(o).cast("long") * 60
+        ).alias("grp"),
+    )
+    ep = isl.groupBy("grp").agg(
+        F.min("m").alias("started"),
+        F.max("m").alias("ended"),
+        F.count(F.lit(1)).cast("bigint").alias("down_minutes"),
+    )
+    seq = ep.select(
+        "started",
+        "ended",
+        "down_minutes",
+        F.lag("ended").over(Window.orderBy("started")).alias("prev_end"),
+    )
+    gap_min = (
+        (F.col("started").cast("long") - F.col("prev_end").cast("long"))
+        / 60
+    ).cast("bigint")
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.sum("down_minutes").cast("bigint").alias("total_down_minutes"),
+        F.max("down_minutes").cast("bigint").alias("worst_episode_minutes"),
+        F.expr("sum(down_minutes) div count(1)").alias("mttr_minutes"),
+        (
+            F.coalesce(F.sum(gap_min), F.lit(0))
+            / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("mtbf_minutes"),
+    )
+
+
+@register(
     "evt_slo_burn_rate",
     oracle="""
     WITH h AS (
