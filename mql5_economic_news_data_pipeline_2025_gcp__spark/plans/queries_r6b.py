@@ -340,9 +340,11 @@ def evt_cohort_ltv_curve(spark, sf_dir):
     curves comparable across cohorts; exact integer floor.
     """
     ev = keyed_events(spark, sf_dir)
+    # first-touch frame feeds the cohort join AND the cohort-size agg —
+    # checkpoint so the user_id aggregation runs once
     f = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort")
-    )
+    ).localCheckpoint(eager=False)
     v = (
         ev.filter(F.col("value").isNotNull())
         .join(f, "user_id")

@@ -174,7 +174,9 @@ BUDGETS = {
     # hours frame (documented post-aggregation seam)
     "evt_slo_burn_rate": 1,
     "evt_alert_rules": 3,
-    "evt_cohort_ltv_curve": 6,
+    # checkpointed first-touch frame: cohort join + (cohort,age) agg +
+    # cumulative window + size join
+    "evt_cohort_ltv_curve": 4,
     # distinct error-minutes agg; the island/lag windows run on the
     # calendar-bounded minutes frame
     "evt_mtbf_mttr": 1,
