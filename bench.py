@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "evt_cohort_ltv_curve",
     "evt_mtbf_mttr",
     "doc_dataset_card",
+    "emb_ivf_incremental_assign",
+    "evt_ordering_audit",
 ]
 
 

@@ -205,6 +205,145 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_ivf_incremental_assign",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                        c.cid ASC) AS rnk
+      FROM v JOIN cents c ON true),
+    cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+    split AS (
+      SELECT vec_id, cell,
+             CASE WHEN vec_id < 400 THEN 'base' ELSE 'delta' END AS gen
+      FROM cell)
+    SELECT cell,
+           CAST(count(*) FILTER (gen = 'base') AS BIGINT) AS n_base,
+           CAST(count(*) FILTER (gen = 'delta') AS BIGINT) AS n_delta,
+           CAST((1000000 * count(*) FILTER (gen = 'delta'))
+                // greatest(count(*) FILTER (gen = 'base'), 1)
+                AS BIGINT) AS growth_micro
+    FROM split GROUP BY cell
+    """,
+    description="incremental IVF maintenance audit: new vectors "
+    "(vec_id >= 400) assigned to the EXISTING cells, per-cell "
+    "base/delta occupancy and growth ratio — when growth skews, the "
+    "index needs re-clustering",
+    tags=("embeddings", "similarity", "ivf", "maintenance"),
+)
+def emb_ivf_incremental_assign(spark, sf_dir):
+    """Index upkeep without a rebuild: assign the delta, watch skew.
+
+    Production ANN indexes ingest continuously but re-cluster rarely —
+    new vectors are assigned to the EXISTING coarse cells (map-only
+    broadcast argmax, the same expression the query path uses) and the
+    per-cell growth ratio is the re-clustering trigger: uniform growth
+    means the old centroids still fit the distribution; skewed growth
+    (one cell absorbing the drift) is the signal to retrain.  One
+    broadcast assignment pass + one cell aggregation.
+    """
+    from ..operators.similarity import ivf_assign
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = ivf_assign(vecs, centroids)
+    split = cells.select(
+        "cell",
+        F.when(F.col("vec_id") < 400, "base").otherwise("delta").alias(
+            "gen"
+        ),
+    )
+    nb = F.sum((F.col("gen") == "base").cast("bigint")).cast("bigint")
+    nd = F.sum((F.col("gen") == "delta").cast("bigint")).cast("bigint")
+    return (
+        split.groupBy("cell")
+        .agg(nb.alias("n_base"), nd.alias("n_delta"))
+        .select(
+            "cell",
+            "n_base",
+            "n_delta",
+            F.expr(
+                "(1000000 * n_delta) div greatest(n_base, CAST(1 AS BIGINT))"
+            ).alias("growth_micro"),
+        )
+    )
+
+
+@register(
+    "evt_ordering_audit",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY event_type
+                           ORDER BY event_id) AS prev_ts
+      FROM events),
+    d AS (
+      SELECT event_type,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN 1 ELSE 0 END AS ooo,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN date_diff('second', ts, prev_ts)
+                  ELSE 0 END AS late_s
+      FROM s)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(ooo) AS BIGINT) AS n_out_of_order,
+           CAST((1000000 * sum(ooo)) // count(*) AS BIGINT)
+             AS ooo_micro,
+           CAST(max(late_s) AS BIGINT) AS max_lateness_s
+    FROM d GROUP BY event_type
+    """,
+    description="ingestion ordering audit: out-of-order rate and max "
+    "lateness per event_type, comparing arrival order (event_id) "
+    "against event time — the number that sizes streaming watermarks",
+    tags=("events", "quality", "ingestion"),
+)
+def evt_ordering_audit(spark, sf_dir):
+    """How disordered is the stream? (The watermark-sizing question.)
+
+    Streaming state retention is a bet on how late data arrives; this
+    audit measures it from history: within each type, compare event
+    time against arrival order (event_id) — every inversion is a
+    late arrival, and the max inversion depth is the empirical bound
+    a watermark must cover.  One partitioned lag window + one
+    aggregation, all JVM-side.
+    """
+    ev = keyed_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    s = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    ooo = (
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    ).cast("bigint")
+    late = F.when(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")),
+        F.col("prev_ts").cast("long") - F.col("ts").cast("long"),
+    ).otherwise(0)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(ooo).cast("bigint").alias("n_out_of_order"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts "
+            "THEN 1 ELSE 0 END)) div count(1)"
+        ).alias("ooo_micro"),
+        F.max(late).cast("bigint").alias("max_lateness_s"),
+    )
+
+
+@register(
     "doc_dataset_card",
     oracle=r"""
     WITH d AS (

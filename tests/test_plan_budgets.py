@@ -181,6 +181,8 @@ BUDGETS = {
     # calendar-bounded minutes frame
     "evt_mtbf_mttr": 1,
     "doc_dataset_card": 3,
+    "emb_ivf_incremental_assign": 2,
+    "evt_ordering_audit": 1,
 }
 
 
