@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "doc_dataset_card",
     "emb_ivf_incremental_assign",
     "evt_ordering_audit",
+    "evt_watermark_curve",
+    "doc_filter_waterfall",
 ]
 
 

@@ -205,6 +205,187 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_watermark_curve",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type
+                           ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events),
+    sweep AS (SELECT unnest([0, 60, 300, 900]) AS delay_s),
+    d AS (
+      SELECT s.event_type, w.delay_s,
+             CASE WHEN s.ts < s.high_water
+                            - to_seconds(CAST(w.delay_s AS BIGINT))
+                  THEN 1 ELSE 0 END AS dropped
+      FROM s, sweep w)
+    SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST((1000000 * sum(dropped)) // count(*) AS BIGINT)
+             AS dropped_micro
+    FROM d GROUP BY event_type, delay_s
+    """,
+    description="watermark tuning curve: events a streaming job with "
+    "delay d would drop as late (ts < running-max event time - d), "
+    "swept over d in {0, 60, 300, 900}s — the state-size vs "
+    "completeness trade read off history",
+    tags=("events", "streaming", "tuning"),
+)
+def evt_watermark_curve(spark, sf_dir):
+    """What would a watermark of d seconds have dropped?
+
+    The other half of ``evt_ordering_audit``: replay history in
+    arrival order (event_id), track the running-max event time — which
+    is EXACTLY the watermark clock Structured Streaming keeps — and
+    count, per candidate delay, the events arriving below it.  The
+    sweep is a 4-row broadcast cross join over one partitioned
+    running-max window; the output curve is what you read before
+    choosing ``withWatermark``'s delay: completeness at d=0/60/300/900
+    versus the state those delays retain.
+    """
+    ev = keyed_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    sweep = spark.createDataFrame(
+        [(0,), (60,), (300,), (900,)], "delay_s long"
+    )
+    d = s.crossJoin(F.broadcast(sweep)).select(
+        "event_type",
+        "delay_s",
+        F.when(
+            F.col("ts").cast("long")
+            < F.col("high_water").cast("long") - F.col("delay_s"),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return d.groupBy("event_type", "delay_s").agg(
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.expr("(1000000 * sum(dropped)) div count(1)").alias(
+            "dropped_micro"
+        ),
+    )
+
+
+@register(
+    "doc_filter_waterfall",
+    oracle=r"""
+    WITH d AS (
+      SELECT n_chars, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS fp_rn
+      FROM documents),
+    flags AS (
+      SELECT CASE WHEN n_chars >= 80 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN n_tok >= 12 THEN 1 ELSE 0 END AS f_tok,
+             CASE WHEN fp_rn = 1 THEN 1 ELSE 0 END AS f_dedup
+      FROM d),
+    stages AS (
+      SELECT 0 AS stage, 'raw' AS name, count(*) AS survivors
+        FROM flags
+      UNION ALL SELECT 1, 'min_length', sum(f_len) FROM flags
+      UNION ALL SELECT 2, '+english',
+        sum(f_len * f_lang) FROM flags
+      UNION ALL SELECT 3, '+min_tokens',
+        sum(f_len * f_lang * f_tok) FROM flags
+      UNION ALL SELECT 4, '+exact_dedup',
+        sum(f_len * f_lang * f_tok * f_dedup) FROM flags)
+    SELECT CAST(stage AS BIGINT) AS stage, name,
+           CAST(survivors AS BIGINT) AS survivors,
+           CAST((1000000 * survivors) // max(survivors) OVER ()
+                AS BIGINT) AS survival_micro
+    FROM stages
+    """,
+    description="corpus-cleaning waterfall: survivors after each "
+    "cumulative filter stage (length -> english -> token floor -> "
+    "exact dedup) in ONE labeled pass — the ablation table every "
+    "data-curation report leads with",
+    tags=("documents", "quality", "pipeline"),
+)
+def doc_filter_waterfall(spark, sf_dir):
+    """Filter-stack ablation in a single pass.
+
+    Every curation writeup reports 'we started with N docs, length
+    filtering kept X%, language Y%, dedup Z%'.  Running the stack
+    once per stage re-scans the corpus k times; instead each doc gets
+    ALL its stage flags in one projection (the dedup flag is a
+    fingerprint-partitioned row_number — keep-first semantics, same
+    as the exact-dedup operator) and every stage count is a product
+    aggregation over the flag columns.  One scan, one aggregation,
+    k output rows.
+    """
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    d = docs.select(
+        "n_chars",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tok"
+        ),
+        fp.alias("fp"),
+        "doc_id",
+    ).withColumn(
+        "fp_rn",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    )
+    flags = d.select(
+        (F.col("n_chars") >= 80).cast("bigint").alias("f_len"),
+        (F.col("lang") == "en").cast("bigint").alias("f_lang"),
+        (F.col("n_tok") >= 12).cast("bigint").alias("f_tok"),
+        (F.col("fp_rn") == 1).cast("bigint").alias("f_dedup"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("f_len").alias("s1"),
+        F.sum(F.col("f_len") * F.col("f_lang")).alias("s2"),
+        F.sum(
+            F.col("f_len") * F.col("f_lang") * F.col("f_tok")
+        ).alias("s3"),
+        F.sum(
+            F.col("f_len")
+            * F.col("f_lang")
+            * F.col("f_tok")
+            * F.col("f_dedup")
+        ).alias("s4"),
+    )
+    stages = agg.selectExpr(
+        "stack(5, CAST(0 AS BIGINT), 'raw', CAST(s0 AS BIGINT), "
+        "CAST(1 AS BIGINT), 'min_length', CAST(s1 AS BIGINT), "
+        "CAST(2 AS BIGINT), '+english', CAST(s2 AS BIGINT), "
+        "CAST(3 AS BIGINT), '+min_tokens', CAST(s3 AS BIGINT), "
+        "CAST(4 AS BIGINT), '+exact_dedup', CAST(s4 AS BIGINT)) "
+        "AS (stage, name, survivors)"
+    )
+    return stages.select(
+        "stage",
+        "name",
+        "survivors",
+        F.expr(
+            "(1000000 * survivors) div max(survivors) OVER ()"
+        ).alias("survival_micro"),
+    )
+
+
+@register(
     "emb_ivf_incremental_assign",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

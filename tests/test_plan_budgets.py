@@ -183,6 +183,8 @@ BUDGETS = {
     "doc_dataset_card": 3,
     "emb_ivf_incremental_assign": 2,
     "evt_ordering_audit": 1,
+    "evt_watermark_curve": 1,
+    "doc_filter_waterfall": 1,
 }
 
 
