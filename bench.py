@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "evt_ordering_audit",
     "evt_watermark_curve",
     "doc_filter_waterfall",
+    "emb_mmd_drift",
+    "evt_sequential_boundary",
 ]
 
 

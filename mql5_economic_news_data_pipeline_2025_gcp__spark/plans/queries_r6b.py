@@ -205,6 +205,216 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_mmd_drift",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding::DOUBLE[], 1) AS d,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT)
+               AS x,
+             CASE WHEN vec_id < 400 THEN 'a' ELSE 'b' END AS gen
+      FROM embeddings),
+    st AS (
+      SELECT label, d,
+             CAST(sum(CASE WHEN gen = 'a' THEN x ELSE 0 END)
+                  AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN gen = 'b' THEN x ELSE 0 END)
+                  AS BIGINT) AS sb,
+             CAST(count(*) FILTER (gen = 'a') AS BIGINT) AS na,
+             CAST(count(*) FILTER (gen = 'b') AS BIGINT) AS nb
+      FROM ve GROUP BY label, d)
+    SELECT label,
+           CAST(any_value(na) AS BIGINT) AS n_base,
+           CAST(any_value(nb) AS BIGINT) AS n_delta,
+           CAST(sum((nb * sa - na * sb) * (nb * sa - na * sb))
+                AS BIGINT) AS mmd2_num,
+           CAST(any_value(na * na * nb * nb) AS BIGINT) AS mmd2_den
+    FROM st GROUP BY label
+    """,
+    description="linear-kernel MMD (squared distance between base and "
+    "delta mean embeddings) per label, as an exact integer "
+    "numerator/denominator pair — the embedding-drift two-sample "
+    "statistic",
+    tags=("embeddings", "drift", "stats"),
+)
+def emb_mmd_drift(spark, sf_dir):
+    """Embedding-distribution drift between index generations.
+
+    Linear-kernel MMD² reduces to ‖μ_base − μ_delta‖² — the cheapest
+    two-sample statistic that still catches mean drift per class, and
+    the one that runs as pure aggregation: per-(label, dim) sums for
+    both generations in ONE labeled pass, then the cross-multiplied
+    integer form ``Σ_d (n_b·Σa_d − n_a·Σb_d)²`` so no division happens
+    before the final exact numerator/denominator output (consumer
+    divides off-engine).  Partner to ``emb_ivf_incremental_assign``:
+    occupancy skew says the INDEX moved, MMD says the DATA moved.
+    """
+    ve = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d0", "xd"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("d0") + 1).alias("d"),
+            F.round(F.col("xd") * 1000).cast("bigint").alias("x"),
+            F.when(F.col("vec_id") < 400, "a").otherwise("b").alias("gen"),
+        )
+    )
+    st = ve.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("gen") == "a", F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("gen") == "b", F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum((F.col("gen") == "a").cast("bigint"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum((F.col("gen") == "b").cast("bigint"))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    diff = F.col("nb") * F.col("sa") - F.col("na") * F.col("sb")
+    return st.groupBy("label").agg(
+        F.first("na").cast("bigint").alias("n_base"),
+        F.first("nb").cast("bigint").alias("n_delta"),
+        F.sum(diff * diff).cast("bigint").alias("mmd2_num"),
+        F.first(
+            F.col("na") * F.col("na") * F.col("nb") * F.col("nb")
+        )
+        .cast("bigint")
+        .alias("mmd2_den"),
+    )
+
+
+@register(
+    "evt_sequential_boundary",
+    oracle="""
+    WITH bounds(interim, c2_num) AS (VALUES
+      (1, CAST(9 AS BIGINT)), (2, CAST(6 AS BIGINT)),
+      (3, CAST(5 AS BIGINT)), (4, CAST(4 AS BIGINT))),
+    a AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 7 THEN 1
+                  WHEN day(ts) <= 14 THEN 2
+                  WHEN day(ts) <= 21 THEN 3 ELSE 4 END AS interim,
+             CASE WHEN ('0x' || substr(md5('exp42:'
+                          || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 50
+                  THEN 1 ELSE 0 END AS in_control
+      FROM events),
+    cum AS (
+      SELECT event_type, i.interim,
+             CAST(sum(CASE WHEN a.interim <= i.interim
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a.interim <= i.interim
+                           THEN a.in_control ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM a, (SELECT DISTINCT interim FROM bounds) i
+      GROUP BY event_type, i.interim),
+    z AS (
+      SELECT c.event_type, c.interim, c.n, c.e,
+             (2 * c.e - c.n) * (2 * c.e - c.n) AS z2_num,
+             b.c2_num * c.n AS crit
+      FROM cum c JOIN bounds b ON b.interim = c.interim)
+    SELECT event_type,
+           CAST(min(CASE WHEN z2_num >= crit THEN interim END)
+                AS BIGINT) AS first_crossing,
+           CAST(max(CASE WHEN interim = 4 THEN z2_num END)
+                AS BIGINT) AS final_z2_num,
+           CAST(max(CASE WHEN interim = 4 THEN n END) AS BIGINT)
+             AS final_n
+    FROM z GROUP BY event_type
+    """,
+    description="group-sequential SRM monitoring: cumulative "
+    "(2e - n)^2 vs literal O'Brien-Fleming-style shrinking critical "
+    "values at 4 weekly interims; first boundary crossing per type — "
+    "exact integers, no normal CDF",
+    tags=("events", "experiment", "sequential"),
+)
+def evt_sequential_boundary(spark, sf_dir):
+    """Peeking correctly: group-sequential boundaries in integers.
+
+    Interim-analysis peeking inflates false positives unless each look
+    pays a stricter critical value; O'Brien-Fleming-style boundaries
+    shrink over the four weekly interims (literal c² values 9, 6, 5, 4
+    ≈ z of 3.0/2.45/2.24/2.0).  The statistic stays integer by
+    cross-multiplying: cross iff ``(2e − n)² ≥ c²·n`` — no normal CDF,
+    no floats, so the whole monitor is two aggregations (a 4-row
+    interim sweep over one labeled pass) plus a literal join.
+    Assignment reuses ``evt_ab_assignment``'s salted hash.
+    """
+    ev = keyed_events(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    interim = (
+        F.when(F.dayofmonth("ts") <= 7, 1)
+        .when(F.dayofmonth("ts") <= 14, 2)
+        .when(F.dayofmonth("ts") <= 21, 3)
+        .otherwise(4)
+    )
+    a = ev.select(
+        "event_type",
+        interim.alias("interim"),
+        (bucket < 50).cast("bigint").alias("in_control"),
+    )
+    sweep = spark.createDataFrame(
+        [(1, 9), (2, 6), (3, 5), (4, 4)], "interim long, c2_num long"
+    )
+    cum = (
+        a.crossJoin(
+            F.broadcast(sweep.select(F.col("interim").alias("look")))
+        )
+        .filter(F.col("interim") <= F.col("look"))
+        .groupBy("event_type", F.col("look").alias("interim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("in_control").cast("bigint").alias("e"),
+        )
+    )
+    z = cum.join(F.broadcast(sweep), "interim").select(
+        "event_type",
+        "interim",
+        "n",
+        "e",
+        (
+            (2 * F.col("e") - F.col("n")) * (2 * F.col("e") - F.col("n"))
+        ).alias("z2_num"),
+        (F.col("c2_num") * F.col("n")).alias("crit"),
+    )
+    return z.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("z2_num") >= F.col("crit"), F.col("interim"))
+        )
+        .cast("bigint")
+        .alias("first_crossing"),
+        F.max(F.when(F.col("interim") == 4, F.col("z2_num")))
+        .cast("bigint")
+        .alias("final_z2_num"),
+        F.max(F.when(F.col("interim") == 4, F.col("n")))
+        .cast("bigint")
+        .alias("final_n"),
+    )
+
+
+@register(
     "evt_watermark_curve",
     oracle="""
     WITH s AS (

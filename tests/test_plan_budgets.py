@@ -185,6 +185,8 @@ BUDGETS = {
     "evt_ordering_audit": 1,
     "evt_watermark_curve": 1,
     "doc_filter_waterfall": 1,
+    "emb_mmd_drift": 2,
+    "evt_sequential_boundary": 2,
 }
 
 
