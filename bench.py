@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "doc_filter_waterfall",
     "emb_mmd_drift",
     "evt_sequential_boundary",
+    "evt_bandit_replay",
 ]
 
 

@@ -204,6 +204,189 @@ def doc_cdc_chunks(spark, sf_dir):
     )
 
 
+#: Bandit-replay policy pieces, generated once and shared verbatim by
+#: the oracle SQL and (in spirit) the Python twin below: 5 arms in
+#: fixed order; greedy argmax by exact cross-multiplied win-rate
+#: compare (unplayed arms first, ties to the lower index), overridden
+#: by deterministic round-robin exploration on every 5th step.
+_BR_ARMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _bandit_oracle() -> str:
+    K = len(_BR_ARMS)
+
+    def gt(k, j):
+        return (
+            f"((q.p{k} = 0 AND q.p{j} > 0) OR (q.p{k} > 0 AND q.p{j} > 0 "
+            f"AND q.w{k} * q.p{j} > q.w{j} * q.p{k}))"
+        )
+
+    def ge(k, j):
+        return (
+            f"((q.p{k} = 0) OR (q.p{k} > 0 AND q.p{j} > 0 "
+            f"AND q.w{k} * q.p{j} >= q.w{j} * q.p{k}))"
+        )
+
+    wins = []
+    for k in range(K):
+        terms = [gt(k, j) for j in range(k)] + [
+            ge(k, j) for j in range(k + 1, K)
+        ]
+        wins.append(" AND ".join(terms))
+    greedy = (
+        "CASE "
+        + " ".join(
+            f"WHEN {w} THEN '{arm}'" for w, arm in zip(wins, _BR_ARMS)
+        )
+        + " END"
+    )
+    explore = (
+        "CASE ((q.step // 5) % 5) "
+        + " ".join(
+            f"WHEN {k} THEN '{arm}'" for k, arm in enumerate(_BR_ARMS)
+        )
+        + " END"
+    )
+    chosen = (
+        f"CASE WHEN q.step % 5 = 0 THEN {explore} ELSE {greedy} END"
+    )
+    upd = []
+    for k, arm in enumerate(_BR_ARMS):
+        m = f"(c.chosen = c.arm AND c.arm = '{arm}')"
+        upd.append(f"c.p{k} + CASE WHEN {m} THEN 1 ELSE 0 END AS p{k}")
+        upd.append(f"c.w{k} + CASE WHEN {m} THEN c.r ELSE 0 END AS w{k}")
+    upd.append(
+        "c.matched + CASE WHEN c.chosen = c.arm THEN 1 ELSE 0 END AS matched"
+    )
+    upd.append(
+        "c.reward + CASE WHEN c.chosen = c.arm THEN c.r ELSE 0 END AS reward"
+    )
+    zero = ", ".join(
+        f"CAST(0 AS BIGINT) AS p{k}, CAST(0 AS BIGINT) AS w{k}"
+        for k in range(K)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT '{a}' AS arm, p{k} AS pulls, w{k} AS wins FROM fin"
+        for k, a in enumerate(_BR_ARMS)
+    )
+    return f"""
+    WITH RECURSIVE
+    ev AS MATERIALIZED (
+      SELECT event_type AS arm,
+             CASE WHEN value IS NOT NULL AND value > 100
+                  THEN 1 ELSE 0 END AS r,
+             row_number() OVER (ORDER BY event_id) AS t
+      FROM events WHERE event_id < 2000),
+    walk AS (
+      SELECT 0 AS t, {zero},
+             CAST(0 AS BIGINT) AS matched, CAST(0 AS BIGINT) AS reward
+      UNION ALL
+      SELECT c.step, {", ".join(upd)}
+      FROM (
+        SELECT q.step, q.arm, q.r,
+               {", ".join(f"q.p{k}, q.w{k}" for k in range(K))},
+               q.matched, q.reward, {chosen} AS chosen
+        FROM (SELECT h.*, i.arm, i.r, i.t AS step
+              FROM walk h JOIN ev i ON i.t = h.t + 1) q) c),
+    fin AS (SELECT * FROM walk WHERE t = (SELECT count(*) FROM ev))
+    SELECT arm, CAST(pulls AS BIGINT) AS pulls,
+           CAST(wins AS BIGINT) AS wins
+    FROM ({unions}
+          UNION ALL SELECT '_replay', matched, reward FROM fin)
+    """
+
+
+@register(
+    "evt_bandit_replay",
+    oracle=_bandit_oracle(),
+    description="offline bandit policy evaluation by replay (Li et "
+    "al. 2011): epsilon-greedy policy (exact-fraction argmax, "
+    "round-robin exploration every 5th step) replayed over the first "
+    "2000 logged events; per-arm pulls/wins plus matched count and "
+    "replay reward — oracle walks the sequence as a recursive CTE "
+    "with flat pairwise-win argmax",
+    tags=("events", "bandit", "replay", "iterative"),
+)
+def evt_bandit_replay(spark, sf_dir):
+    """Counterfactual policy evaluation from logged data.
+
+    The replay estimator: walk the log in arrival order; wherever the
+    candidate policy's choice AGREES with the logged action, count the
+    event and its reward and update the policy's state — an unbiased
+    offline estimate of the policy's online value when logging was
+    uniform.  The recursion is inherently sequential (each choice
+    conditions on everything matched so far), so the engine runs the
+    capped 2000-event replay in a single-group ``applyInPandas`` (the
+    cap is the documented eval-harness bound; scaling comes from
+    replaying MANY candidate policies/segments in parallel groups,
+    not from one longer sequence).
+
+    Determinism: rewards are 0/1 (value > 100), win-rate argmax
+    compares by integer cross-multiplication (unplayed arms first,
+    ties to the fixed arm order), exploration is a deterministic
+    round-robin every 5th step.  The oracle's flat pairwise-win CASE
+    avoids the exponential expression blow-up a nested argmax fold
+    hits (measured: 9.6 s vs >120 s for 2000 steps).
+    """
+    import pandas as pd
+
+    ev = (
+        keyed_events(spark, sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.col("event_type").alias("arm"),
+            F.when(
+                F.col("value").isNotNull() & (F.col("value") > 100), 1
+            )
+            .otherwise(0)
+            .alias("r"),
+            F.lit(1).alias("g"),
+        )
+    )
+    arms = _BR_ARMS
+
+    def _replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        p = [0] * 5
+        w = [0] * 5
+        matched = reward = 0
+        for step, (arm, r) in enumerate(
+            zip(pdf["arm"], pdf["r"]), start=1
+        ):
+            if step % 5 == 0:
+                choice = arms[(step // 5) % 5]
+            else:
+                best = 0
+                for k in range(1, 5):
+                    # k beats best? unplayed first; exact fractions;
+                    # ties to the lower index
+                    if p[k] == 0 and p[best] > 0:
+                        best = k
+                    elif p[k] > 0 and p[best] > 0 and (
+                        w[k] * p[best] > w[best] * p[k]
+                    ):
+                        best = k
+                choice = arms[best]
+            if choice == arm:
+                k = arms.index(arm)
+                p[k] += 1
+                w[k] += int(r)
+                matched += 1
+                reward += int(r)
+        return pd.DataFrame(
+            {
+                "arm": arms + ["_replay"],
+                "pulls": p + [matched],
+                "wins": w + [reward],
+            }
+        )
+
+    return ev.groupBy("g").applyInPandas(
+        _replay, schema="arm string, pulls long, wins long"
+    )
+
+
 @register(
     "emb_mmd_drift",
     oracle="""

@@ -187,6 +187,8 @@ BUDGETS = {
     "doc_filter_waterfall": 1,
     "emb_mmd_drift": 2,
     "evt_sequential_boundary": 2,
+    # single-group replay: one exchange into the Arrow seam
+    "evt_bandit_replay": 1,
 }
 
 
