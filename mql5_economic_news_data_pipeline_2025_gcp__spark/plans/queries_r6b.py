@@ -553,23 +553,30 @@ def evt_sequential_boundary(spark, sf_dir):
         .when(F.dayofmonth("ts") <= 21, 3)
         .otherwise(4)
     )
+    # aggregate FIRST (one pass over raw events), then run the interim
+    # sweep on the tiny (type, interim) frame — cross-joining the sweep
+    # against raw rows would 4x the scan for nothing
     a = ev.select(
         "event_type",
         interim.alias("interim"),
         (bucket < 50).cast("bigint").alias("in_control"),
+    ).groupBy("event_type", "interim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum("in_control").cast("bigint").alias("de"),
     )
     sweep = spark.createDataFrame(
         [(1, 9), (2, 6), (3, 5), (4, 4)], "interim long, c2_num long"
     )
     cum = (
-        a.crossJoin(
+        a.withColumnRenamed("interim", "at")
+        .crossJoin(
             F.broadcast(sweep.select(F.col("interim").alias("look")))
         )
-        .filter(F.col("interim") <= F.col("look"))
+        .filter(F.col("at") <= F.col("look"))
         .groupBy("event_type", F.col("look").alias("interim"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("in_control").cast("bigint").alias("e"),
+            F.sum("dn").cast("bigint").alias("n"),
+            F.sum("de").cast("bigint").alias("e"),
         )
     )
     z = cum.join(F.broadcast(sweep), "interim").select(

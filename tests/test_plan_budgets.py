@@ -186,7 +186,10 @@ BUDGETS = {
     "evt_watermark_curve": 1,
     "doc_filter_waterfall": 1,
     "emb_mmd_drift": 2,
-    "evt_sequential_boundary": 2,
+    # pre-agg pass + sweep agg + final per-type agg (the extra exchange
+    # buys a 4x smaller scan: the sweep joins the 20-row frame, not raw
+    # events)
+    "evt_sequential_boundary": 3,
     # single-group replay: one exchange into the Arrow seam
     "evt_bandit_replay": 1,
 }
