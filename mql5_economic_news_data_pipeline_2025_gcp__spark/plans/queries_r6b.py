@@ -1832,30 +1832,85 @@ def emb_ivf_nprobe_curve(spark, sf_dir):
     candidate generation is the banded cell equi-join, never all-pairs;
     only the 10-query eval truth is brute-force by design.
     """
-    from ..operators.similarity import cosine_topk, ivf_topk
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine, cosine_topk
 
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
     centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"),
+        F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    parts = []
-    for p in (1, 2, 3, 4):
-        parts.append(
-            ivf_topk(emb, queries, centroids, k=5, nprobe=p).select(
-                F.lit(p).cast("bigint").alias("nprobe"),
-                "query_id",
-                "neighbor_id",
-            )
+    # one centroid-ranking pass serves BOTH cell assignment (rnk = 1)
+    # and the probe lists for every sweep point (rnk <= p) — the naive
+    # form (one ivf_topk branch per p) re-scored candidates 4x
+    ranked = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("_sim").desc(), F.col("cid").asc()
+                )
+            ),
         )
-    ivf = parts[0]
-    for part in parts[1:]:
-        ivf = ivf.unionAll(part)
-    hits = ivf.join(exact, ["query_id", "neighbor_id"])
+        .select("vec_id", "v", "cid", "rnk")
+        .localCheckpoint(eager=False)
+    )
+    cells = ranked.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("cid").alias("cell"),
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("rnk") <= 4)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("cell"),
+        F.col("rnk").alias("probe_rnk"),
+    )
+    # score each (query, candidate) ONCE at the widest sweep point;
+    # narrower nprobes are probe-rank filters over the same scores
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rnk",
+            F.col("nid").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sweep = spark.range(1, 5).select(F.col("id").alias("nprobe"))
+    per_p = (
+        scored.join(
+            F.broadcast(sweep), scored["probe_rnk"] <= sweep["nprobe"]
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "query_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+    exact = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    hits = per_p.join(exact, ["query_id", "neighbor_id"])
     return hits.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("bigint").alias("hits"),
         F.expr("(1000000 * count(1)) div 50").alias("recall_micro"),

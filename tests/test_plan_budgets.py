@@ -160,9 +160,10 @@ BUDGETS = {
     "evt_activity_bitmaps": 2,
     "evt_behavior_cohorts": 2,
     "evt_props_variant": 1,
-    # nprobe sweep: one IVF branch per probed-cell count by
-    # construction (cf. doc_lsh_tuning_curve's 13)
-    "emb_ivf_nprobe_curve": 8,
+    # single centroid-ranking pass + single candidate scoring pass;
+    # sweep points are probe-rank filters over the same scores (was 8
+    # exchanges as 4 independent IVF branches; 2.3x faster at sf0.1)
+    "emb_ivf_nprobe_curve": 5,
     # iterative rank rounds end on a localCheckpoint boundary
     "doc_textrank_keywords": 0,
     # checkpointed (order, part) frame: freq agg + pair agg + top-k
