@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "emb_mmd_drift",
     "evt_sequential_boundary",
     "evt_bandit_replay",
+    "evt_next_event_prediction",
 ]
 
 

@@ -204,6 +204,109 @@ def doc_cdc_chunks(spark, sf_dir):
     )
 
 
+@register(
+    "evt_next_event_prediction",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    labeled AS (
+      SELECT user_id, event_type, next_type,
+             CASE WHEN day(ts) <= 15 THEN 'train' ELSE 'test' END
+               AS split
+      FROM s WHERE next_type IS NOT NULL),
+    counts AS (
+      SELECT event_type, next_type, count(*) AS c
+      FROM labeled WHERE split = 'train'
+      GROUP BY event_type, next_type),
+    model AS (
+      SELECT event_type, next_type AS pred
+      FROM (
+        SELECT event_type, next_type,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY c DESC, next_type ASC) AS rnk
+        FROM counts)
+      WHERE rnk = 1)
+    SELECT l.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN l.next_type = m.pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((1000000 * sum(CASE WHEN l.next_type = m.pred
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS accuracy_micro,
+           any_value(m.pred) AS predicted_type
+    FROM labeled l JOIN model m ON m.event_type = l.event_type
+    WHERE l.split = 'test'
+    GROUP BY l.event_type
+    """,
+    description="next-event prediction eval, end to end: temporal "
+    "train/test split, bigram-argmax model fit on the first half, "
+    "top-1 accuracy per current type on the second — the minimal "
+    "train-predict-score loop as pure relational ops",
+    tags=("events", "ml", "eval"),
+)
+def evt_next_event_prediction(spark, sf_dir):
+    """A complete (tiny) ML loop with no ML library.
+
+    Fit on the past, score on the future: per-user next-event pairs
+    from ONE lead window, a temporal split (no leakage — the model
+    only sees first-half transitions), the argmax-bigram model as a
+    |types|² count aggregate, and test accuracy via a broadcast join
+    of the 5-row model.  The shape matters more than the model: this
+    is the same partition-train-broadcast-score dataflow the routed
+    pandas-UDF inference islands use, expressed entirely in
+    aggregates — swap the counts CTE for a real learner and nothing
+    downstream changes.
+    """
+    ev = keyed_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    labeled = s.select(
+        "event_type",
+        "next_type",
+        F.when(F.dayofmonth("ts") <= 15, "train")
+        .otherwise("test")
+        .alias("split"),
+    ).localCheckpoint(eager=False)
+    counts = (
+        labeled.filter(F.col("split") == "train")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mw = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("next_type")
+    )
+    model = (
+        counts.withColumn("rnk", F.row_number().over(mw))
+        .filter(F.col("rnk") == 1)
+        .select("event_type", F.col("next_type").alias("pred"))
+    )
+    test = labeled.filter(F.col("split") == "test")
+    hit = (F.col("next_type") == F.col("pred")).cast("bigint")
+    return (
+        test.join(F.broadcast(model), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN next_type = pred THEN 1 "
+                "ELSE 0 END)) div count(1)"
+            ).alias("accuracy_micro"),
+            F.first("pred").alias("predicted_type"),
+        )
+    )
+
+
 #: Bandit-replay policy pieces, generated once and shared verbatim by
 #: the oracle SQL and (in spirit) the Python twin below: 5 arms in
 #: fixed order; greedy argmax by exact cross-multiplied win-rate

@@ -193,6 +193,8 @@ BUDGETS = {
     "evt_sequential_boundary": 3,
     # single-group replay: one exchange into the Arrow seam
     "evt_bandit_replay": 1,
+    # checkpointed pair frame: train counts + model window + test agg
+    "evt_next_event_prediction": 3,
 }
 
 
