@@ -280,6 +280,9 @@ BENCH_QUERIES = [
     "evt_sequential_boundary",
     "evt_bandit_replay",
     "evt_next_event_prediction",
+    "evt_correlation_matrix",
+    "emb_health_check",
+    "evt_histogram_quantile_check",
 ]
 
 

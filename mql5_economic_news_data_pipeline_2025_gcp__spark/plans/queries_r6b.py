@@ -205,6 +205,288 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_correlation_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             count(*) AS n,
+             sum(a.v) AS sa, sum(b.v) AS sb,
+             sum(a.v * b.v) AS sab,
+             sum(a.v * a.v) AS saa, sum(b.v * b.v) AS sbb
+      FROM d a JOIN d b ON b.day = a.day AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT ta, tb, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
+           CAST(n * saa - sa * sa AS BIGINT) AS var_a_num,
+           CAST(n * sbb - sb * sb AS BIGINT) AS var_b_num
+    FROM p
+    """,
+    description="pairwise correlation components across event-type "
+    "daily series: exact integer covariance/variance numerators from "
+    "a day-key self-join — corr = cov_num / sqrt(var_a*var_b) "
+    "off-engine",
+    tags=("events", "stats", "matrix"),
+)
+def evt_correlation_matrix(spark, sf_dir):
+    """Cross-metric correlation matrix, exact to the last integer.
+
+    Which daily series move together (and which lead a crash) — the
+    matrix everyone computes before building composite metrics.  The
+    dataflow aggregates ONCE to (type, day), self-joins on the day key
+    (fan-out bounded by |types| per day, never data²), and emits the
+    cross-multiplied integer moment numerators so the engine never
+    divides or square-roots; consumers finish ``corr = cov /
+    √(var_a·var_b)`` off-engine.  Triangular output (ta < tb).
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value_c").cast("bigint").alias("v")).localCheckpoint(
+        eager=False
+    )
+    a = d.select(
+        F.col("event_type").alias("ta"), "day", F.col("v").alias("va")
+    )
+    b = d.select(
+        F.col("event_type").alias("tb"), "day", F.col("v").alias("vb")
+    )
+    p = (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("va").alias("sa"),
+            F.sum("vb").alias("sb"),
+            F.sum(F.col("va") * F.col("vb")).alias("sab"),
+            F.sum(F.col("va") * F.col("va")).alias("saa"),
+            F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+        )
+    )
+    return p.select(
+        "ta",
+        "tb",
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("bigint")
+        .alias("cov_num"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("bigint")
+        .alias("var_a_num"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("bigint")
+        .alias("var_b_num"),
+    )
+
+
+@register(
+    "emb_health_check",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding::DOUBLE[], 1) AS d,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT)
+               AS x
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, label,
+             CAST(sum(x * x) AS BIGINT) AS norm2,
+             CAST(count(*) AS BIGINT) AS dims
+      FROM ve GROUP BY vec_id, label),
+    dimvar AS (
+      SELECT d,
+             count(*) * sum(x * x) - sum(x) * sum(x) AS var_num
+      FROM ve GROUP BY d)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(any_value(dims) AS BIGINT) AS dims,
+           CAST(count(*) FILTER (norm2 = 0) AS BIGINT) AS n_zero,
+           CAST(min(norm2) AS BIGINT) AS min_norm2,
+           CAST(max(norm2) AS BIGINT) AS max_norm2,
+           CAST(sum(norm2) // count(*) AS BIGINT) AS mean_norm2,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           (SELECT CAST(count(*) FILTER (var_num = 0) AS BIGINT)
+            FROM dimvar) AS n_dead_dims
+    FROM norms
+    """,
+    description="embedding-table QA: vector count, dimensionality, "
+    "zero vectors, norm range/mean, label count, and dead (zero-"
+    "variance) dimensions — the pre-indexing health gate, exact "
+    "integers",
+    tags=("embeddings", "quality", "audit"),
+)
+def emb_health_check(spark, sf_dir):
+    """The check you run BEFORE building any index.
+
+    Broken embedding exports are depressingly common — zero vectors
+    from failed inference, dead dimensions from a truncated writer,
+    norm blow-ups from a bad normalization flag — and every one of
+    them poisons ANN recall silently.  One explode pass feeds both
+    per-vector norms and per-dimension variance numerators; the
+    output is a single exact-integer row a pipeline can gate on
+    (``n_zero = 0 AND n_dead_dims = 0``).
+    """
+    ve = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d0", "xd"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("d0") + 1).alias("d"),
+            F.round(F.col("xd") * 1000).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = ve.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("norm2"),
+        F.count(F.lit(1)).cast("bigint").alias("dims"),
+    )
+    dimvar = ve.groupBy("d").agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).alias("var_num")
+    )
+    dead = dimvar.agg(
+        F.sum((F.col("var_num") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dead_dims")
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.first("dims").cast("bigint").alias("dims"),
+        F.sum((F.col("norm2") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("norm2").cast("bigint").alias("min_norm2"),
+        F.max("norm2").cast("bigint").alias("max_norm2"),
+        F.expr("sum(norm2) div count(1)").alias("mean_norm2"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+    )
+    return stats.crossJoin(F.broadcast(dead))
+
+
+@register(
+    "evt_histogram_quantile_check",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT least(x // 1000, 63) AS bucket, count(*) AS c
+      FROM v GROUP BY least(x // 1000, 63)),
+    cum AS (
+      SELECT bucket, c,
+             sum(c) OVER (ORDER BY bucket) AS cum_c,
+             (SELECT count(*) FROM v) AS n
+      FROM b),
+    sweep AS (SELECT unnest([50, 90, 99]) AS q),
+    est AS (
+      SELECT s.q,
+             min(cum.bucket) AS qb
+      FROM sweep s JOIN cum
+        ON 100 * cum.cum_c >= CAST(s.q AS BIGINT) * cum.n
+      GROUP BY s.q),
+    exact AS (
+      SELECT s.q,
+             min(r.x) AS exact_x
+      FROM sweep s
+      JOIN (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                   count(*) OVER () AS n
+            FROM v) r
+        ON 100 * r.rn >= CAST(s.q AS BIGINT) * r.n
+      GROUP BY s.q)
+    SELECT e.q AS q,
+           CAST(est.qb * 1000 AS BIGINT) AS hist_est_lo,
+           CAST(est.qb * 1000 + 999 AS BIGINT) AS hist_est_hi,
+           CAST(e.exact_x AS BIGINT) AS exact_x,
+           CAST(CASE WHEN e.exact_x BETWEEN est.qb * 1000
+                                        AND est.qb * 1000 + 999
+                     THEN 1 ELSE 0 END AS BIGINT) AS bucket_contains
+    FROM exact e JOIN est ON est.q = e.q
+    """,
+    description="sketch-accuracy audit for histogram quantiles: "
+    "64-bucket equi-width estimate vs exact nearest-rank P50/P90/P99 "
+    "— the estimated bucket must contain the exact value (integer "
+    "cents throughout)",
+    tags=("events", "sketch", "audit"),
+)
+def evt_histogram_quantile_check(spark, sf_dir):
+    """Histogram quantiles audited against exact order statistics.
+
+    The equi-width histogram is the cheapest mergeable quantile
+    sketch (fixed 64-counter state, map-side partials, trivially
+    portable — the same family as the HLL/CMS portable twins); its
+    guarantee is a BUCKET, not a point.  This audit computes the
+    P50/P90/P99 bucket from cumulative counts and the exact
+    nearest-rank values, and asserts containment — the accuracy
+    statement a production percentile dashboard needs written down.
+    The exact side's global ranking window is the AUDIT baseline,
+    not the production path.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select(F.col("value_c").alias("x")).localCheckpoint(
+        eager=False
+    )
+    b = v.groupBy(
+        F.least(F.expr("x div 1000"), F.lit(63)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    cum = b.select(
+        "bucket",
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum_c"),
+    ).crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n"))))
+    sweep = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    est = (
+        cum.crossJoin(F.broadcast(sweep))
+        .filter(100 * F.col("cum_c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    r = v.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    exact = (
+        r.crossJoin(F.broadcast(sweep))
+        .filter(100 * F.col("rn") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("x").alias("exact_x"))
+    )
+    return exact.join(est, "q").select(
+        "q",
+        (F.col("qb") * 1000).cast("bigint").alias("hist_est_lo"),
+        (F.col("qb") * 1000 + 999).cast("bigint").alias("hist_est_hi"),
+        F.col("exact_x").cast("bigint").alias("exact_x"),
+        F.col("exact_x")
+        .between(F.col("qb") * 1000, F.col("qb") * 1000 + 999)
+        .cast("bigint")
+        .alias("bucket_contains"),
+    )
+
+
+@register(
     "evt_next_event_prediction",
     oracle="""
     WITH s AS (

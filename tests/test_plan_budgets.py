@@ -195,6 +195,11 @@ BUDGETS = {
     "evt_bandit_replay": 1,
     # checkpointed pair frame: train counts + model window + test agg
     "evt_next_event_prediction": 3,
+    "evt_correlation_matrix": 1,
+    "emb_health_check": 3,
+    # exact side is the audit baseline (global ranking window over the
+    # checkpointed value frame)
+    "evt_histogram_quantile_check": 3,
 }
 
 
