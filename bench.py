@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "evt_correlation_matrix",
     "emb_health_check",
     "evt_histogram_quantile_check",
+    "evt_k_anonymity_audit",
+    "evt_dp_contribution_bounds",
 ]
 
 

@@ -205,6 +205,149 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             hour(ts) // 6 AS hour_band,
+             least(CAST(round(value * 100) AS BIGINT) // 10000, 5)
+               AS value_band
+      FROM events WHERE value IS NOT NULL),
+    eq AS (
+      SELECT event_type, hour_band, value_band,
+             CAST(count(*) AS BIGINT) AS k
+      FROM q GROUP BY event_type, hour_band, value_band)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           CAST((1000000 * sum(CASE WHEN k < 5 THEN k ELSE 0 END))
+                // sum(k) AS BIGINT) AS below_k5_micro,
+           CAST(sum(CASE WHEN k < 20 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_k20
+    FROM eq
+    """,
+    description="k-anonymity audit over the quasi-identifier tuple "
+    "(event_type, 6h hour band, value band): equivalence-class size "
+    "floor and the exact share of rows in classes below k=5 / k=20",
+    tags=("events", "privacy", "audit"),
+)
+def evt_k_anonymity_audit(spark, sf_dir):
+    """Re-identification risk, measured before release.
+
+    A record is k-anonymous when at least k−1 others share its
+    quasi-identifier tuple; publishing classes with tiny k is how
+    'anonymized' datasets get re-identified.  The audit is one
+    generalized projection (banded hour and value — generalization IS
+    the mitigation lever, so the bands are the tunable) plus one
+    equivalence-class aggregation; the output row gates a release
+    pipeline (``min_k >= 5``) and quantifies exactly how many rows
+    suppression would cost at k=5 and k=20.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type",
+        F.expr("hour(ts) div 6").alias("hour_band"),
+        F.least(F.expr("value_c div 10000"), F.lit(5)).alias(
+            "value_band"
+        ),
+    )
+    eq = q.groupBy("event_type", "hour_band", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    below5 = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    return eq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        below5.cast("bigint").alias("rows_below_k5"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN k < 5 THEN k ELSE 0 END)) "
+            "div sum(k)"
+        ).alias("below_k5_micro"),
+        F.sum(F.when(F.col("k") < 20, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k20"),
+    )
+
+
+@register(
+    "evt_dp_contribution_bounds",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_sum
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, n_events, value_sum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_events DESC, user_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nu
+      FROM u)
+    SELECT event_type,
+           CAST(any_value(nu) AS BIGINT) AS n_users,
+           CAST(max(n_events) AS BIGINT) AS max_events_per_user,
+           CAST(max(value_sum) AS BIGINT) AS max_value_per_user,
+           CAST(min(CASE WHEN 100 * rn >= nu THEN n_events END)
+                AS BIGINT) AS p99_events_per_user
+    FROM r GROUP BY event_type
+    """,
+    description="differential-privacy sensitivity report: per-type "
+    "max and P99 user contribution (events and value cents) — the "
+    "clipping bounds a DP aggregation release must choose before "
+    "calibrating noise",
+    tags=("events", "privacy", "dp"),
+)
+def evt_dp_contribution_bounds(spark, sf_dir):
+    """What one user can move the answer by — DP's first question.
+
+    Every differentially-private aggregate needs a contribution bound
+    (clip each user to C events / V value) BEFORE noise calibration:
+    sensitivity = the clip, noise ∝ sensitivity/ε, and clipping too
+    low biases while clipping too high wastes budget.  This report
+    reads the trade off real data: max and P99 per-user contribution
+    per type, from one (type, user) aggregation plus a type-
+    partitioned ranking over the users frame.  (The release itself
+    would then clip-join and add calibrated noise — noise is
+    deliberately out of scope here; it is the one non-deterministic
+    stage.)
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_c").cast("bigint").alias("value_sum"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    r = u.select(
+        "event_type",
+        "n_events",
+        "value_sum",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nu"),
+    )
+    return r.groupBy("event_type").agg(
+        F.first("nu").cast("bigint").alias("n_users"),
+        F.max("n_events").cast("bigint").alias("max_events_per_user"),
+        F.max("value_sum").cast("bigint").alias("max_value_per_user"),
+        F.min(
+            F.when(100 * F.col("rn") >= F.col("nu"), F.col("n_events"))
+        )
+        .cast("bigint")
+        .alias("p99_events_per_user"),
+    )
+
+
+@register(
     "evt_correlation_matrix",
     oracle="""
     WITH d AS (

@@ -200,6 +200,8 @@ BUDGETS = {
     # exact side is the audit baseline (global ranking window over the
     # checkpointed value frame)
     "evt_histogram_quantile_check": 3,
+    "evt_k_anonymity_audit": 1,
+    "evt_dp_contribution_bounds": 2,
 }
 
 
