@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "evt_histogram_quantile_check",
     "evt_k_anonymity_audit",
     "evt_dp_contribution_bounds",
+    "rel_join_size_estimator",
 ]
 
 

@@ -205,6 +205,131 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "rel_join_size_estimator",
+    oracle="""
+    WITH ca AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders
+      GROUP BY o_custkey),
+    cb AS (
+      SELECT c_custkey AS k, count(*) AS c FROM customer
+      GROUP BY c_custkey),
+    hha AS (
+      SELECT k, c FROM (
+        SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn
+        FROM ca) WHERE rn <= 20),
+    hot AS (
+      SELECT coalesce(sum(a.c * b.c), 0) AS hot_est
+      FROM hha a JOIN cb b ON b.k = a.k),
+    resta AS (
+      SELECT coalesce(sum(c), 0) AS rows_, count(*) AS nd
+      FROM ca WHERE k NOT IN (SELECT k FROM hha)),
+    restb AS (
+      SELECT coalesce(sum(c), 0) AS rows_, count(*) AS nd
+      FROM cb WHERE k NOT IN (SELECT k FROM hha)),
+    act AS (
+      SELECT count(*) AS actual
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    SELECT CAST(h.hot_est AS BIGINT) AS hot_est,
+           CAST(ra.rows_ * rb.rows_
+                // greatest(greatest(ra.nd, rb.nd), 1) AS BIGINT)
+             AS residual_est,
+           CAST(h.hot_est + ra.rows_ * rb.rows_
+                // greatest(greatest(ra.nd, rb.nd), 1) AS BIGINT)
+             AS total_est,
+           CAST(a.actual AS BIGINT) AS actual,
+           CAST((1000000 * (h.hot_est + ra.rows_ * rb.rows_
+                 // greatest(greatest(ra.nd, rb.nd), 1)))
+                // a.actual AS BIGINT) AS est_over_actual_micro
+    FROM hot h, resta ra, restb rb, act a
+    """,
+    description="optimizer-style join-cardinality estimate for "
+    "orders JOIN customer: top-20 heavy keys exact + uniform residual "
+    "(rowsA*rowsB / max distinct), audited against the true join size "
+    "— exact integers throughout",
+    tags=("relational", "optimizer", "stats"),
+)
+def rel_join_size_estimator(spark, sf_dir):
+    """The statistic every cost-based optimizer bets a plan on.
+
+    Join-size estimation drives join ORDER, broadcast decisions, and
+    shuffle sizing; the classic estimator is per-key frequency stats:
+    the top heavy hitters contribute exactly (c_A(k)·c_B(k)), the tail
+    falls back to the uniform assumption
+    ``rows_A·rows_B / max(ndv_A, ndv_B)`` — precisely the shape of
+    engine histogram statistics (Spark CBO column stats, DB2-style
+    frequent values).  The audit joins the estimate against the TRUE
+    size so the uniform-tail error is a measured number, not folklore.
+    Two per-key count aggregations + 20-row heavy-hitter frames; the
+    actual-size join is the audit baseline.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    hha = (
+        ca.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k"))),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("k", "c")
+        .localCheckpoint()
+    )
+    hot = (
+        hha.alias("a")
+        .join(cb.alias("b"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("a.c") * F.col("b.c")), F.lit(0))
+            .cast("bigint")
+            .alias("hot_est")
+        )
+    )
+    resta = ca.join(hha.select("k"), "k", "left_anti").agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("rows_"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    restb = cb.join(hha.select("k"), "k", "left_anti").agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("rows_"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    act = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    j = (
+        hot.crossJoin(
+            resta.select(
+                F.col("rows_").alias("ra_rows"), F.col("nd").alias("ra_nd")
+            )
+        )
+        .crossJoin(
+            restb.select(
+                F.col("rows_").alias("rb_rows"), F.col("nd").alias("rb_nd")
+            )
+        )
+        .crossJoin(act)
+    )
+    residual = F.expr(
+        "(ra_rows * rb_rows) div greatest(greatest(ra_nd, rb_nd), 1)"
+    )
+    return j.select(
+        F.col("hot_est").cast("bigint").alias("hot_est"),
+        residual.cast("bigint").alias("residual_est"),
+        (F.col("hot_est") + residual).cast("bigint").alias("total_est"),
+        F.col("actual").cast("bigint").alias("actual"),
+        F.expr(
+            "(1000000 * (hot_est + (ra_rows * rb_rows) div "
+            "greatest(greatest(ra_nd, rb_nd), 1))) div actual"
+        ).alias("est_over_actual_micro"),
+    )
+
+
+@register(
     "evt_k_anonymity_audit",
     oracle="""
     WITH q AS (

@@ -202,6 +202,9 @@ BUDGETS = {
     "evt_histogram_quantile_check": 3,
     "evt_k_anonymity_audit": 1,
     "evt_dp_contribution_bounds": 2,
+    # two checkpointed per-key count frames feed heavy-hitter, residual
+    # and audit branches
+    "rel_join_size_estimator": 0,
 }
 
 
