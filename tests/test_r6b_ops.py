@@ -291,6 +291,88 @@ def test_variant_path_equals_string_json_path(spark):
     assert variant.equals(legacy)
 
 
+# ------------------------------------- late-wave ops (batches 5-12)
+
+
+def test_waterfall_is_monotone_decreasing(spark):
+    pdf = (
+        REGISTRY["doc_filter_waterfall"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .sort_values("stage")
+    )
+    s = list(pdf["survivors"])
+    assert s == sorted(s, reverse=True), "each filter can only remove"
+    assert pdf["survival_micro"].iloc[0] == 1000000
+
+
+def test_watermark_curve_monotone_in_delay(spark):
+    pdf = REGISTRY["evt_watermark_curve"].spark_fn(spark, SF).toPandas()
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("delay_s")
+        d = list(g["n_dropped"])
+        assert d == sorted(d, reverse=True), (
+            "a longer watermark delay can only drop fewer events"
+        )
+
+
+def test_k_anonymity_internal_consistency(spark):
+    r = (
+        REGISTRY["evt_k_anonymity_audit"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    assert 0 <= r["rows_below_k5"] <= r["rows_below_k20"] <= r["n_rows"]
+    assert r["min_k"] >= 1 and r["n_classes"] >= 1
+
+
+def test_join_estimator_exact_on_fk_join(spark):
+    """orders→customer is a clean FK join: every customer key is
+    uniform, so heavy-hitters + uniform residual must estimate the
+    size EXACTLY (est_over_actual == 1.0)."""
+    r = (
+        REGISTRY["rel_join_size_estimator"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    assert r["total_est"] == r["actual"]
+    assert r["est_over_actual_micro"] == 1000000
+
+
+def test_histogram_quantile_bucket_contains_exact(spark):
+    pdf = (
+        REGISTRY["evt_histogram_quantile_check"]
+        .spark_fn(spark, SF)
+        .toPandas()
+    )
+    assert (pdf["bucket_contains"] == 1).all(), (
+        "the histogram's quantile bucket must contain the exact value"
+    )
+
+
+def test_bandit_replay_accounting(spark):
+    pdf = REGISTRY["evt_bandit_replay"].spark_fn(spark, SF).toPandas()
+    arms = pdf[pdf["arm"] != "_replay"]
+    total = pdf[pdf["arm"] == "_replay"].iloc[0]
+    assert arms["pulls"].sum() == total["pulls"]
+    assert arms["wins"].sum() == total["wins"]
+    assert (arms["wins"] <= arms["pulls"]).all()
+    assert total["pulls"] > 0, "the policy must match some logged events"
+
+
+def test_next_event_prediction_bounds(spark):
+    pdf = (
+        REGISTRY["evt_next_event_prediction"].spark_fn(spark, SF).toPandas()
+    )
+    assert (pdf["n_correct"] <= pdf["n_test"]).all()
+    assert pdf["n_test"].sum() > 0
+    assert (
+        (pdf["accuracy_micro"] >= 0) & (pdf["accuracy_micro"] <= 1000000)
+    ).all()
+
+
 # ------------------------------------------------------- suffix ranks
 
 
