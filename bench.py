@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "evt_k_anonymity_audit",
     "evt_dp_contribution_bounds",
     "rel_join_size_estimator",
+    "emb_shard_plan",
+    "doc_lsh_cost_estimator",
 ]
 
 

@@ -149,22 +149,16 @@ def minhash_signatures_mapside(
     return hashed.select(F.col(id_col), *cols)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signature, self-join per band bucket → candidate pairs
-    (a < b). Each band key is the concat of its rows' minhashes.
-
-    The signatures feed BOTH sides of the self-join; the repartition
-    below materializes them in one exchange that Spark reuses
-    (ReusedExchange), so the expensive minhash computation runs once,
-    not twice."""
-    num_hashes = bands * rows_per_band
-    signatures = signatures.repartition(id_col)
-    banded = signatures.select(
+    """Explode each signature into its (band, bkey) rows — the frame
+    both the candidate self-join and the cost model read. Each band
+    key is the concat of its rows' minhashes."""
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -183,7 +177,27 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature, self-join per band bucket → candidate pairs
+    (a < b). Each band key is the concat of its rows' minhashes.
+
+    The signatures feed BOTH sides of the self-join; the repartition
+    below materializes them in one exchange that Spark reuses
+    (ReusedExchange), so the expensive minhash computation runs once,
+    not twice."""
+    banded = lsh_bands(
+        signatures.repartition(id_col), bands, rows_per_band, id_col
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

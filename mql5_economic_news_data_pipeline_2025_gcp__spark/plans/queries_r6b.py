@@ -205,6 +205,197 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "emb_shard_plan",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                        c.cid ASC) AS rnk
+      FROM v JOIN cents c ON true),
+    occ AS (
+      SELECT cid AS cell, count(*) AS n
+      FROM assign WHERE rnk = 1 GROUP BY cid),
+    planned AS (
+      SELECT cell, n,
+             coalesce(sum(n) OVER (
+               ORDER BY n DESC, cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 150 AS shard
+      FROM occ)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(max(n) AS BIGINT) AS largest_cell
+    FROM planned GROUP BY shard
+    """,
+    description="IVF shard plan: pack coarse cells into ~150-vector "
+    "shards by size-ordered running sum — per-shard cell count, "
+    "occupancy and largest cell; the index-serving layout step",
+    tags=("embeddings", "similarity", "ivf", "layout"),
+)
+def emb_shard_plan(spark, sf_dir):
+    """From cells to serving shards.
+
+    An IVF index ships to serving nodes in shards; packing CELLS (the
+    query routing unit) rather than raw vectors keeps each probe
+    single-shard.  The plan is the same size-ordered running-sum
+    bin-packing as the table-compaction operator, applied to the cell
+    occupancy histogram — |cells| rows, so planning cost is nil next
+    to the assignment pass it reads, and ``largest_cell`` flags the
+    cell that caps achievable balance (the re-clustering signal the
+    incremental-assign audit also watches).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    occ = (
+        ivf_assign(vecs, centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("cell"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = occ.withColumn(
+        "shard",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(150)),
+    )
+    return planned.groupBy(
+        F.col("shard").cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("largest_cell"),
+    )
+
+
+def _lsh_cost_oracle() -> str:
+    from .queries_ext import _SQL_MINHASH_AGGS, _SQL_SHINGLES
+
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {_SQL_MINHASH_AGGS}
+      FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+    hist AS (
+      SELECT band, bkey, count(*) AS n
+      FROM banded GROUP BY band, bkey),
+    pred AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(max(n) AS BIGINT) AS max_bucket,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pred_pairs
+      FROM hist GROUP BY band),
+    pairs AS (
+      SELECT a.band, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id),
+    raw AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS raw_pairs
+      FROM pairs GROUP BY band),
+    dt AS (
+      SELECT CAST(count(*) AS BIGINT) AS distinct_pairs
+      FROM (SELECT DISTINCT id_a, id_b FROM pairs))
+    SELECT CAST(p.band AS BIGINT) AS band, p.n_buckets, p.max_bucket,
+           p.pred_pairs, r.raw_pairs, d.distinct_pairs
+    FROM pred p JOIN raw r ON r.band = p.band, dt d
+    """
+
+
+@register(
+    "doc_lsh_cost_estimator",
+    oracle=_lsh_cost_oracle(),
+    description="LSH join cost model: predicted candidate pairs per "
+    "band from the bucket histogram (sum of C(n,2)), the measured raw "
+    "pairs (an arithmetic identity), and the cross-band distinct "
+    "union — oracle rebuilds the same bands from the shared minhash "
+    "fragments",
+    tags=("documents", "dedup", "optimizer"),
+)
+def doc_lsh_cost_estimator(spark, sf_dir):
+    """Predict the LSH self-join's output before paying for it.
+
+    The banded self-join's cost IS the bucket histogram: each bucket
+    of size n contributes C(n, 2) candidate pairs, so the planner can
+    price a (bands, rows) configuration from a cheap per-bucket count
+    — the same statistics-before-work idea as the relational join
+    estimator, applied to the dedup pipeline.  The report also
+    measures what the histogram alone cannot predict: the cross-band
+    overlap (pairs found by >1 band), i.e. how much of the raw
+    candidate volume deduplicates away before verification.  The
+    oracle rebuilds the identical bands from the shared minhash SQL
+    fragments; ``pred_pairs == raw_pairs`` is additionally pinned as
+    an arithmetic identity by the pytest gate.
+    """
+    from ..operators.dedup import lsh_bands, minhash_signatures_mapside
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
+    bands = lsh_bands(sig, bands=4, rows_per_band=2).localCheckpoint()
+    hist = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = hist.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias(
+            "pred_pairs"
+        ),
+    )
+    a = bands.select("band", "bkey", F.col("doc_id").alias("id_a"))
+    b = bands.select("band", "bkey", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("band", "id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    raw = pairs.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_pairs")
+    )
+    distinct_total = (
+        pairs.select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_pairs"))
+    )
+    return (
+        pred.join(raw, "band")
+        .crossJoin(F.broadcast(distinct_total))
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            "pred_pairs",
+            "raw_pairs",
+            "distinct_pairs",
+        )
+    )
+
+
+@register(
     "rel_join_size_estimator",
     oracle="""
     WITH ca AS (

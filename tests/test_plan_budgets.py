@@ -205,6 +205,10 @@ BUDGETS = {
     # two checkpointed per-key count frames feed heavy-hitter, residual
     # and audit branches
     "rel_join_size_estimator": 0,
+    # occupancy agg + shard agg; the bin-pack window runs on |cells|
+    "emb_shard_plan": 2,
+    # checkpointed banded frame: histogram, raw-pair and distinct aggs
+    "doc_lsh_cost_estimator": 4,
 }
 
 

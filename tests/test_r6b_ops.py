@@ -373,6 +373,28 @@ def test_next_event_prediction_bounds(spark):
     ).all()
 
 
+def test_lsh_cost_model_identity(spark):
+    """The histogram prediction is an arithmetic identity: each bucket
+    of size n emits exactly C(n,2) raw pairs per band; cross-band
+    dedup can only shrink the union."""
+    pdf = (
+        REGISTRY["doc_lsh_cost_estimator"].spark_fn(spark, SF).toPandas()
+    )
+    assert (pdf["pred_pairs"] == pdf["raw_pairs"]).all()
+    assert (pdf["distinct_pairs"].iloc[0] <= pdf["raw_pairs"].sum())
+
+
+def test_shard_plan_conserves_vectors(spark):
+    import duckdb
+
+    pdf = REGISTRY["emb_shard_plan"].spark_fn(spark, SF).toPandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert pdf["n_vectors"].sum() == total, "every vector lands in a shard"
+    assert (pdf["largest_cell"] <= pdf["n_vectors"]).all()
+
+
 # ------------------------------------------------------- suffix ranks
 
 
