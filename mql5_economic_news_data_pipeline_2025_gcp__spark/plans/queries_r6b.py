@@ -2332,7 +2332,7 @@ def emb_dbscan_core_points(spark, sf_dir):
     tot AS (SELECT sum(vb - va) AS td FROM slices)
     SELECT event_type, CAST(k_band AS BIGINT) AS k_band, va, vb,
            CAST(vb - va AS BIGINT) AS delta,
-           CAST((1000000 * (vb - va)) // t.td AS BIGINT)
+           CAST((1000000 * (vb - va)) // nullif(t.td, 0) AS BIGINT)
              AS contribution_micro,
            CAST(row_number() OVER (
              ORDER BY abs(vb - va) DESC, event_type ASC, k_band ASC)
@@ -2388,7 +2388,11 @@ def evt_rootcause_contributions(spark, sf_dir):
         "va",
         "vb",
         (F.col("vb") - F.col("va")).cast("bigint").alias("delta"),
-        F.expr("(1000000 * (vb - va)) div td").alias("contribution_micro"),
+        # nullif guard: a perfectly balanced period pair has td = 0 —
+        # contribution shares are undefined there, not an error
+        F.expr("(1000000 * (vb - va)) div nullif(td, 0)").alias(
+            "contribution_micro"
+        ),
     )
     w = Window.orderBy(
         F.abs(F.col("delta")).desc(), F.asc("event_type"), F.asc("k_band")
