@@ -430,7 +430,8 @@ def doc_lsh_cost_estimator(spark, sf_dir):
            CAST(a.actual AS BIGINT) AS actual,
            CAST((1000000 * (h.hot_est + ra.rows_ * rb.rows_
                  // greatest(greatest(ra.nd, rb.nd), 1)))
-                // a.actual AS BIGINT) AS est_over_actual_micro
+                // nullif(a.actual, 0) AS BIGINT)
+             AS est_over_actual_micro
     FROM hot h, resta ra, restb rb, act a
     """,
     description="optimizer-style join-cardinality estimate for "
@@ -515,7 +516,7 @@ def rel_join_size_estimator(spark, sf_dir):
         F.col("actual").cast("bigint").alias("actual"),
         F.expr(
             "(1000000 * (hot_est + (ra_rows * rb_rows) div "
-            "greatest(greatest(ra_nd, rb_nd), 1))) div actual"
+            "greatest(greatest(ra_nd, rb_nd), 1))) div nullif(actual, 0)"
         ).alias("est_over_actual_micro"),
     )
 
@@ -2026,7 +2027,9 @@ def evt_mtbf_mttr(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
         F.sum("down_minutes").cast("bigint").alias("total_down_minutes"),
         F.max("down_minutes").cast("bigint").alias("worst_episode_minutes"),
-        F.expr("sum(down_minutes) div count(1)").alias("mttr_minutes"),
+        F.expr("sum(down_minutes) div greatest(count(1), 1)").alias(
+            "mttr_minutes"
+        ),
         (
             F.coalesce(F.sum(gap_min), F.lit(0))
             / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
