@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "rel_join_size_estimator",
     "emb_shard_plan",
     "doc_lsh_cost_estimator",
+    "evt_decision_stump",
 ]
 
 

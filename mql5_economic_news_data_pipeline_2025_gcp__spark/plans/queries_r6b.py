@@ -205,6 +205,155 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_decision_stump",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN day(ts) <= 15 THEN 'train' ELSE 'test' END
+               AS split
+      FROM events WHERE value IS NOT NULL),
+    bands AS (
+      SELECT x // 500 AS band,
+             count(*) AS n, sum(y) AS pos
+      FROM d WHERE split = 'train' GROUP BY x // 500),
+    tot AS (
+      SELECT sum(n) AS n, sum(pos) AS pos FROM bands),
+    cand AS (
+      SELECT band AS thr_band,
+             sum(n) OVER o AS n_le, sum(pos) OVER o AS pos_le
+      FROM bands
+      WINDOW o AS (ORDER BY band ROWS UNBOUNDED PRECEDING)),
+    scored AS (
+      SELECT c.thr_band,
+             (c.n_le - c.pos_le) + (t.pos - c.pos_le) AS correct_le_neg,
+             c.pos_le + ((t.n - c.n_le) - (t.pos - c.pos_le))
+               AS correct_le_pos
+      FROM cand c, tot t),
+    best AS (
+      SELECT thr_band,
+             greatest(correct_le_neg, correct_le_pos) AS correct,
+             CASE WHEN correct_le_pos >= correct_le_neg
+                  THEN 1 ELSE 0 END AS predict_pos_below
+      FROM scored),
+    pick AS (
+      SELECT thr_band, correct, predict_pos_below
+      FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY correct DESC, thr_band ASC) AS rn
+        FROM best)
+      WHERE rn = 1)
+    SELECT CAST(p.thr_band * 500 + 499 AS BIGINT) AS threshold_c,
+           CAST(p.predict_pos_below AS BIGINT) AS predict_pos_below,
+           CAST(p.correct AS BIGINT) AS train_correct,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN (CASE WHEN d.x <= p.thr_band * 500 + 499
+                                    THEN p.predict_pos_below
+                                    ELSE 1 - p.predict_pos_below END)
+                              = d.y
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS test_correct
+    FROM d, pick p
+    WHERE d.split = 'test'
+    GROUP BY p.thr_band, p.predict_pos_below, p.correct
+    """,
+    description="exact decision-stump training: best value threshold "
+    "(500-cent bands) for predicting purchase events, chosen by exact "
+    "train accuracy via one cumulative scan over the band histogram; "
+    "scored on the temporal test half",
+    tags=("events", "ml", "train"),
+)
+def evt_decision_stump(spark, sf_dir):
+    """Exact 1-split tree training as a histogram scan.
+
+    How tree learners actually train at scale: candidate splits are
+    evaluated on a compressed HISTOGRAM, not raw rows (XGBoost/
+    LightGBM's binned 'hist' mode) — one (band → n, positives)
+    aggregation, then every threshold's exact train accuracy falls
+    out of a single cumulative window over the bands, in both predict
+    directions at once.  Argmax picks the stump; a temporal test half
+    scores it.  Pairs with ``treecompile`` (which SERVES trees as
+    CASE expressions) — this is the training half of that story, and
+    ``evt_next_event_prediction``'s broadcast-score shape reappears
+    downstream.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    d = ev.select(
+        F.col("value_c").alias("x"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+        F.when(F.dayofmonth("ts") <= 15, "train")
+        .otherwise("test")
+        .alias("split"),
+    ).localCheckpoint(eager=False)
+    bands = (
+        d.filter(F.col("split") == "train")
+        .groupBy(F.expr("x div 500").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    tot = bands.agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tpos")
+    )
+    from pyspark.sql import Window
+
+    o = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    cand = bands.select(
+        F.col("band").alias("thr_band"),
+        F.sum("n").over(o).alias("n_le"),
+        F.sum("pos").over(o).alias("pos_le"),
+    ).crossJoin(F.broadcast(tot))
+    scored = cand.select(
+        "thr_band",
+        (
+            (F.col("n_le") - F.col("pos_le"))
+            + (F.col("tpos") - F.col("pos_le"))
+        ).alias("correct_le_neg"),
+        (
+            F.col("pos_le")
+            + (
+                (F.col("tn") - F.col("n_le"))
+                - (F.col("tpos") - F.col("pos_le"))
+            )
+        ).alias("correct_le_pos"),
+    )
+    best = scored.select(
+        "thr_band",
+        F.greatest("correct_le_neg", "correct_le_pos").alias("correct"),
+        (F.col("correct_le_pos") >= F.col("correct_le_neg"))
+        .cast("bigint")
+        .alias("predict_pos_below"),
+    )
+    pick = (
+        best.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("correct"), F.asc("thr_band"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("thr_band", "correct", "predict_pos_below")
+    )
+    test = d.filter(F.col("split") == "test").crossJoin(
+        F.broadcast(pick)
+    )
+    pred = F.when(
+        F.col("x") <= F.col("thr_band") * 500 + 499,
+        F.col("predict_pos_below"),
+    ).otherwise(1 - F.col("predict_pos_below"))
+    return test.groupBy(
+        (F.col("thr_band") * 500 + 499).cast("bigint").alias("threshold_c"),
+        F.col("predict_pos_below").cast("bigint").alias(
+            "predict_pos_below"
+        ),
+        F.col("correct").cast("bigint").alias("train_correct"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((pred == F.col("y")).cast("bigint"))
+        .cast("bigint")
+        .alias("test_correct"),
+    )
+
+
+@register(
     "emb_shard_plan",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -209,6 +209,8 @@ BUDGETS = {
     "emb_shard_plan": 2,
     # checkpointed banded frame: histogram, raw-pair and distinct aggs
     "doc_lsh_cost_estimator": 4,
+    # band histogram agg + cumulative threshold scan + test score agg
+    "evt_decision_stump": 3,
 }
 
 
