@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "emb_shard_plan",
     "doc_lsh_cost_estimator",
     "evt_decision_stump",
+    "evt_data_contract_checks",
 ]
 
 

@@ -205,6 +205,97 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_data_contract_checks",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (value IS NULL) AS BIGINT)
+               AS null_value,
+             CAST(count(*) FILTER (event_type NOT IN
+               ('click', 'error', 'purchase', 'signup', 'view'))
+               AS BIGINT) AS bad_type,
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS dup_ids,
+             CAST(count(*) FILTER (value < 0) AS BIGINT) AS neg_value,
+             CAST(count(*) FILTER (user_id IS NULL) AS BIGINT)
+               AS null_user
+      FROM events)
+    SELECT name, measured_micro, threshold_micro,
+           CAST(CASE WHEN measured_micro <= threshold_micro
+                     THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (
+      SELECT 'value_null_rate' AS name,
+             CAST((1000000 * null_value) // n_rows AS BIGINT)
+               AS measured_micro,
+             CAST(150000 AS BIGINT) AS threshold_micro FROM m
+      UNION ALL
+      SELECT 'type_in_accepted_set',
+             CAST((1000000 * bad_type) // n_rows AS BIGINT), 0 FROM m
+      UNION ALL
+      SELECT 'event_id_unique',
+             CAST((1000000 * dup_ids) // n_rows AS BIGINT), 0 FROM m
+      UNION ALL
+      SELECT 'value_non_negative',
+             CAST((1000000 * neg_value) // n_rows AS BIGINT), 0 FROM m
+      UNION ALL
+      SELECT 'user_id_not_null',
+             CAST((1000000 * null_user) // n_rows AS BIGINT), 0 FROM m)
+    """,
+    description="data-contract validation (expectation-suite style): "
+    "null-rate budget, accepted-set membership, key uniqueness, "
+    "non-negativity — five checks from ONE scan, each a measured "
+    "violation rate vs its threshold plus a pass flag",
+    tags=("events", "quality", "contract"),
+)
+def evt_data_contract_checks(spark, sf_dir):
+    """The ingest gate: expectations evaluated in one pass.
+
+    Contract checks run on EVERY batch, so their cost model matters:
+    all five expectations here (null budget, accepted set, key
+    uniqueness, sign, required field) fold into ONE full-scan
+    aggregate — no per-check pass, no driver-side loop — and the
+    output is the audit artifact itself: measured violation rate vs
+    threshold, pass flag per check.  A failing batch quarantines
+    before the upsert; thresholds are data (cf. ``evt_alert_rules``),
+    so tightening the contract is an edit, not a deploy.
+    """
+    ev = keyed_events(spark, sf_dir)
+    ok_types = ["click", "error", "purchase", "signup", "view"]
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("null_value"),
+        F.sum((~F.col("event_type").isin(ok_types)).cast("bigint")).alias(
+            "bad_type"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_ids"),
+        F.sum((F.col("value") < 0).cast("bigint")).alias("neg_value"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("null_user"),
+    )
+    checks = m.selectExpr(
+        "stack(5, "
+        "'value_null_rate', (1000000 * null_value) div n_rows, "
+        "CAST(150000 AS BIGINT), "
+        "'type_in_accepted_set', (1000000 * bad_type) div n_rows, "
+        "CAST(0 AS BIGINT), "
+        "'event_id_unique', (1000000 * dup_ids) div n_rows, "
+        "CAST(0 AS BIGINT), "
+        "'value_non_negative', (1000000 * coalesce(neg_value, 0)) "
+        "div n_rows, CAST(0 AS BIGINT), "
+        "'user_id_not_null', (1000000 * null_user) div n_rows, "
+        "CAST(0 AS BIGINT)) "
+        "AS (name, measured_micro, threshold_micro)"
+    )
+    return checks.select(
+        "name",
+        "measured_micro",
+        "threshold_micro",
+        (F.col("measured_micro") <= F.col("threshold_micro"))
+        .cast("bigint")
+        .alias("passed"),
+    )
+
+
+@register(
     "evt_decision_stump",
     oracle="""
     WITH d AS (

@@ -211,6 +211,8 @@ BUDGETS = {
     "doc_lsh_cost_estimator": 4,
     # band histogram agg + cumulative threshold scan + test score agg
     "evt_decision_stump": 3,
+    # five expectations fold into one full-scan aggregate
+    "evt_data_contract_checks": 1,
 }
 
 
