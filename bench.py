@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "doc_lsh_cost_estimator",
     "evt_decision_stump",
     "evt_data_contract_checks",
+    "evt_user_skyline",
 ]
 
 

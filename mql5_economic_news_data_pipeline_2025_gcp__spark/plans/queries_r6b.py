@@ -205,6 +205,77 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_user_skyline",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id),
+    sweep AS (
+      SELECT user_id, v, d,
+             max(d) OVER (ORDER BY v DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_d_higher,
+             max(d) OVER (PARTITION BY v) AS best_d_same
+      FROM u)
+    SELECT user_id, v AS total_value_c, d AS active_days
+    FROM sweep
+    WHERE d > coalesce(best_d_higher, -1) AND d = best_d_same
+    """,
+    description="2D skyline (Pareto frontier) of users over (total "
+    "value, active days): the classic preference-query operator via "
+    "the sort-sweep identity — on the frontier iff days beats every "
+    "strictly-richer user and ties the best at equal value",
+    tags=("events", "skyline", "preference"),
+)
+def evt_user_skyline(spark, sf_dir):
+    """Skyline / Pareto-frontier query (Börzsönyi et al. 2001).
+
+    "Best" users when no single score exists: keep exactly the points
+    no other point dominates on (total value, active days).  The
+    naive form is an O(n²) NOT-EXISTS self-join; in 2D the sort-sweep
+    identity collapses it to windows: a point is on the frontier iff
+    its days exceed the best days among all STRICTLY richer points
+    (RANGE ... 1 PRECEDING over descending integer value ⇔ v' > v)
+    and it ties the best days within its own value group (equal-value
+    strict dominance).  The windows run over the USERS aggregate, not
+    raw events; a 100 TB run grid-partitions the frontier (local
+    skylines per cell → merge, the standard distributed skyline) —
+    the identity here is the per-cell kernel.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.sum("value_c").cast("bigint").alias("v"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("d"),
+    )
+    from pyspark.sql import Window
+
+    higher = (
+        Window.orderBy(F.desc("v"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("v")
+    sweep = u.select(
+        "user_id",
+        "v",
+        "d",
+        F.max("d").over(higher).alias("best_d_higher"),
+        F.max("d").over(same).alias("best_d_same"),
+    )
+    return sweep.filter(
+        (F.col("d") > F.coalesce(F.col("best_d_higher"), F.lit(-1)))
+        & (F.col("d") == F.col("best_d_same"))
+    ).select(
+        "user_id",
+        F.col("v").alias("total_value_c"),
+        F.col("d").alias("active_days"),
+    )
+
+
+@register(
     "evt_data_contract_checks",
     oracle="""
     WITH m AS (

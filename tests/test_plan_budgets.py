@@ -213,6 +213,9 @@ BUDGETS = {
     "evt_decision_stump": 3,
     # five expectations fold into one full-scan aggregate
     "evt_data_contract_checks": 1,
+    # user agg; sweep windows run on the users frame (grid-merge is
+    # the 100 TB kernel, documented)
+    "evt_user_skyline": 2,
 }
 
 
