@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "evt_decision_stump",
     "evt_data_contract_checks",
     "evt_user_skyline",
+    "evt_twap",
+    "doc_winnowing_fingerprints",
 ]
 
 

@@ -205,6 +205,175 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_twap",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS next_us
+      FROM events WHERE value IS NOT NULL),
+    seg AS (
+      SELECT event_type, day, v,
+             (next_us - us) // 1000000 AS hold_s
+      FROM s WHERE next_us IS NOT NULL)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(hold_s) AS BIGINT) AS covered_s,
+           CAST(sum(v * hold_s) AS BIGINT) AS vt_num,
+           CAST(sum(v * hold_s) // nullif(sum(hold_s), 0) AS BIGINT)
+             AS twap_c
+    FROM seg GROUP BY event_type, day
+    """,
+    description="time-weighted average price over irregular series "
+    "(TimescaleDB time_weight parity): each observation holds until "
+    "the next within its (type, day), exact integer value x seconds "
+    "sums and the floored TWAP",
+    tags=("events", "timeseries", "finance"),
+)
+def evt_twap(spark, sf_dir):
+    """TWAP — the average a plain mean gets wrong on irregular data.
+
+    When observations arrive irregularly, the arithmetic mean
+    over-weights busy periods; the time-weighted average holds each
+    value until the next observation and weights by holding time
+    (last-observation-carried-forward — the same convention as the
+    engine's as-of join and ffill operators).  One
+    (type, day)-partitioned lead window gives holding intervals, one
+    aggregation gives exact integer ``Σ value·seconds`` sums; the
+    final TWAP is a single floored division, with the raw numerator
+    kept so day rows roll up to weeks exactly.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    s = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value_c").alias("v"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = s.select(
+        "event_type",
+        "day",
+        "v",
+        F.expr("(next_us - us) div 1000000").alias("hold_s"),
+    )
+    return seg.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("hold_s").cast("bigint").alias("covered_s"),
+        F.sum(F.col("v") * F.col("hold_s")).cast("bigint").alias("vt_num"),
+        F.expr(
+            "sum(v * hold_s) div nullif(sum(hold_s), 0)"
+        ).alias("twap_c"),
+    )
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source, p,
+             ('0x' || substr(md5(substr(s, p, 5)), 1, 8))::BIGINT AS h
+      FROM d, LATERAL (
+        SELECT unnest(range(1, greatest(length(s) - 3, 1))) AS p)
+      WHERE length(s) >= 5),
+    win AS (
+      SELECT doc_id, source, p, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS wmin,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS wn
+      FROM grams),
+    sel AS (
+      SELECT DISTINCT doc_id, source, h
+      FROM win WHERE wn = 8 AND h = wmin)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST((1000000 * (count(*) - count(DISTINCT h)))
+                // count(*) AS BIGINT) AS shared_micro
+    FROM sel GROUP BY source
+    """,
+    description="winnowing fingerprints (Schleimer et al. 2003, the "
+    "MOSS algorithm): min 5-gram hash per 8-gram window, guaranteed "
+    "to fingerprint every match of length >= 12; per-source density "
+    "and cross-doc sharing",
+    tags=("documents", "dedup", "fingerprint"),
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing: fingerprint selection with a matching guarantee.
+
+    CDC cuts where a hash is 0; winnowing instead keeps the MINIMUM
+    k-gram hash in every sliding window, which buys the property CDC
+    lacks: any shared substring of length ≥ w+k−1 is guaranteed to
+    share a selected fingerprint (the MOSS plagiarism detector's
+    core).  The dataflow is chars → 5-gram hashes (map-only md5) →
+    a doc-PARTITIONED sliding min window → distinct selections; the
+    windows never cross documents, so there is no global stage.  The
+    sharing ratio across docs of a source is the plagiarism/dup
+    signal.
+    """
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("s"),
+    ).filter(F.length("s") >= 5)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(s) - 4), "
+                   "p -> substring(s, p, 5))")
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("p0") + 1).alias("p"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)
+    win = grams.select(
+        "doc_id",
+        "source",
+        "h",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    sel = (
+        win.filter((F.col("wn") == 8) & (F.col("h") == F.col("wmin")))
+        .select("doc_id", "source", "h")
+        .distinct()
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.expr(
+            "(1000000 * (count(1) - count(DISTINCT h))) div count(1)"
+        ).alias("shared_micro"),
+    )
+
+
+@register(
     "evt_user_skyline",
     oracle="""
     WITH u AS (

@@ -216,6 +216,11 @@ BUDGETS = {
     # user agg; sweep windows run on the users frame (grid-merge is
     # the 100 TB kernel, documented)
     "evt_user_skyline": 2,
+    # (type, day)-partitioned lead window + final agg
+    "evt_twap": 2,
+    # gram hashes are map-only; doc-partitioned sliding min + distinct
+    # + source agg
+    "doc_winnowing_fingerprints": 3,
 }
 
 
