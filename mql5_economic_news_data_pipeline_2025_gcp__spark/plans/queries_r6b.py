@@ -333,35 +333,28 @@ def doc_winnowing_fingerprints(spark, sf_dir):
         "source",
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("s"),
     ).filter(F.length("s") >= 5)
-    grams = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(s) - 4), "
-                   "p -> substring(s, p, 5))")
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("p0") + 1).alias("p"),
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    # the whole per-doc winnowing runs as higher-order array
+    # expressions on the ONE row the doc already occupies — no gram
+    # explode, no doc-key shuffle for a partitioned window (the probe
+    # measured that shuffle at exp 0.70; this form only exchanges the
+    # per-source aggregate).  CASE guard: sequence(8, n) REVERSES when
+    # n < 8 in Spark, so short docs must short-circuit to an empty
+    # selection (mirroring the oracle's wn = 8 full-window rule).
+    hs = F.expr(
+        "transform(sequence(1, length(s) - 4), "
+        "p -> CAST(conv(substring(md5(substring(s, p, 5)), 1, 8), "
+        "16, 10) AS BIGINT))"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)
-    win = grams.select(
-        "doc_id",
-        "source",
-        "h",
-        F.min("h").over(w).alias("wmin"),
-        F.count(F.lit(1)).over(w).alias("wn"),
+    sel_expr = F.expr(
+        "CASE WHEN size(hs) >= 8 THEN array_distinct(filter("
+        "transform(sequence(8, size(hs)), i -> "
+        "IF(element_at(hs, i) = array_min(slice(hs, i - 7, 8)), "
+        "element_at(hs, i), NULL)), x -> x IS NOT NULL)) "
+        "ELSE array() END"
     )
     sel = (
-        win.filter((F.col("wn") == 8) & (F.col("h") == F.col("wmin")))
-        .select("doc_id", "source", "h")
-        .distinct()
+        d.select("doc_id", "source", hs.alias("hs"))
+        .select("doc_id", "source", F.explode(sel_expr).alias("h"))
     )
     return sel.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
