@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "evt_user_skyline",
     "evt_twap",
     "doc_winnowing_fingerprints",
+    "evt_state_machine_audit",
 ]
 
 

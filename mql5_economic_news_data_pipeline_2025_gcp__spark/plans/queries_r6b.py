@@ -205,6 +205,111 @@ def doc_cdc_chunks(spark, sf_dir):
 
 
 @register(
+    "evt_state_machine_audit",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup') AS first_signup,
+             min(ts) FILTER (event_type = 'purchase')
+               AS first_purchase,
+             min(ts) FILTER (event_type IN ('click', 'view'))
+               AS first_touch
+      FROM events GROUP BY user_id),
+    st AS (
+      SELECT user_id,
+             CASE
+               WHEN first_purchase IS NOT NULL THEN 'purchaser'
+               WHEN first_signup IS NOT NULL THEN 'registered'
+               WHEN first_touch IS NOT NULL THEN 'visitor'
+               ELSE 'other' END AS final_state,
+             CASE WHEN first_purchase IS NOT NULL
+                   AND (first_signup IS NULL
+                        OR first_purchase < first_signup)
+                  THEN 1 ELSE 0 END AS purchase_before_signup,
+             CASE WHEN first_signup IS NOT NULL
+                   AND (first_touch IS NULL
+                        OR first_signup < first_touch)
+                  THEN 1 ELSE 0 END AS signup_before_touch
+      FROM f)
+    SELECT final_state,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(purchase_before_signup) AS BIGINT)
+             AS purchase_before_signup,
+           CAST(sum(signup_before_touch) AS BIGINT)
+             AS signup_before_touch
+    FROM st GROUP BY final_state
+    """,
+    description="event-sourcing state-machine audit: fold each user's "
+    "stream to a lifecycle state (visitor -> registered -> purchaser) "
+    "and count ordering violations (purchase before signup, signup "
+    "before first touch) — one conditional-min aggregation",
+    tags=("events", "lifecycle", "audit"),
+)
+def evt_state_machine_audit(spark, sf_dir):
+    """Does the event log obey its own lifecycle?
+
+    Event-sourced systems assume transitions happen in order; logs
+    disagree (backfills, client clocks, dropped events).  Folding each
+    user's stream to first-transition timestamps needs no window at
+    all — conditional ``min`` aggregation per user gives every
+    state's first occurrence in one pass, the lifecycle state is a
+    CASE over them, and each ordering violation is a timestamp
+    comparison.  The violation counts are the data-quality contract
+    for every downstream funnel/attribution query that ASSUMES the
+    ordering.
+    """
+    ev = keyed_events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+        F.min(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("ts")
+            )
+        ).alias("first_touch"),
+    )
+    state = (
+        F.when(F.col("first_purchase").isNotNull(), "purchaser")
+        .when(F.col("first_signup").isNotNull(), "registered")
+        .when(F.col("first_touch").isNotNull(), "visitor")
+        .otherwise("other")
+    )
+    pbs = F.when(
+        F.col("first_purchase").isNotNull()
+        & (
+            F.col("first_signup").isNull()
+            | (F.col("first_purchase") < F.col("first_signup"))
+        ),
+        1,
+    ).otherwise(0)
+    sbt = F.when(
+        F.col("first_signup").isNotNull()
+        & (
+            F.col("first_touch").isNull()
+            | (F.col("first_signup") < F.col("first_touch"))
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        f.select(
+            state.alias("final_state"),
+            pbs.alias("pbs"),
+            sbt.alias("sbt"),
+        )
+        .groupBy("final_state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("pbs").cast("bigint").alias("purchase_before_signup"),
+            F.sum("sbt").cast("bigint").alias("signup_before_touch"),
+        )
+    )
+
+
+@register(
     "evt_twap",
     oracle="""
     WITH s AS (

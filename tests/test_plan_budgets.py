@@ -218,6 +218,8 @@ BUDGETS = {
     "evt_user_skyline": 2,
     # (type, day)-partitioned lead window + final agg
     "evt_twap": 2,
+    # conditional-min user fold + state agg, no window
+    "evt_state_machine_audit": 2,
     # per-doc winnowing runs as higher-order array exprs on the doc's
     # own row — only the distinct + source agg exchange (was 3 with a
     # gram-explode window; sf1 12.3 s -> 4.1 s)
