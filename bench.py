@@ -294,6 +294,11 @@ BENCH_QUERIES = [
     "evt_twap",
     "doc_winnowing_fingerprints",
     "evt_state_machine_audit",
+    "rel_entity_resolution",
+    "rel_seat_apportionment",
+    "evt_changepoint_sse",
+    "evt_interval_coverage",
+    "rel_price_band_join",
 ]
 
 
