@@ -299,6 +299,11 @@ BENCH_QUERIES = [
     "evt_changepoint_sse",
     "evt_interval_coverage",
     "rel_price_band_join",
+    "evt_mann_kendall",
+    "evt_runs_test",
+    "evt_permutation_test",
+    "rel_inventory_fill",
+    "evt_queue_wait_lindley",
 ]
 
 
