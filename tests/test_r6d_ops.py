@@ -130,18 +130,21 @@ def test_permutation_test_pvalue_bounds_and_split(spark):
 
 
 def test_permutation_labels_are_half_split(spark):
-    ev = keyed_events(spark, SF).filter(F.col("value").isNotNull())
-    n = ev.count()
-    in_a = (
-        F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":0"))),
-            1, 1,
-        ).between("0", "7")
-    )
-    na = ev.filter(in_a).count()
+    """Bit k of md5(event_id) is an unbiased coin (checked for k=0 and
+    k=63, the two ends of the digest)."""
     import math
 
-    assert abs(na - n / 2) < 6 * math.sqrt(n) / 2 + 1
+    ev = keyed_events(spark, SF).filter(F.col("value").isNotNull())
+    n = ev.count()
+    h = F.md5(F.col("event_id").cast("string"))
+    for k in (0, 63):
+        in_a = F.expr(
+            f"(shiftright(instr('0123456789abcdef', substring("
+            f"md5(cast(event_id as string)), {1 + k // 4}, 1)) - 1,"
+            f" {k % 4}) & 1) = 1"
+        )
+        na = ev.filter(in_a).count()
+        assert abs(na - n / 2) < 6 * math.sqrt(n) / 2 + 1, k
 
 
 # ------------------------------------------------- inventory fill
