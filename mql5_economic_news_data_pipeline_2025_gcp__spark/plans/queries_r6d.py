@@ -27,21 +27,23 @@ from .registry import register
              sum(CAST(round(value * 100) AS BIGINT)) AS s_c
       FROM events WHERE value IS NOT NULL
       GROUP BY CAST(ts AS DATE)),
-    s AS (
-      SELECT CAST(sum(CASE WHEN b.s_c > a.s_c THEN 1
-                           WHEN b.s_c < a.s_c THEN -1 ELSE 0 END)
-                  AS BIGINT) AS s_stat
-      FROM d a JOIN d b ON a.day < b.day),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
-    ties AS (
-      SELECT coalesce(CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT),
-                      0) AS tie_term
-      FROM (SELECT count(*) AS tt FROM d GROUP BY s_c HAVING count(*) > 1)),
+    e AS (
+      SELECT day, s_c, count(*) OVER (PARTITION BY s_c) AS tt FROM d),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN a.day < b.day AND b.s_c > a.s_c THEN 1
+                           WHEN a.day < b.day AND b.s_c < a.s_c THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat,
+             CAST(sum(CASE WHEN a.day = b.day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN a.day = b.day
+                           THEN (a.tt - 1) * (2 * a.tt + 5)
+                           ELSE 0 END) AS BIGINT) AS tie_term
+      FROM e a JOIN e b ON a.day <= b.day),
     v AS (
-      SELECT n.n_days, s.s_stat,
-             n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
-               - ties.tie_term AS var_num
-      FROM n, s, ties)
+      SELECT n_days, s_stat,
+             n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+               AS var_num
+      FROM agg)
     SELECT n_days, s_stat, CAST(var_num AS BIGINT) AS var_num,
            CASE WHEN s_stat > 0
                   THEN (CAST(s_stat AS DOUBLE) - 1.0)
@@ -75,54 +77,53 @@ def evt_mann_kendall(spark, sf_dir):
     Determinism: S, n, and the variance numerator are exact integers;
     z is one identical expression tree over them (both engines run the
     same IEEE-754 divide/sqrt on the same integers).
+
+    Plan shape: the first version referenced the day frame four times
+    (pair sides + count + tie groups), re-deriving the fact-table
+    aggregation each time — 4 parquet scans in the audit.  This form
+    computes ALL THREE statistics from ONE diagonal-inclusive self-join
+    of a single enriched frame (tt tie-size window; a.day = b.day rows
+    recover n and Σ t(t−1)(2t+5), strict rows recover S): measured
+    4 scans / 5 exchanges → 2 scans / 3 exchanges, one aggregation.
     """
     ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum("value_c").alias("s_c")
     )
-    a = d.select(F.col("day").alias("aday"), F.col("s_c").alias("a_c"))
-    b = d.select(F.col("day").alias("bday"), F.col("s_c").alias("b_c"))
-    s = (
-        a.join(b, a.aday < b.bday)
-        .agg(
-            F.sum(
-                F.when(F.col("b_c") > F.col("a_c"), 1)
-                .when(F.col("b_c") < F.col("a_c"), -1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("s_stat")
-        )
+    e = d.withColumn(
+        "tt", F.count(F.lit(1)).over(Window.partitionBy("s_c"))
     )
-    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    ties = (
-        d.groupBy("s_c")
-        .agg(F.count(F.lit(1)).alias("tt"))
-        .filter(F.col("tt") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
-                ).cast("bigint"),
-                F.lit(0).cast("bigint"),
-            ).alias("tie_term")
+    a, b = e.alias("a"), e.alias("b")
+    diag = F.col("a.day") == F.col("b.day")
+    strict = F.col("a.day") < F.col("b.day")
+    agg = a.join(b, F.col("a.day") <= F.col("b.day")).agg(
+        F.sum(
+            F.when(strict & (F.col("b.s_c") > F.col("a.s_c")), 1)
+            .when(strict & (F.col("b.s_c") < F.col("a.s_c")), -1)
+            .otherwise(0)
         )
+        .cast("bigint")
+        .alias("s_stat"),
+        F.sum(F.when(diag, 1).otherwise(0)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                diag, (F.col("a.tt") - 1) * (2 * F.col("a.tt") + 5)
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_term"),
     )
-    v = (
-        n.crossJoin(s)
-        .crossJoin(ties)
-        .select(
-            "n_days",
-            "s_stat",
-            (
-                F.col("n_days")
-                * (F.col("n_days") - 1)
-                * (2 * F.col("n_days") + 5)
-                - F.col("tie_term")
-            )
-            .cast("bigint")
-            .alias("var_num"),
+    v = agg.select(
+        "n_days",
+        "s_stat",
+        (
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie_term")
         )
+        .cast("bigint")
+        .alias("var_num"),
     )
     denom = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
     return v.select(

@@ -224,6 +224,17 @@ BUDGETS = {
     # own row — only the distinct + source agg exchange (was 3 with a
     # gram-explode window; sf1 12.3 s -> 4.1 s)
     "doc_winnowing_fingerprints": 2,
+    # r6c/r6d batches (measured in PLAN_AUDIT at the time of pinning)
+    "rel_entity_resolution": 1,     # blocking equi-join; windows reuse it
+    "rel_seat_apportionment": 1,    # nation-grain agg; window math after
+    "evt_changepoint_sse": 1,       # day-grain agg; candidate sweep on it
+    "evt_interval_coverage": 1,     # user-partition window + same-key agg
+    "rel_price_band_join": 2,       # bucket equi-join + left join-back
+    "evt_mann_kendall": 3,          # day agg + tie window (was 5/4 scans)
+    "evt_runs_test": 2,             # day agg + ordered-lag window
+    "evt_permutation_test": 0,      # ONE scan, 132-cell single aggregation
+    "rel_inventory_fill": 2,        # partkey window + same-key agg
+    "evt_queue_wait_lindley": 1,    # user-partition windows + same-key agg
 }
 
 
