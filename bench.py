@@ -304,6 +304,10 @@ BENCH_QUERIES = [
     "evt_permutation_test",
     "rel_inventory_fill",
     "evt_queue_wait_lindley",
+    "evt_logrank_table",
+    "rel_waterfill_allocation",
+    "evt_anova_oneway",
+    "evt_cronbach_alpha",
 ]
 
 
