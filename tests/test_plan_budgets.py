@@ -235,6 +235,11 @@ BUDGETS = {
     "evt_permutation_test": 0,      # ONE scan, 132-cell single aggregation
     "rel_inventory_fill": 2,        # partkey window + same-key agg
     "evt_queue_wait_lindley": 1,    # user-partition windows + same-key agg
+    # r6e batch
+    "evt_logrank_table": 2,         # user agg + time-grain agg; 1 scan
+    "rel_waterfill_allocation": 1,  # partkey agg; windows on the agg frame
+    "evt_anova_oneway": 1,          # one fact agg to k rows
+    "evt_cronbach_alpha": 1,        # one user-grain pivot agg
 }
 
 
