@@ -308,6 +308,9 @@ BENCH_QUERIES = [
     "rel_waterfill_allocation",
     "evt_anova_oneway",
     "evt_cronbach_alpha",
+    "evt_kruskal_wallis",
+    "evt_friedman_test",
+    "doc_readability_scores",
 ]
 
 
