@@ -240,6 +240,10 @@ BUDGETS = {
     "rel_waterfill_allocation": 1,  # partkey agg; windows on the agg frame
     "evt_anova_oneway": 1,          # one fact agg to k rows
     "evt_cronbach_alpha": 1,        # one user-grain pivot agg
+    # r6f batch
+    "evt_kruskal_wallis": 1,        # value-grain histogram; ranks on it
+    "evt_friedman_test": 1,         # user pivot agg; pairwise ranks local
+    "doc_readability_scores": 1,    # regexp_count map + source agg
 }
 
 
