@@ -311,6 +311,10 @@ BENCH_QUERIES = [
     "evt_kruskal_wallis",
     "evt_friedman_test",
     "doc_readability_scores",
+    "evt_tukey_pairs",
+    "evt_wilcoxon_signed_rank",
+    "evt_mcnemar_test",
+    "evt_cohens_kappa",
 ]
 
 
