@@ -244,6 +244,11 @@ BUDGETS = {
     "evt_kruskal_wallis": 1,        # value-grain histogram; ranks on it
     "evt_friedman_test": 1,         # user pivot agg; pairwise ranks local
     "doc_readability_scores": 1,    # regexp_count map + source agg
+    # r6g batch
+    "evt_tukey_pairs": 0,           # ONE 16-cell agg + 10-row explode
+    "evt_wilcoxon_signed_rank": 2,  # user agg + |diff|-grain histogram
+    "evt_mcnemar_test": 1,          # one user-grain agg
+    "evt_cohens_kappa": 1,          # user agg; rank windows on agg frame
 }
 
 
