@@ -315,6 +315,9 @@ BENCH_QUERIES = [
     "evt_wilcoxon_signed_rank",
     "evt_mcnemar_test",
     "evt_cohens_kappa",
+    "evt_standardized_rates",
+    "evt_gains_table",
+    "rel_abc_xyz",
 ]
 
 
