@@ -124,9 +124,19 @@ def evt_standardized_rates(spark, sf_dir):
             for b in _BANDS
         ],
     )
-    g = tp.agg(
-        *[F.sum(f"n{b}").cast("bigint").alias(f"gn{b}") for b in _BANDS],
-        *[F.sum(f"x{b}").cast("bigint").alias(f"gx{b}") for b in _BANDS],
+    # global stratum totals as windows over the k-row type frame — the
+    # fact aggregation is derived ONCE (2 scans -> 1 in the audit)
+    wall = Window.partitionBy()
+    tpg = tp.select(
+        "*",
+        *[
+            F.sum(f"n{b}").over(wall).cast("bigint").alias(f"gn{b}")
+            for b in _BANDS
+        ],
+        *[
+            F.sum(f"x{b}").over(wall).cast("bigint").alias(f"gx{b}")
+            for b in _BANDS
+        ],
     ).withColumn(
         "big_n",
         F.expr("CAST(gn0 + gn1 + gn2 + gn3 AS BIGINT)"),
@@ -153,7 +163,7 @@ def evt_standardized_rates(spark, sf_dir):
     expected = (
         (expected_term(0) + expected_term(1)) + expected_term(2)
     ) + expected_term(3)
-    per_type = tp.crossJoin(F.broadcast(g)).select(
+    per_type = tpg.select(
         "event_type",
         (F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3"))
         .cast("bigint")
@@ -249,15 +259,16 @@ def evt_gains_table(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("buyer").cast("bigint").alias("buyers"),
     )
-    tot = per.agg(
-        F.sum("n_users").cast("bigint").alias("all_users"),
-        F.sum("buyers").cast("bigint").alias("all_buyers"),
-    )
+    # totals as windows over the 10-row decile frame (single lineage)
+    wall = Window.partitionBy()
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    joined = per.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_buyers", F.sum("buyers").over(wcum).cast("bigint")
+    joined = per.select(
+        "*",
+        F.sum("n_users").over(wall).cast("bigint").alias("all_users"),
+        F.sum("buyers").over(wall).cast("bigint").alias("all_buyers"),
+        F.sum("buyers").over(wcum).cast("bigint").alias("cum_buyers"),
     )
     return joined.select(
         F.col("decile").cast("bigint").alias("decile"),
@@ -349,17 +360,19 @@ def rel_abc_xyz(spark, sf_dir):
         F.weekofyear("l_shipdate").alias("wk"),
         F.year("l_shipdate").alias("yr"),
     )
+    # revenue rides the weekly aggregation so the fact table has ONE
+    # lineage (wdem -> part grain), not two parallel aggs
     wdem = wk.groupBy("pk", "yr", "wk").agg(
-        F.sum("qty").cast("bigint").alias("wq")
+        F.sum("qty").cast("bigint").alias("wq"),
+        F.sum("rev_c").cast("bigint").alias("wrev"),
     )
     dec = "decimal(38,0)"
-    p = wdem.groupBy("pk").agg(
+    joined = wdem.groupBy("pk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
         F.sum("wq").cast("bigint").alias("s"),
         F.sum((F.col("wq").cast(dec) * F.col("wq")).cast(dec)).alias("q"),
+        F.sum("wrev").cast("bigint").alias("rev_c"),
     )
-    rev = wk.groupBy("pk").agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
-    joined = p.join(rev, "pk")
     wrank = Window.orderBy(F.desc("rev_c"), F.asc("pk")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

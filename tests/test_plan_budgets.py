@@ -249,6 +249,10 @@ BUDGETS = {
     "evt_wilcoxon_signed_rank": 2,  # user agg + |diff|-grain histogram
     "evt_mcnemar_test": 1,          # one user-grain agg
     "evt_cohens_kappa": 1,          # user agg; rank windows on agg frame
+    # r6h batch (single fact lineage each; totals via agg-frame windows)
+    "evt_standardized_rates": 1,
+    "evt_gains_table": 1,
+    "rel_abc_xyz": 2,
 }
 
 
