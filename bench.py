@@ -318,6 +318,8 @@ BENCH_QUERIES = [
     "evt_standardized_rates",
     "evt_gains_table",
     "rel_abc_xyz",
+    "evt_cmh_test",
+    "evt_p_chart",
 ]
 
 
