@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "rel_abc_xyz",
     "evt_cmh_test",
     "evt_p_chart",
+    "evt_capture_recapture",
+    "evt_jackknife_ratio",
 ]
 
 
