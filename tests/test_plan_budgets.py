@@ -253,6 +253,11 @@ BUDGETS = {
     "evt_standardized_rates": 1,
     "evt_gains_table": 1,
     "rel_abc_xyz": 2,
+    # r6i/r6j batches
+    "evt_cmh_test": 0,              # ONE 16-cell aggregation, no shuffle
+    "evt_p_chart": 1,               # day agg; pooled totals via windows
+    "evt_capture_recapture": 1,     # one user-grain agg
+    "evt_jackknife_ratio": 2,       # day agg referenced by two passes
 }
 
 
