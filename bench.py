@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "evt_p_chart",
     "evt_capture_recapture",
     "evt_jackknife_ratio",
+    "evt_odds_ratio_mh",
+    "evt_extreme_value_gumbel",
 ]
 
 
