@@ -258,6 +258,9 @@ BUDGETS = {
     "evt_p_chart": 1,               # day agg; pooled totals via windows
     "evt_capture_recapture": 1,     # one user-grain agg
     "evt_jackknife_ratio": 2,       # day agg referenced by two passes
+    # r6k batch
+    "evt_odds_ratio_mh": 0,         # ONE 16-cell aggregation
+    "evt_extreme_value_gumbel": 1,  # day-maxima agg
 }
 
 
