@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "evt_jackknife_ratio",
     "evt_odds_ratio_mh",
     "evt_extreme_value_gumbel",
+    "evt_mood_median_test",
+    "rel_newsvendor_stock",
 ]
 
 
