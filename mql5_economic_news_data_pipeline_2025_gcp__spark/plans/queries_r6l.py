@@ -229,24 +229,24 @@ def rel_newsvendor_stock(spark, sf_dir):
         F.weekofyear("l_shipdate").alias("wk"),
     ).agg(F.sum(F.round("l_quantity").cast("bigint")).alias("wq"))
     w = Window.partitionBy("pk").orderBy("wq", "yr", "wk")
+    wp = Window.partitionBy("pk")
+    # per-part totals ride the SAME window pass as the ranks — one
+    # lineage for the weekly frame (2 scans -> 1 in the audit)
     r = wdem.select(
         "pk", "wq",
         F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("pk")).alias("nw"),
+        F.count(F.lit(1)).over(wp).alias("nw"),
+        F.sum("wq").over(wp).alias("tot_d"),
     )
-    qstar = (
+    j = (
         r.filter(3 * F.col("rnk") >= 2 * F.col("nw"))
         .groupBy("pk")
         .agg(
             F.min("wq").alias("q_star"),
             F.min("nw").alias("n_weeks"),
+            F.min("tot_d").cast("bigint").alias("tot_d"),
         )
     )
-    mean_d = wdem.groupBy("pk").agg(
-        F.sum("wq").cast("bigint").alias("tot_d"),
-        F.count(F.lit(1)).cast("bigint").alias("nw"),
-    )
-    j = qstar.join(mean_d, "pk")
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("q_star").cast("bigint").alias("total_stock_units"),

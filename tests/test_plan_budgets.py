@@ -261,6 +261,9 @@ BUDGETS = {
     # r6k batch
     "evt_odds_ratio_mh": 0,         # ONE 16-cell aggregation
     "evt_extreme_value_gumbel": 1,  # day-maxima agg
+    # r6l batch
+    "evt_mood_median_test": 1,      # histogram + cells (median broadcast)
+    "rel_newsvendor_stock": 2,      # weekly agg + pk window (one lineage)
 }
 
 
