@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "evt_extreme_value_gumbel",
     "evt_mood_median_test",
     "rel_newsvendor_stock",
+    "evt_pot_gpd_tail",
+    "evt_sax_words",
 ]
 
 
