@@ -264,6 +264,9 @@ BUDGETS = {
     # r6l batch
     "evt_mood_median_test": 1,      # histogram + cells (median broadcast)
     "rel_newsvendor_stock": 2,      # weekly agg + pk window (one lineage)
+    # r6m batch
+    "evt_pot_gpd_tail": 1,          # histogram + exceedance pass
+    "evt_sax_words": 2,             # (type,day) agg + type windows
 }
 
 
