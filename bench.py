@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "rel_newsvendor_stock",
     "evt_pot_gpd_tail",
     "evt_sax_words",
+    "evt_var_cvar",
+    "evt_granger_lite",
 ]
 
 
