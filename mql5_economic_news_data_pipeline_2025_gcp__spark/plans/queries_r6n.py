@@ -32,18 +32,19 @@ from .registry import register
                AS cum,
              sum(c) OVER (PARTITION BY event_type) AS n
       FROM h),
-    v AS (
-      SELECT event_type, min(val) AS var95, min(n) AS n
-      FROM r WHERE 20 * cum >= 19 * n GROUP BY event_type),
+    rv AS (
+      SELECT event_type, val, c, n,
+             min(CASE WHEN 20 * cum >= 19 * n THEN val END)
+               OVER (PARTITION BY event_type) AS var95
+      FROM r),
     tail AS (
-      SELECT h.event_type,
-             CAST(min(v.n) AS BIGINT) AS n,
-             CAST(min(v.var95) AS BIGINT) AS var95_c,
-             CAST(sum(h.c) AS BIGINT) AS tail_n,
-             CAST(sum(h.val * h.c) AS BIGINT) AS tail_sum_c
-      FROM h JOIN v ON v.event_type = h.event_type
-      WHERE h.val >= v.var95
-      GROUP BY h.event_type)
+      SELECT event_type,
+             CAST(min(n) AS BIGINT) AS n,
+             CAST(min(var95) AS BIGINT) AS var95_c,
+             CAST(sum(c) AS BIGINT) AS tail_n,
+             CAST(sum(val * c) AS BIGINT) AS tail_sum_c
+      FROM rv WHERE val >= var95
+      GROUP BY event_type)
     SELECT event_type, n, var95_c, tail_n, tail_sum_c,
            CAST(tail_sum_c AS DOUBLE) / CAST(tail_n AS DOUBLE) AS cvar_c
     FROM tail
@@ -85,14 +86,18 @@ def evt_var_cvar(spark, sf_dir):
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wtype).alias("n"),
     )
-    v = (
-        r.filter(20 * F.col("cum") >= 19 * F.col("n"))
-        .groupBy("event_type")
-        .agg(F.min("val").alias("var95"), F.min("n").alias("n"))
+    # var95 as a window over the SAME histogram frame — one lineage
+    # for the fact table (the join-back form audited 2 scans)
+    rv = r.select(
+        "event_type", "val", "c", "n",
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("val"))
+        )
+        .over(wtype)
+        .alias("var95"),
     )
     tail = (
-        h.join(F.broadcast(v), "event_type")
-        .filter(F.col("val") >= F.col("var95"))
+        rv.filter(F.col("val") >= F.col("var95"))
         .groupBy("event_type")
         .agg(
             F.min("n").cast("bigint").alias("n"),

@@ -267,6 +267,9 @@ BUDGETS = {
     # r6m batch
     "evt_pot_gpd_tail": 1,          # histogram + exceedance pass
     "evt_sax_words": 2,             # (type,day) agg + type windows
+    # r6n batch
+    "evt_var_cvar": 2,              # per-type histogram; VaR as a window
+    "evt_granger_lite": 1,          # day agg + lag + 10-cell moments
 }
 
 
