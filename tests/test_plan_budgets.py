@@ -287,3 +287,41 @@ def test_exchange_budget(spark, name):
         f"{name}: {n} hash exchanges > budget {BUDGETS[name]} — a shuffle "
         f"crept in; restructure or justify a budget bump\n{plan[:4000]}"
     )
+
+
+#: queries whose plans were explicitly de-duplicated to a SINGLE fact
+#: lineage (round-6 window-lift / fold-into-one-agg passes): a second
+#: parquet scan reappearing means the shared frame regressed to a
+#: join-back shape.
+SCAN_BUDGETS = {
+    "evt_permutation_test": 1,
+    "evt_mann_kendall": 2,       # self-join: two refs of the day frame
+    "rel_abc_xyz": 1,
+    "evt_gains_table": 1,
+    "evt_standardized_rates": 1,
+    "rel_newsvendor_stock": 1,
+    "evt_var_cvar": 1,
+    "evt_cmh_test": 1,
+    "evt_odds_ratio_mh": 1,
+    "evt_tukey_pairs": 1,
+    "evt_kruskal_wallis": 1,
+    "evt_cronbach_alpha": 1,
+    "evt_friedman_test": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_scan_budget(spark, name):
+    plan = (
+        REGISTRY[name]
+        .spark_fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Scan parquet")
+    assert n <= SCAN_BUDGETS[name], (
+        f"{name}: {n} parquet scans > budget {SCAN_BUDGETS[name]} — a "
+        f"shared frame re-derived its fact lineage; window-lift or fold "
+        f"the consumer back into one aggregation\n{plan[:4000]}"
+    )
