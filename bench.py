@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "evt_sax_words",
     "evt_var_cvar",
     "evt_granger_lite",
+    "mm_resolution_buckets",
+    "mm_modality_mix_plan",
 ]
 
 
