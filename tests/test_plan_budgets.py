@@ -270,6 +270,9 @@ BUDGETS = {
     # r6n batch
     "evt_var_cvar": 2,              # per-type histogram; VaR as a window
     "evt_granger_lite": 1,          # day agg + lag + 10-cell moments
+    # r6o batch (one declared decode seam in resolution buckets)
+    "mm_resolution_buckets": 1,
+    "mm_modality_mix_plan": 1,
 }
 
 
