@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "evt_granger_lite",
     "mm_resolution_buckets",
     "mm_modality_mix_plan",
+    "stream_interval_union",
 ]
 
 

@@ -201,3 +201,96 @@ def series_state_tws(
         "max_c",
         F.timestamp_micros(F.col("hwm_us")).alias("hwm_ts"),
     )
+
+
+# ---------------------------------------------------- interval union
+
+_IU_OUT_SCHEMA = "user_id long, n_intervals long, covered_us long"
+#: merged disjoint segments as parallel arrays — EXACT under any batch
+#: split/arrival order, unlike a running-max-end fold (which is only
+#: exact for globally start-sorted input).
+_IU_STATE_SCHEMA = "starts array<long>, ends array<long>, n long"
+
+
+def _merge_intervals(
+    merged: list[tuple[int, int]], new: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Union two interval lists into sorted disjoint segments."""
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(merged + new):
+        if out and s <= out[-1][1]:
+            if e > out[-1][1]:
+                out[-1] = (out[-1][0], e)
+        else:
+            out.append((s, e))
+    return out
+
+
+def _update_interval_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        starts, ends, n = state.get
+        merged = list(zip(starts, ends))
+    else:
+        merged, n = [], 0
+    for pdf in pdfs:
+        n += len(pdf)
+        batch = list(
+            zip(
+                (int(x) for x in pdf["s_us"]),
+                (int(x) for x in pdf["e_us"]),
+            )
+        )
+        merged = _merge_intervals(merged, batch)
+    state.update(
+        ([s for s, _ in merged], [e for _, e in merged], n)
+    )
+    covered = sum(e - s for s, e in merged)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_intervals": [n],
+            "covered_us": [covered],
+        }
+    )
+
+
+def stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union-of-intervals coverage as a custom stateful
+    streaming operator — the streaming twin of the batch
+    ``evt_interval_coverage`` sweep.
+
+    State is the list of MERGED disjoint covered segments (parallel
+    long arrays), so the union is EXACT no matter how the source
+    splits micro-batches or orders arrivals — a running max-end fold
+    would silently miss overlaps that land before the fold point when
+    a later batch back-fills an earlier gap. Segment count is bounded
+    by the number of true gaps in a user's coverage (merging only ever
+    shrinks it); a pathological all-disjoint user degrades to O(their
+    interval count) state, the honest cost of exactness — the same
+    trade `stream_dedup_ttl_counts` makes with its key set.
+    """
+    stream = _stream_source(spark, sf_dir, "events")
+    ts_us = _ts_us(stream)
+    ev = stream.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        ts_us.alias("s_us"),
+        (
+            ts_us
+            + (
+                F.abs(F.round(F.col("value") * 100).cast("long")) % 3600
+            )
+            * 1000000
+        ).alias("e_us"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_interval_state,
+        outputStructType=_IU_OUT_SCHEMA,
+        stateStructType=_IU_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_table(out, mode="update", state_partitions=None)
