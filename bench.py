@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "mm_resolution_buckets",
     "mm_modality_mix_plan",
     "stream_interval_union",
+    "evt_shapley_attribution",
 ]
 
 
