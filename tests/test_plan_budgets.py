@@ -273,6 +273,8 @@ BUDGETS = {
     # r6o batch (one declared decode seam in resolution buckets)
     "mm_resolution_buckets": 1,
     "mm_modality_mix_plan": 1,
+    # r6q batch (user agg -> 16-row mask histogram -> coalition algebra)
+    "evt_shapley_attribution": 4,
 }
 
 
