@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "mm_modality_mix_plan",
     "stream_interval_union",
     "evt_shapley_attribution",
+    "evt_ljung_box",
 ]
 
 
