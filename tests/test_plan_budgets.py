@@ -275,6 +275,8 @@ BUDGETS = {
     "mm_modality_mix_plan": 1,
     # r6q batch (user agg -> 16-row mask histogram -> coalition algebra)
     "evt_shapley_attribution": 4,
+    # r6r batch
+    "evt_ljung_box": 1,             # day agg + lag window + 12-cell agg
 }
 
 
