@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "stream_interval_union",
     "evt_shapley_attribution",
     "evt_ljung_box",
+    "evt_fdr_bh",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Round-6 continuation (batch s): multiple-testing control with
+exact integer p-values.
+
+Benjamini-Hochberg needs p-values; engine-portable EXACT p-values come
+from permutation nulls.  The trick here extends `evt_permutation_test`
+to k-GROUP hypotheses: ten disjoint 3-hex-digit windows of ONE md5 per
+event each yield an unbiased value in [0, 4096), and ``v mod 5`` plus
+its 5 rotations give 50 pseudo-labelings into five SIZE-MATCHED groups
+— the correct null for "does type t differ from the rest" when the
+real types are ~uniform.  p-values are integer counts over 51, and the
+BH step-up rule ``p_(i) ≤ i·α/m`` becomes the integer inequality
+``20·(1+c_(i)) ≤ 51·i`` at α = 1/20, m = 5 — no float thresholds, so
+both engines reject the identical set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import keyed_events
+from .registry import register
+
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+#: 10 disjoint 3-hex-digit windows × 5 rotations = 50 pseudo-labelings.
+_WINDOWS = list(range(10))
+_ROTS = list(range(5))
+
+_OBS_CELLS_SQL = ",\n             ".join(
+    f"CAST(count(*) FILTER (event_type = '{et}') AS BIGINT) AS n_{g},\n"
+    f"             CAST(coalesce(sum(v_c) FILTER (event_type = '{et}'), 0)"
+    f" AS BIGINT) AS s_{g}"
+    for g, et in enumerate(_TYPES)
+)
+
+_NULL_CELLS_SQL = ",\n             ".join(
+    f"CAST(count(*) FILTER (g{w} = {r}) AS BIGINT) AS pn_{w}_{r},\n"
+    f"             CAST(coalesce(sum(v_c) FILTER (g{w} = {r}), 0)"
+    f" AS BIGINT) AS ps_{w}_{r}"
+    for w in _WINDOWS
+    for r in _ROTS
+)
+
+_G_COLS_SQL = ",\n             ".join(
+    f"(instr('0123456789abcdef', substr(h, {3 * w + 1}, 1)) - 1) * 256"
+    f" + (instr('0123456789abcdef', substr(h, {3 * w + 2}, 1)) - 1) * 16"
+    f" + (instr('0123456789abcdef', substr(h, {3 * w + 3}, 1)) - 1)"
+    f" AS v{w}"
+    for w in _WINDOWS
+)
+
+@register(
+    "evt_fdr_bh",
+    oracle=rf"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             md5(event_id::VARCHAR) AS h
+      FROM events WHERE value IS NOT NULL),
+    withg AS (
+      SELECT event_type, v_c,
+             {_G_COLS_SQL}
+      FROM base),
+    modg AS (
+      SELECT event_type, v_c,
+             {", ".join(f"v{w} % 5 AS g{w}" for w in _WINDOWS)}
+      FROM withg),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_c) AS BIGINT) AS s,
+             {_OBS_CELLS_SQL},
+             {_NULL_CELLS_SQL}
+      FROM modg),
+    hyp AS (
+      {" UNION ALL ".join(
+        f'''SELECT {g} AS gi, '{_TYPES[g]}' AS event_type,
+             n_{g} AS n_g, s_{g} AS s_g,
+             abs(CAST(n AS HUGEINT) * s_{g}
+                 - CAST(n_{g} AS HUGEINT) * s) AS t_obs,
+             CAST({" + ".join(
+               f"CASE WHEN abs(CAST(n AS HUGEINT) * ps_{w}_{r}"
+               f" - CAST(pn_{w}_{r} AS HUGEINT) * s) >= "
+               f"abs(CAST(n AS HUGEINT) * s_{g}"
+               f" - CAST(n_{g} AS HUGEINT) * s)"
+               f" THEN 1 ELSE 0 END"
+               for w in _WINDOWS for r in _ROTS)} AS BIGINT) AS ge_count
+      FROM cells'''
+        for g in range(5))}),
+    ranked AS (
+      SELECT event_type, n_g, s_g, ge_count,
+             row_number() OVER (ORDER BY ge_count, event_type) AS rk
+      FROM hyp),
+    kstar AS (
+      SELECT coalesce(max(CASE WHEN 20 * (1 + ge_count) <= 51 * rk
+                                THEN rk END), 0) AS k
+      FROM ranked)
+    SELECT event_type, n_g, s_g, ge_count,
+           CAST(rk AS BIGINT) AS p_rank,
+           (1 + ge_count) * 10000 // 51 AS p_bp,
+           CAST(CASE WHEN rk <= (SELECT k FROM kstar)
+                     THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM ranked
+    """,
+    description="Benjamini-Hochberg FDR over five per-type permutation "
+    "hypotheses: 50 size-matched pseudo-labelings from md5 digit "
+    "windows (v mod 5 + rotations), integer p-values in 51sts, and "
+    "the step-up rule as the exact inequality 20(1+c) <= 51*rank - "
+    "both engines reject the identical set",
+    tags=("events", "statistics"),
+)
+def evt_fdr_bh(spark, sf_dir):
+    """Which event types' mean values REALLY differ from the rest,
+    controlling the false-discovery rate across the five tests.
+
+    Each hypothesis gets an exact permutation p-value: the null
+    re-labels every event into five SIZE-MATCHED pseudo-groups using
+    ``(3-hex-digit window of md5(event_id)) mod 5`` — ten disjoint
+    windows × five rotations = 50 labelings materialized identically
+    by both engines from ONE digest per event (the k-group extension
+    of `evt_permutation_test`'s bit trick; half-splits would have the
+    wrong null variance for a 1/5-sized group).  The statistic is the
+    exact cross-product ``|n·s_g − n_g·s|``; p = (1+#{T_null ≥
+    T_obs})/51 in integer 51sts; BH's ``p_(i) ≤ i·α/m`` at α=1/20,
+    m=5 is the integer inequality ``20(1+c_(i)) ≤ 51·i``.  Nothing is
+    ever a float, so the REJECTION SET — the thing that matters — is
+    bit-identical.
+
+    Scale: ONE fact pass into a single 112-cell conditional-sum
+    aggregation (observed 5×2 + null 50×2 + totals); everything after
+    is 5-row algebra.
+    """
+    ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    h = F.md5(F.col("event_id").cast("string"))
+    base = ev.select("event_type", F.col("value_c").alias("v_c"), h.alias("h"))
+    gcols = []
+    for w in _WINDOWS:
+        v = (
+            (
+                F.expr(
+                    f"instr('0123456789abcdef', substring(h, {3 * w + 1}, 1)) - 1"
+                )
+                * 256
+            )
+            + (
+                F.expr(
+                    f"instr('0123456789abcdef', substring(h, {3 * w + 2}, 1)) - 1"
+                )
+                * 16
+            )
+            + F.expr(
+                f"instr('0123456789abcdef', substring(h, {3 * w + 3}, 1)) - 1"
+            )
+        )
+        gcols.append((v % 5).alias(f"g{w}"))
+    modg = base.select("event_type", "v_c", *gcols)
+    cells = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_c").cast("bigint").alias("s"),
+    ]
+    for g, et in enumerate(_TYPES):
+        is_g = F.col("event_type") == et
+        cells.append(
+            F.sum(F.when(is_g, 1).otherwise(0)).cast("bigint").alias(f"n_{g}")
+        )
+        cells.append(
+            F.sum(F.when(is_g, F.col("v_c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{g}")
+        )
+    for w in _WINDOWS:
+        for r in _ROTS:
+            is_r = F.col(f"g{w}") == r
+            cells.append(
+                F.sum(F.when(is_r, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"pn_{w}_{r}")
+            )
+            cells.append(
+                F.sum(F.when(is_r, F.col("v_c")).otherwise(0))
+                .cast("bigint")
+                .alias(f"ps_{w}_{r}")
+            )
+    c = modg.agg(*cells)
+    dec = "decimal(38,0)"
+
+    def t_stat(nc, sc):
+        return F.abs(
+            F.col("n").cast(dec) * sc - nc.cast(dec) * F.col("s")
+        )
+
+    hyp_structs = []
+    for g, et in enumerate(_TYPES):
+        t_obs = t_stat(F.col(f"n_{g}"), F.col(f"s_{g}").cast(dec))
+        ge = None
+        for w in _WINDOWS:
+            for r in _ROTS:
+                cond = (
+                    t_stat(
+                        F.col(f"pn_{w}_{r}"), F.col(f"ps_{w}_{r}").cast(dec)
+                    )
+                    >= t_obs
+                )
+                term = F.when(cond, 1).otherwise(0)
+                ge = term if ge is None else ge + term
+        hyp_structs.append(
+            F.struct(
+                F.lit(et).alias("event_type"),
+                F.col(f"n_{g}").alias("n_g"),
+                F.col(f"s_{g}").alias("s_g"),
+                ge.cast("bigint").alias("ge_count"),
+            )
+        )
+    hyp = c.select(F.explode(F.array(*hyp_structs)).alias("x")).select("x.*")
+    ranked = hyp.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("ge_count", "event_type")),
+    )
+    kstar = F.coalesce(
+        F.max(
+            F.when(
+                20 * (1 + F.col("ge_count")) <= 51 * F.col("rk"),
+                F.col("rk"),
+            )
+        ).over(Window.partitionBy()),
+        F.lit(0),
+    )
+    return ranked.withColumn("k", kstar).select(
+        "event_type", "n_g", "s_g", "ge_count",
+        F.col("rk").cast("bigint").alias("p_rank"),
+        F.expr("(1 + ge_count) * 10000 DIV 51").alias("p_bp"),
+        F.when(F.col("rk") <= F.col("k"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )
