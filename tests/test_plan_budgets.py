@@ -277,6 +277,8 @@ BUDGETS = {
     "evt_shapley_attribution": 4,
     # r6r batch
     "evt_ljung_box": 1,             # day agg + lag window + 12-cell agg
+    # r6s batch
+    "evt_fdr_bh": 0,                # ONE 112-cell single-pass aggregation
 }
 
 
