@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "evt_shapley_attribution",
     "evt_ljung_box",
     "evt_fdr_bh",
+    "evt_kendall_tau_matrix",
 ]
 
 
