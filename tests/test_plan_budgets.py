@@ -279,6 +279,8 @@ BUDGETS = {
     "evt_ljung_box": 1,             # day agg + lag window + 12-cell agg
     # r6s batch
     "evt_fdr_bh": 0,                # ONE 112-cell single-pass aggregation
+    # r6t batch (day-pivot self-join: two refs of the day frame)
+    "evt_kendall_tau_matrix": 2,
 }
 
 
