@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "evt_ljung_box",
     "evt_fdr_bh",
     "evt_kendall_tau_matrix",
+    "rel_price_index",
 ]
 
 

@@ -160,9 +160,11 @@ def evt_jackknife_ratio(spark, sf_dir):
 
     Determinism: the two float sums run as CUMULATIVE WINDOW sums in
     day order and read the last row — both engines fold in the same
-    sequence, so the doubles are bit-equal (the window form of
-    `evt_anova_oneway`'s sorted-array left fold; preferable here
-    because the frame already has a natural total order).
+    sequence, so the doubles are bit-equal.  CAVEAT (measured while
+    building `rel_price_index`): this window form is only sequential
+    in DuckDB for frames under its segment-tree node size (~64 rows) —
+    safe for this month-sized day frame, but larger frames must use
+    the sorted-array left fold (`evt_anova_oneway` pattern) instead.
 
     Scale: one fact pass to the calendar-bounded day frame; three
     windows over ≤|days| rows.
