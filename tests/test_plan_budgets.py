@@ -281,6 +281,8 @@ BUDGETS = {
     "evt_fdr_bh": 0,                # ONE 112-cell single-pass aggregation
     # r6t batch (day-pivot self-join: two refs of the day frame)
     "evt_kendall_tau_matrix": 2,
+    # r6u batch (pruned fact pass -> part pivot -> sorted-fold agg)
+    "rel_price_index": 1,
 }
 
 
