@@ -338,6 +338,8 @@ BENCH_QUERIES = [
     "evt_fdr_bh",
     "evt_kendall_tau_matrix",
     "rel_price_index",
+    "evt_morans_i",
+    "evt_gof_weekday",
 ]
 
 
