@@ -120,26 +120,36 @@ def evt_morans_i(spark, sf_dir):
         "la", "lo", F.coalesce("x", F.lit(0)).alias("x")
     )
     dec = "decimal(38,0)"
-    stot = cells.agg(F.sum("x").cast("bigint").alias("stot"))
-    z = cells.crossJoin(F.broadcast(stot)).select(
+    from pyspark.sql import Window
+
+    # the lattice is COMPLETE, so rook neighbors are exactly the
+    # lag/lead rows of the two grid orders — four windows over the
+    # 648-row frame replace the adjacency self-join, and the fact
+    # table keeps a SINGLE lineage (the join form audited 6 scans)
+    wall = Window.partitionBy()
+    z = cells.select(
         "la", "lo",
-        (F.lit(_N).cast(dec) * F.col("x") - F.col("stot")).alias("zz"),
-    )
-    a, b = z.alias("a"), z.alias("b")
-    num = a.join(
-        b,
         (
-            F.abs(F.col("a.la") - F.col("b.la"))
-            + F.abs(F.col("a.lo") - F.col("b.lo"))
-        )
-        == 1,
-    ).agg(
-        F.sum((F.col("a.zz") * F.col("b.zz")).cast(dec)).alias("cross_num")
+            F.lit(_N).cast(dec) * F.col("x")
+            - F.sum("x").over(wall).cast(dec)
+        ).alias("zz"),
     )
-    den = z.agg(
-        F.sum((F.col("zz") * F.col("zz")).cast(dec)).alias("den")
+    wlo = Window.partitionBy("la").orderBy("lo")
+    wla = Window.partitionBy("lo").orderBy("la")
+    neigh = (
+        F.coalesce(F.lag("zz").over(wlo), F.lit(0).cast(dec))
+        + F.coalesce(F.lead("zz").over(wlo), F.lit(0).cast(dec))
+        + F.coalesce(F.lag("zz").over(wla), F.lit(0).cast(dec))
+        + F.coalesce(F.lead("zz").over(wla), F.lit(0).cast(dec))
     )
-    return num.crossJoin(den).select(
+    contrib = z.select(
+        "zz", neigh.alias("nsum")
+    )
+    agg = contrib.agg(
+        F.sum((F.col("zz") * F.col("nsum")).cast(dec)).alias("cross_num"),
+        F.sum((F.col("zz") * F.col("zz")).cast(dec)).alias("den"),
+    )
+    return agg.select(
         F.lit(_N).cast("bigint").alias("n_cells"),
         F.lit(_W).cast("bigint").alias("w_total"),
         F.col("cross_num").cast("bigint").alias("cross_num"),

@@ -283,6 +283,9 @@ BUDGETS = {
     "evt_kendall_tau_matrix": 2,
     # r6u batch (pruned fact pass -> part pivot -> sorted-fold agg)
     "rel_price_index": 1,
+    # r6v batch (lattice windows replace the adjacency self-join)
+    "evt_morans_i": 2,
+    "evt_gof_weekday": 1,
 }
 
 
