@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "rel_price_index",
     "evt_morans_i",
     "evt_gof_weekday",
+    "evt_geary_c",
 ]
 
 
