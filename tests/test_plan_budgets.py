@@ -286,6 +286,8 @@ BUDGETS = {
     # r6v batch (lattice windows replace the adjacency self-join)
     "evt_morans_i": 2,
     "evt_gof_weekday": 1,
+    # r6w batch (same lattice-window single-lineage shape)
+    "evt_geary_c": 2,
 }
 
 
