@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "evt_morans_i",
     "evt_gof_weekday",
     "evt_geary_c",
+    "evt_local_morans",
 ]
 
 
