@@ -288,6 +288,8 @@ BUDGETS = {
     "evt_gof_weekday": 1,
     # r6w batch (same lattice-window single-lineage shape)
     "evt_geary_c": 2,
+    # r6x batch
+    "evt_local_morans": 2,
 }
 
 
