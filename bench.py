@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "evt_gof_weekday",
     "evt_geary_c",
     "evt_local_morans",
+    "evt_knox_test",
 ]
 
 
