@@ -379,17 +379,24 @@ def main() -> None:
         else BENCH_QUERIES
     )
     timings: dict[str, float] = {}
+    all_iters: dict[str, list[float]] = {}
     for name in bench_set:
         spec = REGISTRY[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(iters):
             t0 = time.time()
             df = spec.spark_fn(spark, SF_DIR)
             # noop sink forces full materialization of every output column
             # (count() would let Catalyst prune computed columns)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        # min damps noisy-neighbor spikes; the full iteration list is kept
+        # so artifact readers can tell host noise from a real regression
+        # (the r6 driver artifact ran on a loaded host and manufactured 11
+        # phantom >1.5x "regressions" that only the committed bench
+        # history could disprove — round-6 verdict task #4).
+        timings[name] = min(runs)
+        all_iters[name] = runs
         # operators that persist() intermediates (jaccard inverted index,
         # CC edge list) must not leak cache blocks into later queries —
         # accumulated executor-memory pressure inflates every timing
@@ -397,13 +404,22 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # host_noise: median across queries of (max iter / min iter). ~1.0-1.3
+    # on a quiet host; >>1.3 flags a loaded host whose per-query numbers
+    # should not be read as regressions.
+    spreads = sorted(
+        max(r) / min(r) for r in all_iters.values() if r and min(r) > 0
+    )
+    host_noise = round(spreads[len(spreads) // 2], 3) if spreads else None
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "iterations": iters,
         "agg": "min",
+        "host_noise": host_noise,
         "queries": timings,
+        "iters": all_iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures stdout with a bounded tail — BENCH_r03 lost 80+

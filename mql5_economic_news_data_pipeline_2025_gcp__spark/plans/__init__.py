@@ -38,78 +38,78 @@ from . import queries_r6x  # noqa: E402,F401
 from . import queries_r6y  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
-# insertion order). Rounds 3/4/5 rotated three distinct 50-query sets
-# through the window (120 distinct driver-green queries, zero ever-red);
-# round 6 ROTATES a FOURTH set in: the flagship (entry() canary) plus 49
-# never-driver-sampled, ALL oracle-paired queries (the r5 window spent a
-# slot on a rows-only op → `no_oracle`; this window buys 49 real
-# hash-checked rows), including the round-5 verdict's named candidates,
-# the repaired `evt_ltv_discounted` (d0-definition fix + dropped
-# user-frame broadcast hint — its green row is the fix's driver-side
-# proof), and the new `emb_ivfpq_residual_check` hash-checkable IVF-PQ
-# twin. Everything certified in earlier rounds keeps its green row in
-# those artifacts and stays covered by the order-independent full
-# differential gate (scripts/diffcheck.py, tests/test_oracle.py), which
-# runs every entry each round.
+# insertion order). Rounds 3/4/5/6 rotated four distinct 50-query sets
+# through the window (169 distinct driver-green queries, zero ever-red);
+# round 7 ROTATES a FIFTH set in: the flagship (entry() canary) plus 49
+# never-driver-sampled, ALL oracle-paired queries — the round-6 verdict's
+# named candidates (the statistics + spatial suites: FDR, permutation,
+# Kendall, Moran/Geary/LISA, Knox, VaR/CVaR, GPD tails, price index,
+# TextRank, suffix ranks, Shapley, Ljung-Box) plus a cross-family fill of
+# the remaining never-sampled hypothesis tests, relational OR/allocation
+# queries, doc/embedding analytics, streaming interval union, and
+# multimodal resolution buckets. Everything certified in earlier rounds
+# keeps its green row in those artifacts and stays covered by the
+# order-independent full differential gate (scripts/diffcheck.py,
+# tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # round-5 verdict candidates (repairs + r5 stragglers)
-    "evt_ltv_discounted",
-    "emb_ivfpq_residual_check",
-    "emb_davies_bouldin",
-    "doc_substring_search_trgm",
-    "evt_geo_hotspot_grid",
-    "evt_geo_radius_join",
-    "evt_linear_interpolate",
-    "evt_outlier_iqr",
-    "sql_lateral_topk",
-    "doc_temperature_mix",
-    "evt_calibration_bins",
-    "rel_weighted_median_price",
-    "evt_gini_value",
-    "evt_proportion_ztest",
-    # relational / advanced SQL — never sampled before
-    "rel_nation_trade_volume",
-    "rel_profit_by_nation_year",
-    "rel_top_supplier",
-    "rel_late_sole_supplier",
-    "rel_mom_revenue_growth",
-    "rel_spend_percentiles",
-    "rel_join_cardinality_audit",
-    # event-series / time-series — never sampled before
-    "evt_anomaly_zscore",
-    "evt_gap_fill",
-    "evt_ohlc_bars",
-    "evt_ewma",
-    "evt_holt_smoothing",
-    "evt_seasonal_profile",
-    "evt_welch_ttest",
-    "evt_autocorrelation",
-    "evt_attribution",
-    "evt_psi_drift",
+    # round-6 verdict named candidates (statistics + spatial suites)
+    "evt_fdr_bh",
+    "evt_permutation_test",
+    "evt_kendall_tau_matrix",
+    "evt_morans_i",
+    "evt_geary_c",
+    "evt_local_morans",
+    "evt_knox_test",
+    "evt_var_cvar",
+    "evt_pot_gpd_tail",
+    "rel_price_index",
+    "doc_textrank_keywords",
+    "doc_suffix_ranks",
+    "evt_shapley_attribution",
+    "evt_ljung_box",
+    # the round-6 straggler that shipped without its checklist (now fixed)
+    "evt_watermark_curve",
+    # hypothesis-test suite — never sampled before
+    "evt_anova_oneway",
+    "evt_kruskal_wallis",
+    "evt_wilcoxon_signed_rank",
+    "evt_friedman_test",
+    "evt_tukey_pairs",
+    "evt_mcnemar_test",
+    "evt_cohens_kappa",
+    "evt_cmh_test",
+    "evt_jackknife_ratio",
+    "evt_extreme_value_gumbel",
+    "evt_mood_median_test",
+    "evt_granger_lite",
+    "evt_mann_kendall",
+    "evt_runs_test",
+    "evt_cronbach_alpha",
+    "evt_odds_ratio_mh",
+    "evt_capture_recapture",
+    "evt_p_chart",
+    "evt_gof_weekday",
+    # relational / operations-research — never sampled before
+    "rel_abc_xyz",
+    "rel_newsvendor_stock",
+    "rel_seat_apportionment",
+    "rel_entity_resolution",
+    "rel_waterfill_allocation",
+    "rel_inventory_fill",
+    "rel_price_band_join",
     # text corpus — never sampled before
-    "doc_token_stats",
-    "doc_langid_accuracy",
-    "doc_simhash",
-    "doc_fingerprints",
-    "doc_corpus_filter",
-    "doc_repetition_filter",
-    "doc_pmi_collocations",
-    "doc_vocab_coverage",
-    "doc_novelty_fraction",
-    # embeddings / ANN — never sampled before
-    "emb_near_dup_cosine",
-    "emb_label_centroids",
-    "emb_kfold_assign",
-    "emb_random_projection",
-    # streaming (oracle-paired drain checks) — never sampled before
-    "stream_sliding_counts",
-    "stream_converted_views",
-    "stream_dedup_ttl_counts",
-    # multimodal — never sampled before
-    "mm_payload_dedup",
-    "mm_storage_report",
+    "doc_readability_scores",
+    "doc_wordpiece_segment",
+    "doc_winnowing_fingerprints",
+    # embeddings — never sampled before
+    "emb_mahalanobis_ood",
+    "emb_mmd_drift",
+    "emb_dbscan_core_points",
+    # streaming + multimodal — never sampled before
+    "stream_interval_union",
+    "mm_resolution_buckets",
 )
 
 
