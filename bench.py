@@ -343,6 +343,15 @@ BENCH_QUERIES = [
     "evt_geary_c",
     "evt_local_morans",
     "evt_knox_test",
+    "emb_lloyd_round2_check",
+    "emb_pca_basis_check",
+    "emb_logreg_margin_check",
+    "doc_bloom_portable_check",
+    "evt_mann_whitney_u",
+    "evt_levene_median",
+    "evt_durbin_watson",
+    "evt_grubbs_outlier",
+    "evt_cochran_q",
 ]
 
 

@@ -42,7 +42,9 @@ def main() -> None:
     spark = get_spark("plan-audit")
     rows = []
     for name, spec in REGISTRY.items():
-        if "streaming" in spec.tags:  # building the frame runs the drain
+        # building a stream_* frame runs the drain; batch queries that are
+        # merely ABOUT streaming tuning (evt_watermark_curve) stay audited
+        if name.startswith("stream_"):
             continue
         try:
             plan = (

@@ -290,6 +290,20 @@ BUDGETS = {
     "evt_geary_c": 2,
     # r6x batch
     "evt_local_morans": 2,
+    # r6y batch (cell/day equi-joins bound the pair space; the three
+    # margin aggregates each shuffle once on their grouping key)
+    "evt_knox_test": 3,
+    # r7a batch (oracle twins for rows-only ops)
+    "emb_lloyd_round2_check": 5,   # 2 assignment windows + cell/dim agg
+    "emb_pca_basis_check": 0,      # map-only literal-basis projection
+    "emb_logreg_margin_check": 1,  # one 2-row class aggregate
+    "doc_bloom_portable_check": 4, # literal bitset: map-side probes, doc-keyed folds
+    # r7b batch (statistics II)
+    "evt_mann_whitney_u": 1,       # one histogram agg; window is hist-sized
+    "evt_levene_median": 3,        # hist agg + median window + final agg
+    "evt_durbin_watson": 1,        # one series shuffle (lag + agg share it)
+    "evt_grubbs_outlier": 2,       # moment agg broadcast-back + struct argmax
+    "evt_cochran_q": 4,            # distinct + two marginal aggs (2 keys)
 }
 
 
