@@ -352,6 +352,10 @@ BENCH_QUERIES = [
     "evt_durbin_watson",
     "evt_grubbs_outlier",
     "evt_cochran_q",
+    "doc_hapax_ratio",
+    "doc_heaps_law",
+    "doc_simpson_diversity",
+    "doc_ttr_chunks",
 ]
 
 

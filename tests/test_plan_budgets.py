@@ -304,6 +304,11 @@ BUDGETS = {
     "evt_durbin_watson": 1,        # one series shuffle (lag + agg share it)
     "evt_grubbs_outlier": 2,       # moment agg broadcast-back + struct argmax
     "evt_cochran_q": 4,            # distinct + two marginal aggs (2 keys)
+    # r7c batch (corpus linguistics)
+    "doc_hapax_ratio": 2,          # (source,token) count + source fold
+    "doc_heaps_law": 3,            # bucket mass + first-occurrence + window
+    "doc_simpson_diversity": 2,    # same two-fold shape as hapax
+    "doc_ttr_chunks": 1,           # map-side array-HOF chunks + source fold
 }
 
 
