@@ -356,6 +356,10 @@ BENCH_QUERIES = [
     "doc_heaps_law",
     "doc_simpson_diversity",
     "doc_ttr_chunks",
+    "rel_knapsack_greedy",
+    "rel_wilson_ranking",
+    "evt_dau_mau",
+    "rel_inventory_policy",
 ]
 
 

@@ -309,6 +309,11 @@ BUDGETS = {
     "doc_heaps_law": 3,            # bucket mass + first-occurrence + window
     "doc_simpson_diversity": 2,    # same two-fold shape as hapax
     "doc_ttr_chunks": 1,           # map-side array-HOF chunks + source fold
+    # r7d batch (operational analytics)
+    "rel_knapsack_greedy": 1,      # dimension-sized per-brand window
+    "rel_wilson_ranking": 1,       # fact agg + broadcast dim + 25-row window
+    "evt_dau_mau": 5,              # two distinct grains + month join
+    "rel_inventory_policy": 2,     # (brand,day) agg + 25-row moment fold
 }
 
 
