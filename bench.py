@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "rel_wilson_ranking",
     "evt_dau_mau",
     "rel_inventory_policy",
+    "stream_session_windows",
+    "emb_sq_error_profile",
 ]
 
 

@@ -314,6 +314,8 @@ BUDGETS = {
     "rel_wilson_ranking": 1,       # fact agg + broadcast dim + 25-row window
     "evt_dau_mau": 5,              # two distinct grains + month join
     "rel_inventory_policy": 2,     # (brand,day) agg + 25-row moment fold
+    # r7e batch
+    "emb_sq_error_profile": 3,     # 64-row min/max + broadcast-back + fold
 }
 
 
