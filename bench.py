@@ -362,6 +362,10 @@ BENCH_QUERIES = [
     "rel_inventory_policy",
     "stream_session_windows",
     "emb_sq_error_profile",
+    "evt_cusum_squares",
+    "evt_rescaled_range",
+    "doc_boilerplate_prefixes",
+    "doc_dupgraph_kcore",
 ]
 
 

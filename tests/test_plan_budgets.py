@@ -316,6 +316,11 @@ BUDGETS = {
     "rel_inventory_policy": 2,     # (brand,day) agg + 25-row moment fold
     # r7e batch
     "emb_sq_error_profile": 3,     # 64-row min/max + broadcast-back + fold
+    # r7f batch (series dynamics + dup-graph structure)
+    "evt_cusum_squares": 1,        # one series shuffle, windows share sort
+    "evt_rescaled_range": 1,       # same single series shuffle
+    "doc_boilerplate_prefixes": 2, # map-side fingerprint + keyed agg
+    "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
 }
 
 
