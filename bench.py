@@ -366,6 +366,10 @@ BENCH_QUERIES = [
     "evt_rescaled_range",
     "doc_boilerplate_prefixes",
     "doc_dupgraph_kcore",
+    "evt_srm_check",
+    "evt_power_analysis",
+    "evt_frequency_cap_sim",
+    "evt_conversion_window_sweep",
 ]
 
 

@@ -321,6 +321,11 @@ BUDGETS = {
     "evt_rescaled_range": 1,       # same single series shuffle
     "doc_boilerplate_prefixes": 2, # map-side fingerprint + keyed agg
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
+    # r7g batch (experimentation ops)
+    "evt_srm_check": 1,            # distinct users + 1-row fold
+    "evt_power_analysis": 3,       # (user,day) distinct feeds both marginals
+    "evt_frequency_cap_sim": 2,    # (type,user,day) count + type fold
+    "evt_conversion_window_sweep": 1,  # one series shuffle + 1-row fold
 }
 
 
