@@ -370,6 +370,9 @@ BENCH_QUERIES = [
     "evt_power_analysis",
     "evt_frequency_cap_sim",
     "evt_conversion_window_sweep",
+    "sql_pivot_monthly_status",
+    "evt_records_test",
+    "evt_fano_factor",
 ]
 
 

@@ -326,6 +326,10 @@ BUDGETS = {
     "evt_power_analysis": 3,       # (user,day) distinct feeds both marginals
     "evt_frequency_cap_sim": 2,    # (type,user,day) count + type fold
     "evt_conversion_window_sweep": 1,  # one series shuffle + 1-row fold
+    # r7h batch
+    "sql_pivot_monthly_status": 2, # PIVOT = one hash agg (+AQE read)
+    "evt_records_test": 1,         # cummax window + fold share the sort
+    "evt_fano_factor": 2,          # (type,day) count + 5-row fold
 }
 
 
