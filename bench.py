@@ -373,6 +373,9 @@ BENCH_QUERIES = [
     "sql_pivot_monthly_status",
     "evt_records_test",
     "evt_fano_factor",
+    "rel_bullwhip_ratio",
+    "rel_otif_fill",
+    "evt_interarrival_cv",
 ]
 
 

@@ -330,6 +330,10 @@ BUDGETS = {
     "sql_pivot_monthly_status": 2, # PIVOT = one hash agg (+AQE read)
     "evt_records_test": 1,         # cummax window + fold share the sort
     "evt_fano_factor": 2,          # (type,day) count + 5-row fold
+    # r7i batch (supply-chain / arrivals)
+    "rel_bullwhip_ratio": 2,       # two month rollups + scalar cross join
+    "rel_otif_fill": 2,            # orderkey fact-fact join + two folds
+    "evt_interarrival_cv": 1,      # per-type lag window + moment fold
 }
 
 
