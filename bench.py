@@ -360,7 +360,7 @@ BENCH_QUERIES = [
     "rel_wilson_ranking",
     "evt_dau_mau",
     "rel_inventory_policy",
-    "stream_session_windows",
+    "stream_session_values",
     "emb_sq_error_profile",
     "evt_cusum_squares",
     "evt_rescaled_range",

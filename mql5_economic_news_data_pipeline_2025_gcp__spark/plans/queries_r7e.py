@@ -1,9 +1,9 @@
 """Round-7 batch e: streaming session windows + scalar-quantization
 error profile.
 
-`stream_session_windows` exercises the one Structured Streaming window
-family the registry didn't cover yet — `session_window` (dynamic-gap
-state merging, the streaming analogue of the batch gaps-and-islands
+`stream_session_values` complements the append-mode
+`stream_session_windows` with a COMPLETE-mode drain (every session,
+value sums, and the exact range-overlap merge boundary pinned; cf.
 `evt_sessionize`). `emb_sq_error_profile` pins the int8
 scalar-quantization arithmetic the `emb_sq_topk` ANN path rounds
 through, per dimension, as an oracle-paired reconstruction-error
@@ -20,7 +20,7 @@ from .registry import register
 
 
 @register(
-    "stream_session_windows",
+    "stream_session_values",
     # Spark's session semantics: each event spans [ts, ts+gap); sessions
     # merge iff ranges OVERLAP, so an event at exactly prev+gap starts a
     # NEW session — the oracle's boundary is therefore >= gap (note the
@@ -67,7 +67,7 @@ from .registry import register
     ),
     tags=("streaming", "window", "session"),
 )
-def stream_session_windows(spark, sf_dir):
+def stream_session_values(spark, sf_dir):
     from ..streaming.ingest import _drain_to_table, _events_stream
 
     ev = _events_stream(spark, sf_dir)

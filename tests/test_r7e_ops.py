@@ -24,7 +24,7 @@ def test_session_windows_match_bruteforce(spark):
     got = sorted(
         (int(r["user_id"]), r["session_start"], r["session_end"],
          int(r["n"]), int(r["value_c_sum"]))
-        for r in REGISTRY["stream_session_windows"]
+        for r in REGISTRY["stream_session_values"]
         .spark_fn(spark, SF)
         .toPandas()
         .to_dict("records")
@@ -67,7 +67,7 @@ def test_session_windows_match_bruteforce(spark):
 
 
 def test_session_windows_cover_all_events(spark):
-    df = REGISTRY["stream_session_windows"].spark_fn(spark, SF).toPandas()
+    df = REGISTRY["stream_session_values"].spark_fn(spark, SF).toPandas()
     n_events = duckdb.sql(
         f"SELECT count(*) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
