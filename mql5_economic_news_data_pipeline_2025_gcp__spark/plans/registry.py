@@ -53,6 +53,12 @@ def register(
     tags: tuple[str, ...] = (),
 ) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a duplicate name would SILENTLY shadow the earlier query (dict
+        # insertion order also feeds the driver's sampling window) — a
+        # round-7 batch once shadowed stream_session_windows this way
+        # and only a registry-count mismatch caught it
+        if name in REGISTRY:
+            raise ValueError(f"duplicate registry query name: {name!r}")
         wrapped = _with_prepare(fn)
         REGISTRY[name] = QuerySpec(name, wrapped, oracle, description, tags)
         return wrapped
