@@ -376,6 +376,9 @@ BENCH_QUERIES = [
     "rel_bullwhip_ratio",
     "rel_otif_fill",
     "evt_interarrival_cv",
+    "doc_priority_sample",
+    "doc_dupgraph_assortativity",
+    "rel_repurchase_intervals",
 ]
 
 

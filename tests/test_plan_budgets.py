@@ -334,6 +334,10 @@ BUDGETS = {
     "rel_bullwhip_ratio": 2,       # two month rollups + scalar cross join
     "rel_otif_fill": 2,            # orderkey fact-fact join + two folds
     "evt_interarrival_cv": 1,      # per-type lag window + moment fold
+    # r7j batch
+    "doc_priority_sample": 0,      # map-only keys + TakeOrderedAndProject
+    "doc_dupgraph_assortativity": 4,  # checkpointed pairs + moment fold
+    "rel_repurchase_intervals": 3, # customer window + gap histogram
 }
 
 
