@@ -379,6 +379,8 @@ BENCH_QUERIES = [
     "doc_priority_sample",
     "doc_dupgraph_assortativity",
     "rel_repurchase_intervals",
+    "doc_simhash_distance_profile",
+    "evt_haar_energy",
 ]
 
 

@@ -46,6 +46,7 @@ from . import queries_r7g  # noqa: E402,F401
 from . import queries_r7h  # noqa: E402,F401
 from . import queries_r7i  # noqa: E402,F401
 from . import queries_r7j  # noqa: E402,F401
+from . import queries_r7k  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). Rounds 3/4/5/6 rotated four distinct 50-query sets

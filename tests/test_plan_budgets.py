@@ -338,6 +338,9 @@ BUDGETS = {
     "doc_priority_sample": 0,      # map-only keys + TakeOrderedAndProject
     "doc_dupgraph_assortativity": 4,  # checkpointed pairs + moment fold
     "rel_repurchase_intervals": 3, # customer window + gap histogram
+    # r7k batch
+    "doc_simhash_distance_profile": 5,  # pairs + simhash joins + histogram
+    "evt_haar_energy": 3,          # day rollup + block agg + energy fold
 }
 
 
