@@ -381,6 +381,8 @@ BENCH_QUERIES = [
     "rel_repurchase_intervals",
     "doc_simhash_distance_profile",
     "evt_haar_energy",
+    "doc_token_shape_profile",
+    "evt_weekday_weekend_lift",
 ]
 
 

@@ -341,6 +341,9 @@ BUDGETS = {
     # r7k batch
     "doc_simhash_distance_profile": 5,  # pairs + simhash joins + histogram
     "evt_haar_energy": 3,          # day rollup + block agg + energy fold
+    # r7l batch
+    "doc_token_shape_profile": 1,  # tokenize pass + source fold
+    "evt_weekday_weekend_lift": 1, # one scan + 5-row conditional fold
 }
 
 
