@@ -126,7 +126,12 @@ _PRIORITY: tuple[str, ...] = (
 
 
 def _reorder_registry() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"_PRIORITY names missing from REGISTRY (typo in rotation?): {missing}"
+        )
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -2110,7 +2110,11 @@ def doc_dupgraph_triangles(spark, sf_dir):
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
+        # EAGER: lazy checkpoints don't truncate lineage until first
+        # materialization, so all three consumers (orientation x2, final
+        # member join) re-planned the full degree build; the frame is
+        # node-count-sized, so paying one tiny job up front is free
+        .localCheckpoint()
     )
     da = deg.select(F.col("id").alias("id_a"), F.col("d").alias("da"))
     db = deg.select(F.col("id").alias("id_b"), F.col("d").alias("db"))
@@ -2125,7 +2129,7 @@ def doc_dupgraph_triangles(spark, sf_dir):
             F.when(lower_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()  # eager, same reasoning: 3 consumers (e1/e2/closing)
     e1 = e.select(
         F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db_")
     )
@@ -2142,10 +2146,11 @@ def doc_dupgraph_triangles(spark, sf_dir):
     tri = wedges.join(closing, ["b", "c"]).select(
         F.col("src").alias("a"), "b", "c"
     )
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # per-node membership via a map-side explode of ONE tri lineage —
+    # the 3-way union re-planned the whole wedge+closing join subtree
+    # per corner (measured 3 copies = 14 exchanges; now 1 copy)
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
     return (
         members.join(deg, members.doc_id == deg.id)

@@ -1634,15 +1634,55 @@ def doc_lsh_tuning_curve(spark, sf_dir):
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sig = minhash_signatures_mapside(docs, n=3, num_hashes=8).localCheckpoint()
-    p42 = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).select(
-        F.lit("b4r2").alias("config"), "id_a", "id_b"
+
+    # ONE banded frame holds every (config, band) cell — both operating
+    # points ride a single explode + single bucket self-join instead of
+    # one candidate pipeline per config (was: 2 self-joins + 2 distincts
+    # over re-derived bandings; 13 exchanges → single-join shape)
+    def _bandrow(config: str, b: int, rpb: int):
+        return F.struct(
+            F.lit(config).alias("config"),
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+            ).alias("bkey"),
+        )
+
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[_bandrow("b4r2", b, 2) for b in range(4)],
+                *[_bandrow("b2r4", b, 4) for b in range(2)],
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.config", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.config") == F.col("b.config"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.config").alias("config"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+        # pairs feed the shingle-verify chain AND the final per-config
+        # readout — candidate-sized, so materialize once
+        .localCheckpoint()
     )
-    p24 = lsh_candidate_pairs(sig, bands=2, rows_per_band=4).select(
-        F.lit("b2r4").alias("config"), "id_a", "id_b"
-    )
-    pairs = p42.unionByName(p24)
     sh = shingles(docs, n=3).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        # two consumers (sa, sb); doc-count-sized
+        .localCheckpoint()
+    )
     cand_sh = pairs.join(
         sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
     )

@@ -123,6 +123,7 @@ def doc_simhash_distance_profile(spark, sf_dir):
                                 < (1 << (lv.level - 1))
                            THEN d.x ELSE -d.x END) AS BIGINT) AS detail
       FROM d, lv
+      WHERE d.day >= 0
       GROUP BY d.event_type, lv.level, d.day // (1 << lv.level))
     SELECT event_type, CAST(level AS BIGINT) AS level,
            CAST(count(*) AS BIGINT) AS n_blocks,
@@ -151,6 +152,10 @@ def evt_haar_energy(spark, sf_dir):
         .cast("bigint")
         .alias("day"),
     ).agg(F.sum("value_c").cast("bigint").alias("x"))
+    # epoch precondition: Spark `div` truncates toward zero while the
+    # oracle's `//` floors — they agree only for non-negative days, so
+    # pre-epoch events (day < 0) are excluded on BOTH sides
+    d = d.filter(F.col("day") >= 0)
     lv = spark.range(1, 4).withColumnRenamed("id", "level")
     blk = F.expr("day div (1 << CAST(level AS INT))")
     sign_first = (

@@ -42,9 +42,15 @@ def main() -> None:
     spark = get_spark("plan-audit")
     rows = []
     for name, spec in REGISTRY.items():
-        # building a stream_* frame runs the drain; batch queries that are
-        # merely ABOUT streaming tuning (evt_watermark_curve) stay audited
-        if name.startswith("stream_"):
+        # building a drain-backed frame runs the streaming drain; skip on
+        # EITHER signal (name prefix or tag) so a future drain query
+        # registered under a non-stream_ name still can't execute here.
+        # Batch queries that are merely ABOUT streaming tuning stay audited
+        # via the explicit allowlist.
+        BATCH_DESPITE_TAG = {"evt_watermark_curve"}
+        if (
+            name.startswith("stream_") or "streaming" in spec.tags
+        ) and name not in BATCH_DESPITE_TAG:
             continue
         try:
             plan = (

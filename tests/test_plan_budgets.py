@@ -118,7 +118,7 @@ BUDGETS = {
     # map-only Arrow encode + one broadcast LUT join + per-query top-k
     "emb_ivfpq_residual_check": 1,
     # (b,r) sweep: one banding branch per config by construction
-    "doc_lsh_tuning_curve": 13,
+    "doc_lsh_tuning_curve": 3,  # r8: single banded frame, one bucket self-join
     # r6 additions (measured at registration)
     "evt_drawdown": 1,
     "evt_bollinger_bands": 1,
@@ -297,7 +297,7 @@ BUDGETS = {
     "emb_lloyd_round2_check": 5,   # 2 assignment windows + cell/dim agg
     "emb_pca_basis_check": 0,      # map-only literal-basis projection
     "emb_logreg_margin_check": 1,  # one 2-row class aggregate
-    "doc_bloom_portable_check": 4, # literal bitset: map-side probes, doc-keyed folds
+    "doc_bloom_portable_check": 4, # literal bitset probes + exact-hit on ONE corpus pass
     # r7b batch (statistics II)
     "evt_mann_whitney_u": 1,       # one histogram agg; window is hist-sized
     "evt_levene_median": 3,        # hist agg + median window + final agg
@@ -320,6 +320,7 @@ BUDGETS = {
     "evt_cusum_squares": 1,        # one series shuffle, windows share sort
     "evt_rescaled_range": 1,       # same single series shuffle
     "doc_boilerplate_prefixes": 2, # map-side fingerprint + keyed agg
+    "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
     "evt_srm_check": 1,            # distinct users + 1-row fold
