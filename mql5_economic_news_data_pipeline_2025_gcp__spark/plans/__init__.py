@@ -50,78 +50,83 @@ from . import queries_r7k  # noqa: E402,F401
 from . import queries_r7l  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
-# insertion order). Rounds 3/4/5/6 rotated four distinct 50-query sets
-# through the window (169 distinct driver-green queries, zero ever-red);
-# round 7 ROTATES a FIFTH set in: the flagship (entry() canary) plus 49
-# never-driver-sampled, ALL oracle-paired queries — the round-6 verdict's
-# named candidates (the statistics + spatial suites: FDR, permutation,
-# Kendall, Moran/Geary/LISA, Knox, VaR/CVaR, GPD tails, price index,
-# TextRank, suffix ranks, Shapley, Ljung-Box) plus a cross-family fill of
-# the remaining never-sampled hypothesis tests, relational OR/allocation
-# queries, doc/embedding analytics, streaming interval union, and
-# multimodal resolution buckets. Everything certified in earlier rounds
+# insertion order). Rounds 3/4/5/6/7 rotated five distinct 50-query sets
+# through the window (217 distinct driver-green queries, zero ever-red);
+# round 8 ROTATES the SIXTH set in: the flagship (entry() canary) plus 49
+# never-driver-sampled, ALL oracle-paired queries — exactly the families
+# the round-7 verdict named: the r6c–r6v allocation/segmentation/queueing
+# singles never sampled in any window, the four r7a literal-artifact
+# twins (incl. the round-8-trimmed doc_bloom_portable_check), and the
+# complete r7b–r7l statistics/corpus/ops batches (incl. the round-8
+# epoch-guarded evt_haar_energy). Everything certified in earlier rounds
 # keeps its green row in those artifacts and stays covered by the
 # order-independent full differential gate (scripts/diffcheck.py,
 # tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # round-6 verdict named candidates (statistics + spatial suites)
-    "evt_fdr_bh",
-    "evt_permutation_test",
-    "evt_kendall_tau_matrix",
-    "evt_morans_i",
-    "evt_geary_c",
-    "evt_local_morans",
-    "evt_knox_test",
-    "evt_var_cvar",
-    "evt_pot_gpd_tail",
-    "rel_price_index",
-    "doc_textrank_keywords",
-    "doc_suffix_ranks",
-    "evt_shapley_attribution",
-    "evt_ljung_box",
-    # the round-6 straggler that shipped without its checklist (now fixed)
-    "evt_watermark_curve",
-    # hypothesis-test suite — never sampled before
-    "evt_anova_oneway",
-    "evt_kruskal_wallis",
-    "evt_wilcoxon_signed_rank",
-    "evt_friedman_test",
-    "evt_tukey_pairs",
-    "evt_mcnemar_test",
-    "evt_cohens_kappa",
-    "evt_cmh_test",
-    "evt_jackknife_ratio",
-    "evt_extreme_value_gumbel",
-    "evt_mood_median_test",
-    "evt_granger_lite",
-    "evt_mann_kendall",
-    "evt_runs_test",
-    "evt_cronbach_alpha",
-    "evt_odds_ratio_mh",
-    "evt_capture_recapture",
-    "evt_p_chart",
-    "evt_gof_weekday",
-    # relational / operations-research — never sampled before
-    "rel_abc_xyz",
-    "rel_newsvendor_stock",
-    "rel_seat_apportionment",
-    "rel_entity_resolution",
-    "rel_waterfill_allocation",
-    "rel_inventory_fill",
-    "rel_price_band_join",
-    # text corpus — never sampled before
-    "doc_readability_scores",
-    "doc_wordpiece_segment",
-    "doc_winnowing_fingerprints",
-    # embeddings — never sampled before
-    "emb_mahalanobis_ood",
-    "emb_mmd_drift",
-    "emb_dbscan_core_points",
-    # streaming + multimodal — never sampled before
-    "stream_interval_union",
-    "mm_resolution_buckets",
+    # r6c–r6v suites: never sampled in any of the five prior windows
+    "evt_changepoint_sse",
+    "evt_interval_coverage",
+    "evt_queue_wait_lindley",
+    "evt_logrank_table",
+    "evt_gains_table",
+    "evt_standardized_rates",
+    "evt_sax_words",
+    "mm_modality_mix_plan",
+    "evt_chisq_independence",
+    # r7a literal-artifact twins
+    "doc_bloom_portable_check",
+    "emb_lloyd_round2_check",
+    "emb_logreg_margin_check",
+    "emb_pca_basis_check",
+    # r7b hypothesis tests
+    "evt_mann_whitney_u",
+    "evt_durbin_watson",
+    "evt_grubbs_outlier",
+    "evt_levene_median",
+    "evt_cochran_q",
+    # r7c corpus statistics
+    "doc_hapax_ratio",
+    "doc_heaps_law",
+    "doc_simpson_diversity",
+    "doc_ttr_chunks",
+    # r7d relational / growth
+    "evt_dau_mau",
+    "rel_inventory_policy",
+    "rel_knapsack_greedy",
+    "rel_wilson_ranking",
+    # r7e streaming + embedding profiles
+    "emb_sq_error_profile",
+    "stream_session_values",
+    # r7f graph / change detection
+    "doc_boilerplate_prefixes",
+    "doc_dupgraph_kcore",
+    "evt_cusum_squares",
+    "evt_rescaled_range",
+    # r7g experimentation
+    "evt_conversion_window_sweep",
+    "evt_frequency_cap_sim",
+    "evt_power_analysis",
+    "evt_srm_check",
+    # r7h point-process / SQL surface
+    "evt_fano_factor",
+    "evt_records_test",
+    "sql_pivot_monthly_status",
+    # r7i supply chain
+    "evt_interarrival_cv",
+    "rel_bullwhip_ratio",
+    "rel_otif_fill",
+    # r7j sampling / graph
+    "doc_dupgraph_assortativity",
+    "doc_priority_sample",
+    "rel_repurchase_intervals",
+    # r7k wavelets / fingerprints (evt_haar_energy carries the r8 epoch guard)
+    "doc_simhash_distance_profile",
+    "evt_haar_energy",
+    # r7l token shapes / calendar lift
+    "doc_token_shape_profile",
+    "evt_weekday_weekend_lift",
 )
 
 
