@@ -386,6 +386,29 @@ BENCH_QUERIES = [
 ]
 
 
+#: Calibration workload: pure-CPU whole-stage-codegen over a range —
+#: data-independent, shuffle-free, multicore like the bench itself, so
+#: its slowdown under host load mirrors the queries' slowdown.
+CALIB_ROWS = 2_000_000_000
+#: Quiet-host reference for the calibration workload (median of 8 runs,
+#: load avg 1.1/32 cores, 2026-08-15, round 8). host_factor =
+#: measured_median / this; value_normalized divides the headline total
+#: by host_factor so a loaded-host artifact self-corrects instead of
+#: manufacturing phantom regressions (r6/r7 driver artifacts both did).
+CALIB_REF_SEC = 0.62
+
+
+def _calibrate(spark, n: int = 3) -> list[float]:
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        spark.range(CALIB_ROWS).selectExpr(
+            "sum(xxhash64(id) % 1000000) AS s"
+        ).collect()
+        runs.append(round(time.time() - t0, 3))
+    return runs
+
+
 def main() -> None:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
@@ -418,6 +441,11 @@ def main() -> None:
         if only
         else BENCH_QUERIES
     )
+    # calibration brackets the query loop (3 runs before + 3 after) so
+    # sustained load ANYWHERE in the ~minutes-long run is sampled; the
+    # median of all 6 estimates the sustained slowdown factor (min would
+    # hide exactly the load we are trying to measure)
+    calib_runs = _calibrate(spark)
     timings: dict[str, float] = {}
     all_iters: dict[str, list[float]] = {}
     for name in bench_set:
@@ -451,13 +479,25 @@ def main() -> None:
         max(r) / min(r) for r in all_iters.values() if r and min(r) > 0
     )
     host_noise = round(spreads[len(spreads) // 2], 3) if spreads else None
+    calib_runs += _calibrate(spark)
+    cs = sorted(calib_runs)
+    calib_sec = round((cs[len(cs) // 2 - 1] + cs[len(cs) // 2]) / 2, 3)
+    # never normalize DOWNWARD past the reference: a host faster than the
+    # reference would deflate the total and hide real regressions
+    host_factor = round(max(1.0, calib_sec / CALIB_REF_SEC), 3)
+    value = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
+        "value_normalized": round(value / host_factor, 3),
         "unit": "sec",
         "iterations": iters,
         "agg": "min",
         "host_noise": host_noise,
+        "calib_sec": calib_sec,
+        "calib_ref_sec": CALIB_REF_SEC,
+        "calib_runs": calib_runs,
+        "host_factor": host_factor,
         "queries": timings,
         "iters": all_iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -481,6 +521,8 @@ def main() -> None:
     summary = {
         "metric": result["metric"],
         "value": result["value"],
+        "value_normalized": result["value_normalized"],
+        "host_factor": host_factor,
         "unit": "sec",
         "sf": result["sf"],
         "n_queries": len(timings),

@@ -30,7 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles
-from .common import t
+from .common import fan_out, t
 from .queries_r6 import _int_d2_arr, _int_dot, _qvec
 from .registry import register
 
@@ -374,7 +374,10 @@ _SQL_SH = r"""
     tags=("documents", "decontamination", "sketch"),
 )
 def doc_bloom_portable_check(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    # fan_out: the sf0.1 table is ONE parquet split, so without it the
+    # shingle explode + per-shingle md5 ran single-task (~4 s of the 7 s
+    # headline); no-op at scale where the scan is naturally parallel
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     sh = shingles(docs)
     bench = sh.filter(F.col("doc_id") % 17 == 0).select("shingle").distinct()
 
