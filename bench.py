@@ -383,6 +383,11 @@ BENCH_QUERIES = [
     "evt_haar_energy",
     "doc_token_shape_profile",
     "evt_weekday_weekend_lift",
+    "doc_bpe_train3_check",
+    "mm_phash_portable_check",
+    "emb_pq_adc_check",
+    "emb_knn_label_prop_check",
+    "evt_sketch_portable_profile",
 ]
 
 

@@ -320,6 +320,12 @@ BUDGETS = {
     "evt_cusum_squares": 1,        # one series shuffle, windows share sort
     "evt_rescaled_range": 1,       # same single series shuffle
     "doc_boilerplate_prefixes": 2, # map-side fingerprint + keyed agg
+    # round-8a oracle twins
+    "doc_bpe_train3_check": 0,      # driver merge-table frame; work is eager 1-row argmax rounds
+    "mm_phash_portable_check": 1,   # checkpointed Python hash stage; capped pair join + histogram
+    "emb_pq_adc_check": 1,          # broadcast assignment + 32-row lookup; TakeOrdered readout
+    "emb_knn_label_prop_check": 1,  # checkpointed bounded edges; broadcast label rounds
+    "evt_sketch_portable_profile": 5,  # distinct + register folds + histogram windows + join
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
