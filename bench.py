@@ -388,6 +388,7 @@ BENCH_QUERIES = [
     "emb_pq_adc_check",
     "emb_knn_label_prop_check",
     "evt_sketch_portable_profile",
+    "evt_hll_portable_overlap",
 ]
 
 

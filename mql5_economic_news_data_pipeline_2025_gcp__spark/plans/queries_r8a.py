@@ -441,6 +441,173 @@ def emb_knn_label_prop_check(spark, sf_dir):
 
 
 @register(
+    "evt_hll_portable_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM (SELECT DISTINCT event_type, user_id FROM events)),
+    r AS (
+      SELECT event_type, hv % 256 AS bucket,
+             max(CASE WHEN hv // 256 = 0 THEN 25
+                      ELSE 25 - length(bin(hv // 256)) END) AS reg
+      FROM h GROUP BY event_type, bucket),
+    s AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << (25 - reg))
+                  + (256 - count(*)) * 33554432 AS BIGINT) AS sum_scaled,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM r GROUP BY event_type),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    m AS (
+      SELECT p.type_a, p.type_b, r.bucket, max(r.reg) AS reg
+      FROM pairs p
+      JOIN r ON r.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, r.bucket),
+    su AS (
+      SELECT type_a, type_b,
+             CAST(sum(CAST(1 AS BIGINT) << (25 - reg))
+                  + (256 - count(*)) * 33554432 AS BIGINT)
+               AS sum_scaled_union
+      FROM m GROUP BY type_a, type_b)
+    SELECT su.type_a, su.type_b,
+           ea.n_exact AS n_a_exact, eb.n_exact AS n_b_exact,
+           sa.sum_scaled AS sum_scaled_a, sb.sum_scaled AS sum_scaled_b,
+           su.sum_scaled_union,
+           round(1579498136381.3938 / sa.sum_scaled
+                 + 1579498136381.3938 / sb.sum_scaled
+                 - 1579498136381.3938 / su.sum_scaled_union, 2)
+             AS est_overlap
+    FROM su
+    JOIN s sa ON sa.event_type = su.type_a
+    JOIN s sb ON sb.event_type = su.type_b
+    JOIN ex ea ON ea.event_type = su.type_a
+    JOIN ex eb ON eb.event_type = su.type_b
+    """,
+    description=(
+        "engine-portable HLL audience overlap — the oracle twin of "
+        "evt_hll_audience_overlap (whose DataSketches binaries are "
+        "engine-specific): per-type m=256 register tables from md5-"
+        "prefix hashes, pairwise UNION computed the way sketches "
+        "actually merge — elementwise register MAX (the mergeability "
+        "property itself, here as a groupBy(pair, bucket) max over "
+        "each pair's two register sets) — and inclusion-exclusion "
+        "est(A)+est(B)−est(A∪B) with every harmonic denominator kept "
+        "EXACT in BIGINT; the only floats are three identical-literal "
+        "divisions combined left-to-right (bit-equal both engines). "
+        "Register/union state emitted alongside so the differential "
+        "gate pins the MERGE, not just the estimate. Shape: one "
+        "distinct pass folds to ≤ types·256 register rows; the "
+        "pairwise stage touches register tables only — cost "
+        "independent of user cardinality, exactly like the production "
+        "sketch path"
+    ),
+    tags=("events", "sketch", "set", "overlap"),
+)
+def evt_hll_portable_overlap(spark, sf_dir):
+    from ..operators.dedup import _base_hash
+
+    M, WBITS = 256, 25
+    NUM = 1579498136381.3938
+    ev = keyed_events(spark, sf_dir)
+    u = ev.select("event_type", "user_id").distinct()
+    h = u.select(
+        "event_type", _base_hash(F.col("user_id").cast("string")).alias("hv")
+    )
+    w = F.floor(F.col("hv") / M).cast("bigint")
+    rho = F.when(w == 0, F.lit(WBITS)).otherwise(
+        F.lit(WBITS) - F.length(F.bin(w))
+    )
+    r = (
+        h.groupBy("event_type", (F.col("hv") % M).alias("bucket"))
+        .agg(F.max(rho).alias("reg"))
+        # ≤ types·256 rows; feeds the singles fold AND the pair union
+        .localCheckpoint()
+    )
+
+    def fold(df, keys):
+        return df.groupBy(*keys).agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - reg)"))
+                + (F.lit(M) - F.count(F.lit(1))) * F.lit(1 << WBITS)
+            )
+            .cast("bigint")
+            .alias("sum_scaled")
+        )
+
+    s = fold(r, ["event_type"])
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    types = r.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+            F.col("type_a") < F.col("type_b"),
+        )
+        # 2 membership rows per pair → the union join stays an equi-join
+        .select(
+            "type_a",
+            "type_b",
+            F.explode(F.array(F.col("type_a"), F.col("type_b"))).alias(
+                "member"
+            ),
+        )
+    )
+    m = (
+        pairs.join(F.broadcast(r), pairs.member == r.event_type)
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    su = fold(m, ["type_a", "type_b"]).withColumnRenamed(
+        "sum_scaled", "sum_scaled_union"
+    )
+    sa = s.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sum_scaled").alias("sum_scaled_a"),
+    )
+    sb = s.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sum_scaled").alias("sum_scaled_b"),
+    )
+    ea = ex.select(
+        F.col("event_type").alias("type_a"), F.col("n_exact").alias("n_a_exact")
+    )
+    eb = ex.select(
+        F.col("event_type").alias("type_b"), F.col("n_exact").alias("n_b_exact")
+    )
+    return (
+        su.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a_exact",
+            "n_b_exact",
+            "sum_scaled_a",
+            "sum_scaled_b",
+            "sum_scaled_union",
+            F.round(
+                F.lit(NUM) / F.col("sum_scaled_a")
+                + F.lit(NUM) / F.col("sum_scaled_b")
+                - F.lit(NUM) / F.col("sum_scaled_union"),
+                2,
+            ).alias("est_overlap"),
+        )
+    )
+
+
+@register(
     "evt_sketch_portable_profile",
     oracle="""
     WITH h AS (

@@ -326,6 +326,7 @@ BUDGETS = {
     "emb_pq_adc_check": 1,          # broadcast assignment + 32-row lookup; TakeOrdered readout
     "emb_knn_label_prop_check": 1,  # checkpointed bounded edges; broadcast label rounds
     "evt_sketch_portable_profile": 5,  # distinct + register folds + histogram windows + join
+    "evt_hll_portable_overlap": 8,  # distinct + register/exact folds + pair union max-merge
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)

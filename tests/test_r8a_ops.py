@@ -229,3 +229,41 @@ def test_sketch_portable_profile_matches_pure_python(spark):
         assert int(r["zero_registers"]) == zero
         assert int(r["sum_scaled"]) == ssum
         assert float(r["hll_users"]) == round(1579498136381.3938 / ssum, 6)
+
+
+# ---------------------------------------------------- HLL overlap twin
+
+
+def test_hll_portable_overlap_matches_pure_python(spark):
+    got = _run(spark, "evt_hll_portable_overlap")
+    ev = _events()
+    regs = defaultdict(dict)
+    for et, uid in set(zip(ev.event_type, ev.user_id)):
+        hv = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16)
+        bkt, w = hv % 256, hv // 256
+        rho = 25 if w == 0 else 25 - w.bit_length()
+        regs[et][bkt] = max(regs[et].get(bkt, -(10 ** 9)), rho)
+
+    def scaled(reg):
+        return sum(1 << (25 - v) for v in reg.values()) + (
+            256 - len(reg)
+        ) * (1 << 25)
+
+    exact = ev.groupby("event_type").user_id.nunique().to_dict()
+    for _, r in got.iterrows():
+        ta, tb = r["type_a"], r["type_b"]
+        assert ta < tb
+        union = dict(regs[ta])
+        for k, v in regs[tb].items():
+            union[k] = max(union.get(k, -(10 ** 9)), v)
+        assert int(r["n_a_exact"]) == exact[ta]
+        assert int(r["n_b_exact"]) == exact[tb]
+        assert int(r["sum_scaled_a"]) == scaled(regs[ta])
+        assert int(r["sum_scaled_b"]) == scaled(regs[tb])
+        assert int(r["sum_scaled_union"]) == scaled(union)
+        est = (
+            1579498136381.3938 / scaled(regs[ta])
+            + 1579498136381.3938 / scaled(regs[tb])
+            - 1579498136381.3938 / scaled(union)
+        )
+        assert float(r["est_overlap"]) == round(est, 2)
