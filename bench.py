@@ -389,6 +389,11 @@ BENCH_QUERIES = [
     "emb_knn_label_prop_check",
     "evt_sketch_portable_profile",
     "evt_hll_portable_overlap",
+    "doc_wordpiece_fertility",
+    "doc_ngram_coverage_curve",
+    "doc_vocab_pruning_oov",
+    "evt_brier_decomposition",
+    "evt_ipf_raking_check",
 ]
 
 

@@ -327,6 +327,12 @@ BUDGETS = {
     "emb_knn_label_prop_check": 1,  # checkpointed bounded edges; broadcast label rounds
     "evt_sketch_portable_profile": 5,  # distinct + register folds + histogram windows + join
     "evt_hll_portable_overlap": 8,  # distinct + register/exact folds + pair union max-merge
+    # round-8b batch
+    "doc_wordpiece_fertility": 3,   # word histogram + distinct-word Arrow seam + join-back
+    "doc_ngram_coverage_curve": 0,  # checkpointed bigram histogram; TakeOrdered head
+    "doc_vocab_pruning_oov": 2,     # one word histogram x 3-row literal thresholds
+    "evt_brier_decomposition": 1,   # one 10-bin agg; totals window-lifted
+    "evt_ipf_raking_check": 7,      # cells + 2 margin aggs + 2 rounds, all 10-row frames
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
