@@ -394,6 +394,8 @@ BENCH_QUERIES = [
     "doc_vocab_pruning_oov",
     "evt_brier_decomposition",
     "evt_ipf_raking_check",
+    "evt_rate_limit_audit",
+    "evt_rate_limit_policy_sweep",
 ]
 
 

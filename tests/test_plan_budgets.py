@@ -333,6 +333,9 @@ BUDGETS = {
     "doc_vocab_pruning_oov": 2,     # one word histogram x 3-row literal thresholds
     "evt_brier_decomposition": 1,   # one 10-bin agg; totals window-lifted
     "evt_ipf_raking_check": 7,      # cells + 2 margin aggs + 2 rounds, all 10-row frames
+    # round-8c token buckets
+    "evt_rate_limit_audit": 1,      # one groupBy(user) collect; fold is map-side
+    "evt_rate_limit_policy_sweep": 2,  # same collect + 3-row readout agg
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
