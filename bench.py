@@ -396,6 +396,7 @@ BENCH_QUERIES = [
     "evt_ipf_raking_check",
     "evt_rate_limit_audit",
     "evt_rate_limit_policy_sweep",
+    "stream_rate_limited",
 ]
 
 

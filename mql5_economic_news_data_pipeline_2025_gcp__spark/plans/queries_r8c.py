@@ -225,3 +225,47 @@ def evt_rate_limit_policy_sweep(spark, sf_dir):
         .alias("users_throttled"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "stream_rate_limited",
+    oracle=f"""
+    WITH {_SQL_UA},
+    f AS (SELECT user_id, n_events, {_sql_fold(_RL_CAP)} AS st FROM ua)
+    SELECT user_id, n_events,
+           CAST(st & 1048575 AS BIGINT) AS allowed,
+           CAST(n_events - (st & 1048575) AS BIGINT) AS denied,
+           CAST((st >> 20) & 16383 AS BIGINT) AS final_tok_m
+    FROM f
+    """,
+    description=(
+        "ONLINE token-bucket enforcement as a custom stateful "
+        "streaming operator (applyInPandasWithState; four scalars of "
+        "state per user, store bounded by |users|): the gateway-side "
+        "form of evt_rate_limit_audit — a full drain of the "
+        "chronological stream must equal the batch replay exactly, "
+        "which is what the shared oracle checks. In-batch arrivals "
+        "are replayed in (ts, event_id) order inside the state "
+        "update; cross-batch order rides the file source's "
+        "chronological delivery (the landing-prefix contract). "
+        "Update-mode sink: the final state row per user is the one "
+        "with max n_events"
+    ),
+    tags=("streaming", "stateful", "governance", "pandas-udf"),
+)
+def stream_rate_limited_q(spark, sf_dir):
+    from ..streaming.stateful import stream_rate_limited as run
+
+    raw = run(spark, sf_dir)
+    latest = raw.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "allowed", "denied", "final_tok_m")
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").cast("bigint").alias("n_events"),
+        F.col("s.allowed").cast("bigint").alias("allowed"),
+        F.col("s.denied").cast("bigint").alias("denied"),
+        F.col("s.final_tok_m").cast("bigint").alias("final_tok_m"),
+    )

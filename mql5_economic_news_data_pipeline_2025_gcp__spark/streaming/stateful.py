@@ -294,3 +294,74 @@ def stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain_to_table(out, mode="update", state_partitions=None)
+
+
+# ------------------------------------------------------ token bucket
+
+_RL_OUT_SCHEMA = (
+    "user_id long, n_events long, allowed long, denied long, final_tok_m long"
+)
+_RL_STATE_SCHEMA = "prev long, tok long, allowed long, n long"
+_RL_CAP, _RL_RATE, _RL_COST = 3000, 17, 1000
+_RL_EPOCH_US = 1704067200 * 1000000
+
+
+def _update_bucket_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    prev, tok, allowed, n = (
+        state.get if state.exists else (-1, _RL_CAP, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # a token bucket is order-dependent: replay this batch's arrivals in
+    # (ts, event_id) order. Cross-batch order rides the file source's
+    # chronological delivery (landing prefixes roll files in time order;
+    # the single test parquet arrives as one batch, so the drain is the
+    # exact global replay the batch oracle computes).
+    rows = rows.sort_values(["e", "event_id"])
+    for e in rows["e"].astype("int64"):
+        dt = 0 if prev < 0 else int(e) - prev
+        tok = min(_RL_CAP, tok + dt * _RL_RATE)
+        if tok >= _RL_COST:
+            tok -= _RL_COST
+            allowed += 1
+        prev = int(e)
+    n += len(rows)
+    state.update((prev, tok, allowed, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "allowed": [allowed],
+            "denied": [n - allowed],
+            "final_tok_m": [tok],
+        }
+    )
+
+
+def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket enforcement (applyInPandasWithState): the
+    per-user quota state a gateway keeps ONLINE — same integer
+    millitoken semantics as the batch replay operators in
+    plans/queries_r8c.py, whose SQL is this drain's oracle. State is
+    four scalars per user (prev-arrival epoch, tokens, allowed, n), so
+    the state store is bounded by |users|, not |rows|."""
+    stream = _stream_source(spark, sf_dir, "events")
+    ts_us = _ts_us(stream)
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        ((ts_us - F.lit(_RL_EPOCH_US)) / 1000000)
+        .cast("long")
+        .alias("e"),
+    ).filter(F.col("e") >= 0)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_bucket_state,
+        outputStructType=_RL_OUT_SCHEMA,
+        stateStructType=_RL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_table(out, mode="update", state_partitions=None)

@@ -76,3 +76,25 @@ def test_rate_limit_sweep_matches_and_is_monotone(spark):
         allowed_by_cap[cap] = ta
     # a larger bucket can only allow more
     assert allowed_by_cap[1000] <= allowed_by_cap[3000] <= allowed_by_cap[10000]
+
+
+def test_stream_rate_limited_drain_equals_batch_audit(spark):
+    """A full chronological drain of the streaming bucket must equal the
+    batch replay row for row."""
+    batch = (
+        REGISTRY["evt_rate_limit_audit"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    stream = (
+        REGISTRY["stream_rate_limited"]
+        .spark_fn(spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(batch.index) == list(stream.index)
+    for col in ("n_events", "allowed", "denied", "final_tok_m"):
+        assert (batch[col].astype("int64") == stream[col].astype("int64")).all()
