@@ -397,6 +397,9 @@ BENCH_QUERIES = [
     "evt_rate_limit_audit",
     "evt_rate_limit_policy_sweep",
     "stream_rate_limited",
+    "evt_wasserstein_1d",
+    "emb_binary_quantization_topk",
+    "evt_pacf_yw",
 ]
 
 

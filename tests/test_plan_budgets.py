@@ -336,6 +336,10 @@ BUDGETS = {
     # round-8c token buckets
     "evt_rate_limit_audit": 1,      # one groupBy(user) collect; fold is map-side
     "evt_rate_limit_policy_sweep": 2,  # same collect + 3-row readout agg
+    # round-8d batch
+    "evt_wasserstein_1d": 2,        # value histogram + windows on the histogram
+    "emb_binary_quantization_topk": 0,  # checkpointed word index; TakeOrdered paths
+    "evt_pacf_yw": 2,               # daily rollup + lag windows on the series frame
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
