@@ -400,6 +400,9 @@ BENCH_QUERIES = [
     "evt_wasserstein_1d",
     "emb_binary_quantization_topk",
     "evt_pacf_yw",
+    "stream_hll_portable_distinct",
+    "doc_dupgraph_modularity",
+    "evt_cointegration_lite",
 ]
 
 

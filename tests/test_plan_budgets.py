@@ -340,6 +340,9 @@ BUDGETS = {
     "evt_wasserstein_1d": 2,        # value histogram + windows on the histogram
     "emb_binary_quantization_topk": 0,  # checkpointed word index; TakeOrdered paths
     "evt_pacf_yw": 2,               # daily rollup + lag windows on the series frame
+    # round-8e batch
+    "doc_dupgraph_modularity": 3,   # checkpointed pairs/labels; broadcast label joins
+    "evt_cointegration_lite": 1,    # one daily rollup; array folds on one row
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
