@@ -403,6 +403,7 @@ BENCH_QUERIES = [
     "stream_hll_portable_distinct",
     "doc_dupgraph_modularity",
     "evt_cointegration_lite",
+    "doc_span_corruption",
 ]
 
 

@@ -343,6 +343,7 @@ BUDGETS = {
     # round-8e batch
     "doc_dupgraph_modularity": 3,   # checkpointed pairs/labels; broadcast label joins
     "evt_cointegration_lite": 1,    # one daily rollup; array folds on one row
+    "doc_span_corruption": 0,       # pure map-side array arithmetic, zero shuffles
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
