@@ -404,6 +404,7 @@ BENCH_QUERIES = [
     "doc_dupgraph_modularity",
     "evt_cointegration_lite",
     "doc_span_corruption",
+    "evt_qini_uplift",
 ]
 
 
