@@ -405,6 +405,7 @@ BENCH_QUERIES = [
     "evt_cointegration_lite",
     "doc_span_corruption",
     "evt_qini_uplift",
+    "evt_changepoint_binseg2",
 ]
 
 

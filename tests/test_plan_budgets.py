@@ -345,6 +345,7 @@ BUDGETS = {
     "evt_cointegration_lite": 1,    # one daily rollup; array folds on one row
     "doc_span_corruption": 0,       # pure map-side array arithmetic, zero shuffles
     "evt_qini_uplift": 1,           # per-user agg; rank/cum windows on the user frame
+    "evt_changepoint_binseg2": 0,   # checkpointed day frame; all levels window arithmetic
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
