@@ -406,6 +406,8 @@ BENCH_QUERIES = [
     "doc_span_corruption",
     "evt_qini_uplift",
     "evt_changepoint_binseg2",
+    "emb_semihard_triplets",
+    "evt_mase_backtest",
 ]
 
 

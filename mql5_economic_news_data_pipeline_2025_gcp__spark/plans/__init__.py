@@ -56,6 +56,7 @@ from . import queries_r8e  # noqa: E402,F401
 from . import queries_r8f  # noqa: E402,F401
 from . import queries_r8g  # noqa: E402,F401
 from . import queries_r8h  # noqa: E402,F401
+from . import queries_r8i  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). Rounds 3/4/5/6/7 rotated five distinct 50-query sets

@@ -346,6 +346,8 @@ BUDGETS = {
     "doc_span_corruption": 0,       # pure map-side array arithmetic, zero shuffles
     "evt_qini_uplift": 1,           # per-user agg; rank/cum windows on the user frame
     "evt_changepoint_binseg2": 0,   # checkpointed day frame; all levels window arithmetic
+    "emb_semihard_triplets": 2,     # capped broadcast distance pass, argmin + one agg
+    "evt_mase_backtest": 2,         # daily rollup + lag windows on the series frame
     "doc_dupgraph_triangles": 6,   # r8: eager deg/e checkpoints + explode members
     "doc_dupgraph_kcore": 10,      # 2 peel rounds on checkpointed pairs
     # r7g batch (experimentation ops)
