@@ -543,8 +543,11 @@ def evt_hll_portable_overlap(spark, sf_dir):
         )
 
     s = fold(r, ["event_type"])
-    ex = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    # n_exact rides the SAME distinct lineage as the registers (h is
+    # 1:1 with the distinct (type, user) pairs), not a second
+    # count_distinct expand over the raw fact table
+    ex = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     types = r.select("event_type").distinct()
     pairs = (
