@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Compute the next driver-window rotation candidates.
+
+The correctness driver samples the FIRST 50 registry entries each round
+(insertion order, set by ``plans/__init__._PRIORITY``). This script
+unions every committed ``CORRECTNESS_r*.json`` to find which queries
+have EVER had a driver row, then lists the never-sampled ORACLE-PAIRED
+queries grouped by module — the pool the next round's ``_PRIORITY``
+tuple should draw from (flagship ``evt_metrics_r2_mse`` always stays
+first as the continuity canary).
+
+Usage: python scripts/rotation_candidates.py [--limit N]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import (
+        REGISTRY,
+        oracle_sql,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            seen.update(json.load(open(f)).keys())
+        except Exception as exc:  # malformed artifact: skip, not fatal
+            print(f"warn: skipping {f}: {exc}", file=sys.stderr)
+    paired = set(oracle_sql())
+    names = list(REGISTRY)
+    never_paired = [n for n in names if n not in seen and n in paired]
+    never_rowsonly = [n for n in names if n not in seen and n not in paired]
+
+    # module of each query: the register() wrapper masks __module__, so
+    # grep the plans sources for the registration line instead
+    plans_dir = os.path.join(
+        repo, "mql5_economic_news_data_pipeline_2025_gcp__spark", "plans"
+    )
+    mod_of: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(plans_dir, "queries_*.py"))):
+        mod = os.path.basename(path)[:-3].replace("queries_", "")
+        for line in open(path):
+            ls = line.strip()
+            if ls.startswith('"') and ls.endswith('",'):
+                mod_of.setdefault(ls.strip('",'), mod)
+    bymod: dict[str, list[str]] = defaultdict(list)
+    for n in never_paired:
+        bymod[mod_of.get(n, "?")].append(n)
+
+    limit = 49
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    print(
+        f"registry={len(names)} paired={len(paired)} "
+        f"driver-sampled-ever={len(seen & set(names))} "
+        f"never-sampled: paired={len(never_paired)} "
+        f"rows-only={len(never_rowsonly)}"
+    )
+    print(f"\nnext-window candidates by module (pick {limit} + flagship):")
+    for mod in sorted(bymod):
+        qs = sorted(bymod[mod])
+        print(f"  {mod} ({len(qs)}): {', '.join(qs)}")
+    print("\nnever-sampled rows-only (weaker check; deprioritize):")
+    print(f"  {', '.join(never_rowsonly)}")
+
+
+if __name__ == "__main__":
+    main()
