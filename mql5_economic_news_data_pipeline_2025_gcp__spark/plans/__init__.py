@@ -59,7 +59,12 @@ from . import queries_r8h  # noqa: E402,F401
 from . import queries_r8i  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
-# insertion order). Rounds 3/4/5/6/7 rotated five distinct 50-query sets
+# insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`
+# — it unions all committed CORRECTNESS_r*.json and lists the
+# never-driver-sampled oracle-paired queries per module; replace the
+# tuple below with the flagship + 49 of those (largest never-sampled
+# pools first: the r6b suite alone holds 41).
+# Rounds 3/4/5/6/7 rotated five distinct 50-query sets
 # through the window (217 distinct driver-green queries, zero ever-red);
 # round 8 ROTATES the SIXTH set in: the flagship (entry() canary) plus 49
 # never-driver-sampled, ALL oracle-paired queries — exactly the families
