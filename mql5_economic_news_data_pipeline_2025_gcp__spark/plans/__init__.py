@@ -63,84 +63,84 @@ from . import queries_r8i  # noqa: E402,F401
 # — it unions all committed CORRECTNESS_r*.json and lists the
 # never-driver-sampled oracle-paired queries per module; replace the
 # tuple below with the flagship + 49 of those (largest never-sampled
-# pools first: the r6b suite alone holds 41).
-# Rounds 3/4/5/6/7 rotated five distinct 50-query sets
-# through the window (217 distinct driver-green queries, zero ever-red);
-# round 8 ROTATES the SIXTH set in: the flagship (entry() canary) plus 49
-# never-driver-sampled, ALL oracle-paired queries — exactly the families
-# the round-7 verdict named: the r6c–r6v allocation/segmentation/queueing
-# singles never sampled in any window, the four r7a literal-artifact
-# twins (incl. the round-8-trimmed doc_bloom_portable_check), and the
-# complete r7b–r7l statistics/corpus/ops batches (incl. the round-8
-# epoch-guarded evt_haar_energy). Everything certified in earlier rounds
-# keeps its green row in those artifacts and stays covered by the
+# pool: the r6b suite holds 41).
+# Rounds 3–8 rotated six distinct 50-query sets through the window (267
+# distinct driver-sampled queries; the ONLY two ever-red rows —
+# evt_gains_table / evt_levene_median in round 8 — were
+# oracle-environment parity breaks, not value bugs). Round 9 ROTATES the
+# SEVENTH set in, leading with every query whose shape changed in the
+# round-9 parity hardening (the two round-8 reds rebuilt on pinned
+# integer decile arithmetic / BIGINT-half outputs, plus the seven
+# queries scripts/parity_lint.py flagged for the same HUGEINT /
+# ntile-convention hazards), then the complete never-sampled r8a–r8i
+# batches the round-8 verdict named, then the oldest never-sampled
+# core/ext singles. Everything certified in earlier rounds keeps its
+# green row in those artifacts and stays covered by the
 # order-independent full differential gate (scripts/diffcheck.py,
 # tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # r6c–r6v suites: never sampled in any of the five prior windows
-    "evt_changepoint_sse",
-    "evt_interval_coverage",
-    "evt_queue_wait_lindley",
-    "evt_logrank_table",
+    # round-8 driver reds, rebuilt this round — re-certification is the
+    # round-9 gate ("done" = hash-green in THIS window)
     "evt_gains_table",
-    "evt_standardized_rates",
-    "evt_sax_words",
-    "mm_modality_mix_plan",
-    "evt_chisq_independence",
-    # r7a literal-artifact twins
-    "doc_bloom_portable_check",
-    "emb_lloyd_round2_check",
-    "emb_logreg_margin_check",
-    "emb_pca_basis_check",
-    # r7b hypothesis tests
-    "evt_mann_whitney_u",
-    "evt_durbin_watson",
-    "evt_grubbs_outlier",
     "evt_levene_median",
-    "evt_cochran_q",
-    # r7c corpus statistics
-    "doc_hapax_ratio",
-    "doc_heaps_law",
-    "doc_simpson_diversity",
-    "doc_ttr_chunks",
-    # r7d relational / growth
-    "evt_dau_mau",
-    "rel_inventory_policy",
-    "rel_knapsack_greedy",
-    "rel_wilson_ranking",
-    # r7e streaming + embedding profiles
-    "emb_sq_error_profile",
-    "stream_session_values",
-    # r7f graph / change detection
-    "doc_boilerplate_prefixes",
-    "doc_dupgraph_kcore",
-    "evt_cusum_squares",
-    "evt_rescaled_range",
-    # r7g experimentation
-    "evt_conversion_window_sweep",
-    "evt_frequency_cap_sim",
-    "evt_power_analysis",
-    "evt_srm_check",
-    # r7h point-process / SQL surface
-    "evt_fano_factor",
-    "evt_records_test",
-    "sql_pivot_monthly_status",
-    # r7i supply chain
-    "evt_interarrival_cv",
-    "rel_bullwhip_ratio",
-    "rel_otif_fill",
-    # r7j sampling / graph
-    "doc_dupgraph_assortativity",
-    "doc_priority_sample",
-    "rel_repurchase_intervals",
-    # r7k wavelets / fingerprints (evt_haar_energy carries the r8 epoch guard)
-    "doc_simhash_distance_profile",
-    "evt_haar_energy",
-    # r7l token shapes / calendar lift
-    "doc_token_shape_profile",
-    "evt_weekday_weekend_lift",
+    # parity-lint hazards hardened this round (hash changed locally)
+    "evt_value_deciles",
+    "evt_tree_scoring_sql",
+    "rel_rfm_scores",
+    "doc_ppl_buckets",
+    "evt_ltv_discounted",
+    "doc_bpe_train3_check",
+    "emb_semihard_triplets",
+    # r8a literal-artifact twins
+    "emb_knn_label_prop_check",
+    "emb_pq_adc_check",
+    "evt_hll_portable_overlap",
+    "evt_sketch_portable_profile",
+    "mm_phash_portable_check",
+    # r8b tokenizer economics / calibration
+    "doc_ngram_coverage_curve",
+    "doc_vocab_pruning_oov",
+    "doc_wordpiece_fertility",
+    "evt_brier_decomposition",
+    "evt_ipf_raking_check",
+    # r8c rate limiting (batch replays + the stateful drain)
+    "evt_rate_limit_audit",
+    "evt_rate_limit_policy_sweep",
+    "stream_rate_limited",
+    # r8d distributional / ANN / autocorrelation
+    "emb_binary_quantization_topk",
+    "evt_pacf_yw",
+    "evt_wasserstein_1d",
+    # r8e streaming HLL / graph / cointegration
+    "doc_dupgraph_modularity",
+    "evt_cointegration_lite",
+    "stream_hll_portable_distinct",
+    # r8f–r8i singles
+    "doc_span_corruption",
+    "evt_qini_uplift",
+    "evt_changepoint_binseg2",
+    "evt_mase_backtest",
+    # oldest never-sampled core singles
+    "emb_class_downsample",
+    "evt_data_quality_audit",
+    "evt_hash_sample",
+    "evt_incremental_monthly_agg",
+    "evt_series_similarity_topk",
+    "evt_spearman_view_purchase",
+    "rel_brand_disjunctive_revenue",
+    "rel_returned_revenue_topk",
+    "rel_ship_speed_priority",
+    "sql_monthly_priority_share",
+    # oldest never-sampled ext singles
+    "doc_bpe_token_counts",
+    "doc_chunk_windows",
+    "doc_dedup_keep_best",
+    "doc_dupgraph_triangles",
+    "doc_jaccard_near_dup",
+    "doc_mix_sample",
+    "doc_train_shuffle",
 )
 
 

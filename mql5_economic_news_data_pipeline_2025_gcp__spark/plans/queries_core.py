@@ -2408,13 +2408,18 @@ def evt_rolling_window_stats(spark, sf_dir):
 @register(
     "evt_value_deciles",
     oracle="""
-    WITH d AS (
+    WITH r AS (
       SELECT event_type,
              CAST(round(value*100) AS BIGINT) AS value_c,
-             ntile(10) OVER (PARTITION BY event_type
-                             ORDER BY CAST(round(value*100) AS BIGINT) ASC,
-                                      event_id ASC) AS decile
-      FROM events)
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value*100) AS BIGINT) ASC,
+                                         event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM events),
+    d AS (
+      SELECT event_type, value_c,
+             (10 * (rn - 1)) // np + 1 AS decile
+      FROM r)
     SELECT event_type, CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(value_c) AS BIGINT) AS lo_c,
@@ -2423,8 +2428,11 @@ def evt_rolling_window_stats(spark, sf_dir):
     FROM d GROUP BY event_type, decile
     """,
     description=(
-        "ntile decile profile per event type: integer-cent values with "
-        "event_id tie-break make bucket boundaries deterministic in both "
+        "decile profile per event type: integer-cent values with "
+        "event_id tie-break and explicit (10*(rn-1))//n+1 bucket "
+        "arithmetic (ntile remainder placement is an engine "
+        "convention — scripts/parity_lint.py) make bucket boundaries "
+        "deterministic in both "
         "engines. Per-type window shuffle then a 10-row-per-type agg; "
         "at scale prefer the approxQuantile cutoff form (split.py scale "
         "path) — this exact form exists for parity and profiling"
@@ -2436,8 +2444,16 @@ def evt_value_deciles(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy(
         F.col("value_c").asc(), F.col("event_id").asc()
     )
+    wp = Window.partitionBy("event_type")
     d = ev.select(
-        "event_type", "value_c", F.ntile(10).over(w).cast("bigint").alias("decile")
+        "event_type",
+        "value_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    ).select(
+        "event_type",
+        "value_c",
+        F.expr("(10 * (rn - 1)) DIV np + 1").cast("bigint").alias("decile"),
     )
     return d.groupBy("event_type", "decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3183,7 +3199,7 @@ def _tree_oracle_sql() -> str:
       FROM k)
     SELECT event_id, CAST(lag1_c AS BIGINT) AS lag1_c,
            CAST(impact_ord AS INT) AS impact_ord,
-           round({score_expr}, 6) AS score
+           CAST(round({score_expr}, 6) AS DOUBLE) AS score
     FROM feat
     """
 

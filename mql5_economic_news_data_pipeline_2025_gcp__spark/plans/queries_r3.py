@@ -931,13 +931,20 @@ def evt_ewma(spark, sf_dir):
              count(*) AS frequency,
              sum(CAST(round(o_totalprice*100) AS BIGINT)) AS monetary_c
       FROM orders GROUP BY o_custkey),
-    scored AS (
+    ranked AS (
       SELECT o_custkey, frequency,
              CAST(monetary_c AS BIGINT) AS monetary_c,
-             ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_score,
-             ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
-             ntile(5) OVER (ORDER BY monetary_c ASC, o_custkey ASC) AS m_score
-      FROM base)
+             row_number() OVER (ORDER BY last_order ASC, o_custkey ASC) AS rr,
+             row_number() OVER (ORDER BY frequency ASC, o_custkey ASC) AS rf,
+             row_number() OVER (ORDER BY monetary_c ASC, o_custkey ASC) AS rm,
+             count(*) OVER () AS nc
+      FROM base),
+    scored AS (
+      SELECT o_custkey, frequency, monetary_c,
+             (5 * (rr - 1)) // nc + 1 AS r_score,
+             (5 * (rf - 1)) // nc + 1 AS f_score,
+             (5 * (rm - 1)) // nc + 1 AS m_score
+      FROM ranked)
     SELECT CAST(r_score*100 + f_score*10 + m_score AS BIGINT) AS rfm,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(monetary_c) AS BIGINT) AS monetary_c_sum
@@ -946,8 +953,11 @@ def evt_ewma(spark, sf_dir):
     description=(
         "RFM (recency/frequency/monetary) customer quintile scoring — "
         "the classic segmentation rollup: per-customer aggregates, "
-        "three ntile(5) rankings with custkey tie-breaks, combined "
-        "into a 3-digit RFM cell with cohort sizes. The ntile global "
+        "three quintile rankings with custkey tie-breaks (explicit "
+        "(5*(rn-1))//n+1 integer arithmetic, not ntile — bucket "
+        "remainder placement is an engine convention, see "
+        "scripts/parity_lint.py), combined "
+        "into a 3-digit RFM cell with cohort sizes. The global "
         "windows run over the CUSTOMER aggregate (|customers| rows, "
         "3-4 orders of magnitude below the fact table); the 100 TB "
         "form swaps them for approxQuantile cutoffs exactly like the "
@@ -965,12 +975,20 @@ def rel_rfm_scores(spark, sf_dir):
     w_r = Window.orderBy(F.col("last_order").asc(), F.col("o_custkey").asc())
     w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
     w_m = Window.orderBy(F.col("monetary_c").asc(), F.col("o_custkey").asc())
-    scored = base.select(
+    ranked = base.select(
         "o_custkey",
         "monetary_c",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        F.row_number().over(w_r).alias("rr"),
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_m).alias("rm"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nc"),
+    )
+    scored = ranked.select(
+        "o_custkey",
+        "monetary_c",
+        F.expr("(5 * (rr - 1)) DIV nc + 1").alias("r_score"),
+        F.expr("(5 * (rf - 1)) DIV nc + 1").alias("f_score"),
+        F.expr("(5 * (rm - 1)) DIV nc + 1").alias("m_score"),
     )
     return (
         scored.select(

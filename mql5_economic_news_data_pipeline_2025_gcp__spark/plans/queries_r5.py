@@ -670,7 +670,8 @@ def rel_weighted_median_price(spark, sf_dir):
       FROM scored GROUP BY doc_id),
     b AS (
       SELECT doc_id, avg_lp,
-             ntile(3) OVER (ORDER BY avg_lp DESC, doc_id) AS bucket
+             (3 * (row_number() OVER (ORDER BY avg_lp DESC, doc_id) - 1))
+               // (count(*) OVER ()) + 1 AS bucket
       FROM ds)
     SELECT d.source,
            CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
@@ -684,10 +685,12 @@ def rel_weighted_median_price(spark, sf_dir):
         "CCNet-style perplexity bucketing: score every document with "
         "the corpus-trained unigram LM (micro-nat integer sums, the "
         "doc_unigram_logprob treatment), split into head/middle/tail "
-        "terciles by ntile over (score desc, doc_id), then report the "
+        "terciles by explicit (3*(rn-1))//n+1 arithmetic over (score "
+        "desc, doc_id) — not ntile, whose remainder placement is an "
+        "engine convention (scripts/parity_lint.py) — then report the "
         "per-source bucket composition — the table that drives "
         "'keep head+middle, drop tail' corpus curation. The exact "
-        "ntile is a |docs|-row presentation window at test SF; at "
+        "tercile is a |docs|-row presentation window at test SF; at "
         "100 TB the same buckets come from two approx-quantile "
         "cutoffs + a map-side CASE (the evt_chrono_split exact-vs-"
         "scale duality, noted here rather than duplicated)"
@@ -723,10 +726,13 @@ def doc_ppl_buckets(spark, sf_dir):
             6,
         ).alias("avg_lp")
     )
-    b = ds.withColumn(
-        "bucket",
-        F.ntile(3).over(Window.orderBy(F.col("avg_lp").desc(), F.col("doc_id"))),
-    )
+    wb = Window.orderBy(F.col("avg_lp").desc(), F.col("doc_id"))
+    b = ds.select(
+        "doc_id",
+        "avg_lp",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    ).withColumn("bucket", F.expr("(3 * (rn - 1)) DIV nd + 1"))
     lab = (
         F.when(F.col("bucket") == 1, "head")
         .when(F.col("bucket") == 2, "middle")
@@ -2043,7 +2049,8 @@ def doc_substring_search_trgm(spark, sf_dir):
       FROM v GROUP BY user_id),
     d AS (
       SELECT user_id, n_events, ltv_micro_c,
-             ntile(10) OVER (ORDER BY ltv_micro_c DESC, user_id) AS decile
+             (10 * (row_number() OVER (ORDER BY ltv_micro_c DESC, user_id)
+                    - 1)) // (count(*) OVER ()) + 1 AS decile
       FROM ltv)
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_users,
@@ -2060,7 +2067,9 @@ def doc_substring_search_trgm(spark, sf_dir):
         "units (0.95 = 19/20) — the transcendental form structurally "
         "lands on .5 grid boundaries (0.95^2·1000 = 902.5 exactly) "
         "where JVM and libm exp() round apart, so no float ever "
-        "enters the value path; deciles tie-break on user_id. d0 is "
+        "enters the value path; deciles are explicit (10*(rn-1))//n+1 "
+        "arithmetic tie-broken on user_id (ntile remainders are an "
+        "engine convention — scripts/parity_lint.py). d0 is "
         "first activity over ALL events (not just positive-value ones) "
         "— matching the oracle's f CTE exactly. "
         "Shape: first-activity dates are one map-side-combined agg "
@@ -2097,12 +2106,12 @@ def evt_ltv_discounted(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("dv").cast("bigint").alias("ltv_micro_c"),
     )
-    d = ltv.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.desc("ltv_micro_c"), F.asc("user_id"))
-        ),
-    )
+    wd = Window.orderBy(F.desc("ltv_micro_c"), F.asc("user_id"))
+    d = ltv.select(
+        "ltv_micro_c",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nu"),
+    ).withColumn("decile", F.expr("(10 * (rn - 1)) DIV nu + 1"))
     return d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("ltv_micro_c").cast("bigint").alias("decile_ltv_micro_c"),

@@ -193,10 +193,14 @@ def evt_standardized_rates(spark, sf_dir):
                AS buyer
       FROM events WHERE value IS NOT NULL
       GROUP BY user_id),
-    d AS (
+    r AS (
       SELECT buyer,
-             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+             row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+             count(*) OVER () AS nu
       FROM u),
+    d AS (
+      SELECT buyer, (10 * (rn - 1)) // nu + 1 AS decile
+      FROM r),
     per AS (
       SELECT decile,
              CAST(count(*) AS BIGINT) AS n_users,
@@ -210,15 +214,17 @@ def evt_standardized_rates(spark, sf_dir):
            CAST(sum(buyers) OVER (ORDER BY decile
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cum_buyers,
-           (sum(buyers) OVER (ORDER BY decile
+           CAST((CAST(sum(buyers) OVER (ORDER BY decile
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             * 10000) // all_buyers AS capture_bp,
-           (buyers * all_users * 10000) // (n_users * all_buyers)
-             AS lift_bp
+                AS BIGINT)
+             * 10000) // all_buyers AS BIGINT) AS capture_bp,
+           CAST((buyers * all_users * 10000) // (n_users * all_buyers)
+             AS BIGINT) AS lift_bp
     FROM per, tot
     """,
     description="gains/lift table: users ranked by total value into "
-    "exact deciles (ntile with deterministic tie-break), per-decile "
+    "exact deciles (explicit integer arithmetic over a total order — "
+    "no engine ntile-remainder convention is load-bearing), per-decile "
     "buyer capture and lift in exact integer basis points - the "
     "model-eval artifact alongside evt_rank_auc and "
     "evt_calibration_bins",
@@ -229,11 +235,15 @@ def evt_gains_table(spark, sf_dir):
 
     'Score' is each user's total value (a stand-in model score, as in
     `evt_rank_auc`); outcome is whether they ever purchased.  Deciles
-    come from ``ntile(10)`` over (score DESC, user_id) — deterministic
-    because the order is total.  Capture (cumulative % of all buyers
-    reached by decile d) and lift (decile buyer-rate over global rate)
-    are exact integer basis points via cross-multiplication — no float
-    rates anywhere.
+    are ``(10*(rn-1)) DIV n + 1`` over the row_number of the total
+    order (score DESC, user_id) — explicit integer arithmetic pinned
+    identically in both engines, because ``ntile`` remainder placement
+    is an engine/version convention (the round-8 driver-red proved it
+    environment-sensitive).  Both operands are non-negative so Spark's
+    truncating ``DIV`` equals DuckDB's flooring ``//``.  Capture
+    (cumulative % of all buyers reached by decile d) and lift (decile
+    buyer-rate over global rate) are exact integer basis points via
+    cross-multiplication — no float rates anywhere.
 
     Completes the supervised-eval triple: `evt_rank_auc` (ranking),
     `evt_calibration_bins` (calibration), gains table (targeting).
@@ -249,11 +259,14 @@ def evt_gains_table(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("buyer"),
     )
+    wtot = Window.orderBy(F.desc("score"), F.asc("user_id"))
     d = u.select(
         "buyer",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
-        .alias("decile"),
+        F.row_number().over(wtot).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nu"),
+    ).select(
+        "buyer",
+        F.expr("(10 * (rn - 1)) DIV nu + 1").alias("decile"),
     )
     per = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),

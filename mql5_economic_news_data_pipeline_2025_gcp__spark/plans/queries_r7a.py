@@ -26,6 +26,8 @@ are verified bit-exactly against an independent engine:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -396,10 +398,19 @@ def doc_bloom_portable_check(spark, sf_dir):
     # the built bitset to every shard); a join-on-position variant
     # measured 6.4 s at sf0.1 because it shuffled (doc, shingle) text
     # rows — the literal bitset keeps the probe path entirely map-side.
-    # The fold is MEMOIZED per (sf_dir, m): the bitset is a pure function
-    # of the benchmark split, so plan_audit / bench warm-ups / repeat
-    # builds reuse it instead of re-running the collect job each time.
-    cache_key = (sf_dir, _BLOOM_M)
+    # The fold is MEMOIZED per (sf_dir, m, parquet fingerprint): the
+    # bitset is a pure function of the benchmark split, so plan_audit /
+    # bench warm-ups / repeat builds reuse it instead of re-running the
+    # collect job each time. The (mtime, size) fingerprint guards the
+    # fixture-rebuild case — a regenerated parquet under the same path
+    # must invalidate the cached bitset, not silently reuse it.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path (e.g. object store): no fingerprint
+        fp = None
+    cache_key = (sf_dir, _BLOOM_M, fp)
     signed = _BLOOM_WORDS_CACHE.get(cache_key)
     if signed is None:
         bpos_rows = (

@@ -128,8 +128,10 @@ def evt_mann_whitney_u(spark, sf_dir):
     SELECT s.event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(abs(2 * s.v - m.med2)) AS BIGINT) AS sz,
-           CAST(sum(CAST(abs(2 * s.v - m.med2) AS HUGEINT)
-                    * abs(2 * s.v - m.med2)) AS HUGEINT) AS qz
+           CAST(sum((abs(2 * s.v - m.med2) * abs(2 * s.v - m.med2))
+                    // 1048576) AS BIGINT) AS qz_hi,
+           CAST(sum((abs(2 * s.v - m.med2) * abs(2 * s.v - m.med2))
+                    % 1048576) AS BIGINT) AS qz_lo
     FROM s JOIN med m USING (event_type)
     GROUP BY s.event_type
     """,
@@ -142,7 +144,12 @@ def evt_mann_whitney_u(spark, sf_dir):
         "group emits exact n / Σz / Σz² — the life-table artifact cut: "
         "the F ratio over these 5 rows is assembled (and pinned "
         "against a numpy reference) by the pytest gate, because its "
-        "between/within division is the only non-integer step. Shape: "
+        "between/within division is the only non-integer step. Σz² is "
+        "emitted as two BIGINT halves (qz = qz_hi·2²⁰ + qz_lo, both "
+        "per-row terms and their sums provably in int64 to ≥2⁴³ rows) "
+        "so the final projection never carries a HUGEINT/decimal(38,0) "
+        "column — the round-8 driver-red showed 128-bit outputs take "
+        "environment-sensitive render paths. Shape: "
         "one histogram agg + per-type integer cumsum window (histogram"
         "-sized), broadcast the 5-row median table back, one agg"
     ),
@@ -175,15 +182,19 @@ def evt_levene_median(spark, sf_dir):
         ).alias("med2")
     )
     z = F.abs(2 * F.col("v") - F.col("med2"))
+    # z <= ~2^19 for cent-scaled values, so z*z <= ~2^38 fits BIGINT
+    # per row; the 2^20 hi/lo split keeps BOTH running sums in int64
+    # out to >= 2^43 rows — no 128-bit column ever reaches the output
+    z2 = (z * z).cast("bigint")
     return (
         s.join(F.broadcast(med), "event_type")
+        .select("event_type", z.alias("z"), z2.alias("z2"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(z).cast("bigint").alias("sz"),
-            F.sum(z.cast("decimal(38,0)") * z)
-            .cast("decimal(38,0)")
-            .alias("qz"),
+            F.sum("z").cast("bigint").alias("sz"),
+            F.sum(F.expr("z2 DIV 1048576")).cast("bigint").alias("qz_hi"),
+            F.sum(F.col("z2") % 1048576).cast("bigint").alias("qz_lo"),
         )
     )
 

@@ -88,8 +88,8 @@ from .registry import register
     b3 AS (SELECT l, r, cnt FROM c3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
     SELECT CAST(1 AS INTEGER) AS rank, l AS "left", r AS "right",
            l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b1
-    UNION ALL SELECT 2, l, r, l || r, cnt FROM b2
-    UNION ALL SELECT 3, l, r, l || r, cnt FROM b3
+    UNION ALL SELECT 2, l, r, l || r, CAST(cnt AS BIGINT) FROM b2
+    UNION ALL SELECT 3, l, r, l || r, CAST(cnt AS BIGINT) FROM b3
     """,
     description=(
         "the PRODUCTION BPE trainer verified bit-exactly against an "

@@ -50,7 +50,7 @@ _TRIPLET_MARGIN = 2_000_000
       JOIN lab la ON la.vec_id = d.aid
       JOIN lab lb ON lb.vec_id = d.bid),
     pos AS (
-      SELECT aid, d2 AS dp FROM (
+      SELECT aid, CAST(d2 AS BIGINT) AS dp FROM (
         SELECT aid, d2,
                row_number() OVER (PARTITION BY aid
                                   ORDER BY d2 ASC, bid ASC) AS rk

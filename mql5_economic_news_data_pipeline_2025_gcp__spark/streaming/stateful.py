@@ -322,6 +322,14 @@ def _update_bucket_state(
     # exact global replay the batch oracle computes).
     rows = rows.sort_values(["e", "event_id"])
     for e in rows["e"].astype("int64"):
+        # the landing-prefix ordering contract says batches arrive in
+        # chronological order — ENFORCE it: a negative dt would silently
+        # drain tok below the batch replay's value instead of failing
+        if prev >= 0 and int(e) < prev:
+            raise ValueError(
+                f"out-of-order arrival across micro-batches: e={int(e)} "
+                f"< prev={prev} (landing-prefix contract violated)"
+            )
         dt = 0 if prev < 0 else int(e) - prev
         tok = min(_RL_CAP, tok + dt * _RL_RATE)
         if tok >= _RL_COST:
@@ -353,7 +361,11 @@ def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream.select(
         "user_id",
         "event_id",
-        ((ts_us - F.lit(_RL_EPOCH_US)) / 1000000)
+        # floor, not truncate-toward-zero: a timestamp in the 1-second
+        # window before the epoch must round the same way as the batch
+        # twin's unix_timestamp and the oracle's `//` (which both floor),
+        # or it slips past the e >= 0 gate on the stream side only
+        F.floor((ts_us - F.lit(_RL_EPOCH_US)) / 1000000)
         .cast("long")
         .alias("e"),
     ).filter(F.col("e") >= 0)

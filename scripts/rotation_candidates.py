@@ -14,9 +14,11 @@ Usage: python scripts/rotation_candidates.py [--limit N]
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -42,24 +44,25 @@ def main() -> None:
     never_rowsonly = [n for n in names if n not in seen and n not in paired]
 
     # module of each query: the register() wrapper masks __module__, so
-    # grep the plans sources for the registration line instead
+    # parse the plans sources — anchored to actual @register( sites (the
+    # decorator's first string argument), so a query name that merely
+    # appears as a quoted list element elsewhere can't steal attribution
     plans_dir = os.path.join(
         repo, "mql5_economic_news_data_pipeline_2025_gcp__spark", "plans"
     )
+    reg_re = re.compile(r'@register\(\s*\n?\s*"([a-z0-9_]+)"')
     mod_of: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(plans_dir, "queries_*.py"))):
         mod = os.path.basename(path)[:-3].replace("queries_", "")
-        for line in open(path):
-            ls = line.strip()
-            if ls.startswith('"') and ls.endswith('",'):
-                mod_of.setdefault(ls.strip('",'), mod)
+        for name in reg_re.findall(open(path).read()):
+            mod_of.setdefault(name, mod)
     bymod: dict[str, list[str]] = defaultdict(list)
     for n in never_paired:
         bymod[mod_of.get(n, "?")].append(n)
 
-    limit = 49
-    if "--limit" in sys.argv:
-        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--limit", type=int, default=49)
+    limit = ap.parse_args().limit
     print(
         f"registry={len(names)} paired={len(paired)} "
         f"driver-sampled-ever={len(seen & set(names))} "

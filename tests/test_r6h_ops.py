@@ -86,9 +86,11 @@ def test_gains_table_matches_bruteforce(spark):
     ).astype(int)
     order = sorted(per.index, key=lambda u: (-per.loc[u, "score"], u))
     n = len(order)
-    # exact ntile sizes: first (n mod 10) deciles get ceil(n/10)
-    base, extra = divmod(n, 10)
-    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    # pinned integer deciles: rank rn -> (10*(rn-1))//n + 1, so the
+    # decile boundaries sit at ceil(d*n/10) (extras spread, not
+    # front-loaded like ntile — the convention is OURS, not an engine's)
+    bounds = [-((-d * n) // 10) for d in range(11)]
+    sizes = [bounds[d] - bounds[d - 1] for d in range(1, 11)]
     total_buyers = int(per["buyer"].sum())
     idx, cum = 0, 0
     for d in range(1, 11):

@@ -73,7 +73,9 @@ def test_levene_median_stats_and_f_assembly(spark):
         row = got[et]
         assert int(row["n"]) == n, et
         assert int(row["sz"]) == sum(z), et
-        assert int(row["qz"]) == sum(x * x for x in z), et
+        # qz rides as two BIGINT halves (no 128-bit output column)
+        qz = int(row["qz_hi"]) * 1048576 + int(row["qz_lo"])
+        assert qz == sum(x * x for x in z), et
     # artifact cut: assemble Brown-Forsythe F from the emitted stats and
     # compare with the direct float computation over raw z values
     N = sum(len(z) for z in zs.values())
@@ -95,7 +97,10 @@ def test_levene_median_stats_and_f_assembly(spark):
     ) / (
         (k - 1)
         * (
-            sum(int(r["qz"]) for r in got.values())
+            sum(
+                int(r["qz_hi"]) * 1048576 + int(r["qz_lo"])
+                for r in got.values()
+            )
             - sum(int(r["sz"]) ** 2 / int(r["n"]) for r in got.values())
         )
     )
