@@ -408,6 +408,10 @@ BENCH_QUERIES = [
     "evt_changepoint_binseg2",
     "emb_semihard_triplets",
     "evt_mase_backtest",
+    # round 9
+    "evt_theil_inequality",
+    "evt_atkinson_stats",
+    "rel_herfindahl_market",
 ]
 
 

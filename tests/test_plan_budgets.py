@@ -373,6 +373,10 @@ BUDGETS = {
     # r7l batch
     "doc_token_shape_profile": 1,  # tokenize pass + source fold
     "evt_weekday_weekend_lift": 1, # one scan + 5-row conditional fold
+    # r9a batch (inequality / market structure)
+    "evt_theil_inequality": 1,     # map-side quantized logs + one type agg
+    "evt_atkinson_stats": 1,       # same single-agg shape
+    "rel_herfindahl_market": 2,    # supplier agg + nation window (final agg reuses)
 }
 
 
