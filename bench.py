@@ -412,6 +412,8 @@ BENCH_QUERIES = [
     "evt_theil_inequality",
     "evt_atkinson_stats",
     "rel_herfindahl_market",
+    "doc_char_bigram_entropy",
+    "doc_blocklist_filter",
 ]
 
 

@@ -377,6 +377,9 @@ BUDGETS = {
     "evt_theil_inequality": 1,     # map-side quantized logs + one type agg
     "evt_atkinson_stats": 1,       # same single-agg shape
     "rel_herfindahl_market": 2,    # supplier agg + nation window (final agg reuses)
+    # r9b batch (corpus curation)
+    "doc_char_bigram_entropy": 2,  # one labeled gram explode + count agg + source fold
+    "doc_blocklist_filter": 1,     # map-side HOF + one source agg
 }
 
 
