@@ -414,6 +414,9 @@ BENCH_QUERIES = [
     "rel_herfindahl_market",
     "doc_char_bigram_entropy",
     "doc_blocklist_filter",
+    "evt_page_hinkley",
+    "evt_peaks_over_threshold",
+    "stream_page_hinkley",
 ]
 
 

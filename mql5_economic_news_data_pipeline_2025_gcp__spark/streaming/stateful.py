@@ -377,3 +377,92 @@ def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain_to_table(out, mode="update", state_partitions=None)
+
+
+# ----------------------------------------------------------------- PH
+# Page-Hinkley drift detection constants — shared with the batch replay
+# in plans/queries_r9c.py (single source of truth; the batch module
+# imports these so the two sides cannot drift apart).
+#: baseline window: the first N0 value rows per event_type (by ts order)
+PH_N0 = 100
+#: drift allowance in cents (subtracted per step before accumulation)
+PH_DELTA_C = 100
+#: alarm threshold in cents; compared as ph > N0 * PH_LAMBDA_C because
+#: the accumulated statistic is kept scaled by n0 to stay integer
+PH_LAMBDA_C = 50000
+
+_PH_OUT_SCHEMA = (
+    "event_type string, n long, n_alarms long, first_alarm_rn long, "
+    "ph_max long"
+)
+_PH_STATE_SCHEMA = (
+    "rn long, s0 long, m long, runmin long, n_alarms long, "
+    "first_alarm long, ph_max long"
+)
+
+
+def _update_ph_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rn, s0, m, runmin, n_alarms, first_alarm, ph_max = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # the detector is order-dependent: replay this batch in (ts,
+    # event_id) order; cross-batch order rides the landing-prefix
+    # contract exactly like _update_bucket_state (enforced there)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    thresh = PH_N0 * PH_LAMBDA_C
+    for x in rows["x"].astype("int64"):
+        rn += 1
+        if rn <= PH_N0:
+            s0 += int(x)  # baseline accrual; evaluation starts after N0
+            continue
+        m += PH_N0 * int(x) - s0 - PH_N0 * PH_DELTA_C
+        runmin = min(runmin, m)
+        ph = m - min(0, runmin)
+        if ph > ph_max:
+            ph_max = ph
+        if ph > thresh:
+            n_alarms += 1
+            if first_alarm == 0:
+                first_alarm = rn
+    state.update((rn, s0, m, runmin, n_alarms, first_alarm, ph_max))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [rn],
+            "n_alarms": [n_alarms],
+            "first_alarm_rn": [first_alarm],
+            "ph_max": [ph_max],
+        }
+    )
+
+
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Page-Hinkley mean-shift detection per event_type
+    (applyInPandasWithState): the drift monitor a feature pipeline
+    keeps NEXT TO the stream — the first PH_N0 arrivals per type set
+    the baseline, then the n0-scaled integer statistic
+    m += n0·x − S0 − n0·δ accumulates with its running minimum, and
+    ph = m − min(0, min m) crossing n0·λ raises the alarm. State is
+    seven scalars per event_type, so the store is bounded by |types|
+    regardless of throughput. A full chronological drain equals the
+    batch window replay in plans/queries_r9c.py — the shared oracle."""
+    stream = _stream_source(spark, sf_dir, "events")
+    ev = stream.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        _ts_us(stream).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        _update_ph_state,
+        outputStructType=_PH_OUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_table(out, mode="update", state_partitions=None)

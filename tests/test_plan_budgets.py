@@ -380,6 +380,9 @@ BUDGETS = {
     # r9b batch (corpus curation)
     "doc_char_bigram_entropy": 2,  # one labeled gram explode + count agg + source fold
     "doc_blocklist_filter": 1,     # map-side HOF + one source agg
+    # r9c batch (drift / tail risk)
+    "evt_page_hinkley": 1,         # rank/baseline/cumsum windows share one type exchange
+    "evt_peaks_over_threshold": 3, # hist agg + hist windows + broadcast-back agg
 }
 
 
