@@ -417,6 +417,9 @@ BENCH_QUERIES = [
     "evt_page_hinkley",
     "evt_peaks_over_threshold",
     "stream_page_hinkley",
+    "evt_weibull_plot_fit",
+    "emb_anisotropy_spectrum",
+    "emb_cluster_label_purity",
 ]
 
 

@@ -172,7 +172,11 @@ def evt_atkinson_stats(spark, sf_dir):
     description=(
         "supplier revenue concentration per nation — the antitrust/"
         "sourcing-risk readout: Herfindahl-Hirschman index, CR1 and "
-        "CR4 in exact basis points. Shares are FLOORED integer bp "
+        "CR4 in exact basis points. The hash-exact INTEGER TWIN of "
+        "`rel_supplier_hhi` (whose Σshare² is a round-6 float on "
+        "discounted revenue) extended with the concentration RATIOS "
+        "(CR1/CR4) that index alone can't give. Shares are FLOORED "
+        "integer bp "
         "(rev·10⁴ // total — the defined statistic, so no float ratio "
         "ever exists to diverge) and HHI = Σshare_bp² // 10⁴ stays "
         "≤ 10⁴·|suppliers| at any SF — intermediate DuckDB HUGEINT "

@@ -383,6 +383,10 @@ BUDGETS = {
     # r9c batch (drift / tail risk)
     "evt_page_hinkley": 1,         # rank/baseline/cumsum windows share one type exchange
     "evt_peaks_over_threshold": 3, # hist agg + hist windows + broadcast-back agg
+    # r9d batch (reliability / embedding health)
+    "evt_weibull_plot_fit": 2,     # (user,type) lag + per-type rank window
+    "emb_anisotropy_spectrum": 1,  # posexplode + one 64-key agg
+    "emb_cluster_label_purity": 3, # argmin agg + (cluster,label) agg + cluster fold
 }
 
 
