@@ -420,6 +420,9 @@ BENCH_QUERIES = [
     "evt_weibull_plot_fit",
     "emb_anisotropy_spectrum",
     "emb_cluster_label_purity",
+    "evt_mutual_information",
+    "evt_confusion_threshold",
+    "evt_simpson_paradox_audit",
 ]
 
 

@@ -220,7 +220,11 @@ def stream_page_hinkley_q(spark, sf_dir):
     GROUP BY s.event_type
     """,
     description=(
-        "peaks-over-threshold tail statistics per event type: the "
+        "peaks-over-threshold tail statistics PER EVENT TYPE — the "
+        "per-group, integer-render-safe form of the global "
+        "`evt_pot_gpd_tail` (which emits float moments for one pooled "
+        "tail; this one gives each type its own threshold and keeps "
+        "the whole differential surface in BIGINT): the "
         "threshold is the exact nearest-rank P90 from the value "
         "HISTOGRAM (cross-multiplied 10·cum ≥ 9·n — no float "
         "quantile), exceedances emit exact integer n/Σe/Σe² with the "

@@ -387,6 +387,10 @@ BUDGETS = {
     "evt_weibull_plot_fit": 2,     # (user,type) lag + per-type rank window
     "emb_anisotropy_spectrum": 1,  # posexplode + one 64-key agg
     "emb_cluster_label_purity": 3, # argmin agg + (cluster,label) agg + cluster fold
+    # r9e batch (dependence / decision diagnostics)
+    "evt_mutual_information": 1,   # cell agg; marginals window the 35-row frame
+    "evt_confusion_threshold": 1,  # user agg + rank window on the user frame
+    "evt_simpson_paradox_audit": 1,  # one type agg; pooled totals window-lifted
 }
 
 
