@@ -423,6 +423,9 @@ BENCH_QUERIES = [
     "evt_mutual_information",
     "evt_confusion_threshold",
     "evt_simpson_paradox_audit",
+    "evt_ldp_frequency",
+    "evt_session_gap_sweep",
+    "emb_distance_histogram",
 ]
 
 

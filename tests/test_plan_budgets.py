@@ -391,6 +391,10 @@ BUDGETS = {
     "evt_mutual_information": 1,   # cell agg; marginals window the 35-row frame
     "evt_confusion_threshold": 1,  # user agg + rank window on the user frame
     "evt_simpson_paradox_audit": 1,  # one type agg; pooled totals window-lifted
+    # r9f batch (privacy / tuning / calibration)
+    "evt_ldp_frequency": 1,        # map-side RR + one 5-category agg
+    "evt_session_gap_sweep": 1,    # user lag window + 1-row conditional fold
+    "emb_distance_histogram": 1,   # capped broadcast self-join + ~50-row agg
 }
 
 
