@@ -426,6 +426,8 @@ BENCH_QUERIES = [
     "evt_ldp_frequency",
     "evt_session_gap_sweep",
     "emb_distance_histogram",
+    "rel_intermittency_profile",
+    "rel_croston_intermittent",
 ]
 
 

@@ -395,6 +395,9 @@ BUDGETS = {
     "evt_ldp_frequency": 1,        # map-side RR + one 5-category agg
     "evt_session_gap_sweep": 1,    # user lag window + 1-row conditional fold
     "emb_distance_histogram": 1,   # capped broadcast self-join + ~50-row agg
+    # r9g batch (intermittent demand)
+    "rel_intermittency_profile": 2,  # (part,week) rollup + part agg
+    "rel_croston_intermittent": 2,   # same rollup + collect-sort fold agg
 }
 
 
