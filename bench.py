@@ -428,6 +428,8 @@ BENCH_QUERIES = [
     "emb_distance_histogram",
     "rel_intermittency_profile",
     "rel_croston_intermittent",
+    "evt_tail_dependence",
+    "evt_information_value",
 ]
 
 

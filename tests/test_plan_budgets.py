@@ -398,6 +398,9 @@ BUDGETS = {
     # r9g batch (intermittent demand)
     "rel_intermittency_profile": 2,  # (part,week) rollup + part agg
     "rel_croston_intermittent": 2,   # same rollup + collect-sort fold agg
+    # r9h batch (multivariate extremes / feature diagnostics)
+    "evt_tail_dependence": 0,      # checkpointed day frame feeds both q90s + fold
+    "evt_information_value": 1,    # (user,week) agg + rank window on that frame
 }
 
 
