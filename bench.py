@@ -430,6 +430,8 @@ BENCH_QUERIES = [
     "rel_croston_intermittent",
     "evt_tail_dependence",
     "evt_information_value",
+    "evt_moment_skew_kurtosis",
+    "evt_hill_tail_index",
 ]
 
 

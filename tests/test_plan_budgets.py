@@ -401,6 +401,9 @@ BUDGETS = {
     # r9h batch (multivariate extremes / feature diagnostics)
     "evt_tail_dependence": 0,      # checkpointed day frame feeds both q90s + fold
     "evt_information_value": 1,    # (user,week) agg + rank window on that frame
+    # r9i batch (shape / tail statistics)
+    "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
+    "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
 }
 
 
