@@ -432,6 +432,8 @@ BENCH_QUERIES = [
     "evt_information_value",
     "evt_moment_skew_kurtosis",
     "evt_hill_tail_index",
+    "evt_turning_points",
+    "evt_permutation_entropy",
 ]
 
 
