@@ -434,6 +434,8 @@ BENCH_QUERIES = [
     "evt_hill_tail_index",
     "evt_turning_points",
     "evt_permutation_entropy",
+    "evt_burst_hysteresis",
+    "evt_chow_test",
 ]
 
 
