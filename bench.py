@@ -436,6 +436,8 @@ BENCH_QUERIES = [
     "evt_permutation_entropy",
     "evt_burst_hysteresis",
     "evt_chow_test",
+    "evt_kpss_partial_sums",
+    "evt_adstock_carryover",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9l batch (stationarity / adstock)
+    "evt_kpss_partial_sums": 2,    # (type,day) rollup + type window stack
+    "evt_adstock_carryover": 2,    # (type,day) rollup + type collect-fold
     # r9k batch (burst detection / structural break)
     "evt_burst_hysteresis": 2,     # checkpointed state frame feeds base + islands
     "evt_chow_test": 2,            # (type,day) rollup + type window; half agg reuses
