@@ -438,6 +438,8 @@ BENCH_QUERIES = [
     "evt_chow_test",
     "evt_kpss_partial_sums",
     "evt_adstock_carryover",
+    "rel_soundex_blocking",
+    "emb_hnsw_level_plan",
 ]
 
 

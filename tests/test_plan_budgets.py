@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9m batch (phonetic blocking / HNSW plan)
+    "rel_soundex_blocking": 2,     # map-side key + blk agg (+ distinct expand)
+    "emb_hnsw_level_plan": 1,      # map-side coin + level census; tiny window
     # r9l batch (stationarity / adstock)
     "evt_kpss_partial_sums": 2,    # (type,day) rollup + type window stack
     "evt_adstock_carryover": 2,    # (type,day) rollup + type collect-fold
