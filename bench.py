@@ -440,6 +440,7 @@ BENCH_QUERIES = [
     "evt_adstock_carryover",
     "rel_soundex_blocking",
     "emb_hnsw_level_plan",
+    "stream_cms_portable_grid",
 ]
 
 
