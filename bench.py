@@ -441,6 +441,7 @@ BENCH_QUERIES = [
     "rel_soundex_blocking",
     "emb_hnsw_level_plan",
     "stream_cms_portable_grid",
+    "emb_kcenter_coreset",
 ]
 
 

@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9o batch (coreset selection)
+    "emb_kcenter_coreset": 0,      # one bounded broadcast self-join collect
     # r9m batch (phonetic blocking / HNSW plan)
     "rel_soundex_blocking": 2,     # map-side key + blk agg (+ distinct expand)
     "emb_hnsw_level_plan": 1,      # map-side coin + level census; tiny window
