@@ -442,6 +442,8 @@ BENCH_QUERIES = [
     "emb_hnsw_level_plan",
     "stream_cms_portable_grid",
     "emb_kcenter_coreset",
+    "rel_fifo_cogs",
+    "evt_energy_distance",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9p batch (FIFO valuation / energy distance)
+    "rel_fifo_cogs": 1,            # one l_partkey exchange: lift + cumsum + fold
+    "evt_energy_distance": 1,      # checkpointed day frame; self-join + fold
     # r9o batch (coreset selection)
     "emb_kcenter_coreset": 0,      # one bounded broadcast self-join collect
     # r9m batch (phonetic blocking / HNSW plan)
