@@ -444,6 +444,8 @@ BENCH_QUERIES = [
     "emb_kcenter_coreset",
     "rel_fifo_cogs",
     "evt_energy_distance",
+    "evt_xbar_r_chart",
+    "evt_higuchi_fd",
 ]
 
 

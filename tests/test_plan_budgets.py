@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9q batch (control charts / fractal dimension)
+    "evt_xbar_r_chart": 2,         # (type,day) rank window shared w/ subgroup agg
+    "evt_higuchi_fd": 2,           # (type,day) rollup + type lag window
     # r9p batch (FIFO valuation / energy distance)
     "rel_fifo_cogs": 1,            # one l_partkey exchange: lift + cumsum + fold
     "evt_energy_distance": 1,      # checkpointed day frame; self-join + fold
