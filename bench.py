@@ -446,6 +446,8 @@ BENCH_QUERIES = [
     "evt_energy_distance",
     "evt_xbar_r_chart",
     "evt_higuchi_fd",
+    "evt_seasonal_mann_kendall",
+    "evt_transfer_entropy",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9r batch (seasonal trend / transfer entropy)
+    "evt_seasonal_mann_kendall": 2,  # checkpointed day frame; join + folds
+    "evt_transfer_entropy": 2,       # day rollup + global-day lag windows
     # r9q batch (control charts / fractal dimension)
     "evt_xbar_r_chart": 2,         # (type,day) rank window shared w/ subgroup agg
     "evt_higuchi_fd": 2,           # (type,day) rollup + type lag window
