@@ -448,6 +448,8 @@ BENCH_QUERIES = [
     "evt_higuchi_fd",
     "evt_seasonal_mann_kendall",
     "evt_transfer_entropy",
+    "stream_histogram_quantiles",
+    "emb_alignment_uniformity",
 ]
 
 

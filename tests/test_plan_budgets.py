@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9s batch (contrastive diagnostics; streaming twin has no batch plan)
+    "emb_alignment_uniformity": 0,   # broadcast self-join on capped anchors
     # r9r batch (seasonal trend / transfer entropy)
     "evt_seasonal_mann_kendall": 2,  # checkpointed day frame; join + folds
     "evt_transfer_entropy": 2,       # day rollup + global-day lag windows
