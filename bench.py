@@ -450,6 +450,8 @@ BENCH_QUERIES = [
     "evt_transfer_entropy",
     "stream_histogram_quantiles",
     "emb_alignment_uniformity",
+    "evt_kupiec_var_backtest",
+    "evt_downside_risk",
 ]
 
 
