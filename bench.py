@@ -452,6 +452,8 @@ BENCH_QUERIES = [
     "emb_alignment_uniformity",
     "evt_kupiec_var_backtest",
     "evt_downside_risk",
+    "rel_auction_clearing",
+    "evt_empirical_copula",
 ]
 
 
