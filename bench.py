@@ -454,6 +454,7 @@ BENCH_QUERIES = [
     "evt_downside_risk",
     "rel_auction_clearing",
     "evt_empirical_copula",
+    "doc_watermark_greenlist",
 ]
 
 

@@ -78,6 +78,7 @@ from . import queries_r9r  # noqa: E402,F401
 from . import queries_r9s  # noqa: E402,F401
 from . import queries_r9t  # noqa: E402,F401
 from . import queries_r9u  # noqa: E402,F401
+from . import queries_r9v  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`

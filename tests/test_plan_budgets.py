@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9v batch (watermark detection)
+    "doc_watermark_greenlist": 1,    # map-side HOF fold + one source agg
     # r9u batch (auction clearing / copula grid)
     "rel_auction_clearing": 1,       # one l_partkey exchange end to end
     "evt_empirical_copula": 1,       # day rollup + global rank windows
