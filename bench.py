@@ -455,6 +455,11 @@ BENCH_QUERIES = [
     "rel_auction_clearing",
     "evt_empirical_copula",
     "doc_watermark_greenlist",
+    "evt_lof_reachability",
+    "emb_twonn_intrinsic_dim",
+    "doc_rbo_term_ranks",
+    "evt_hampel_filter",
+    "rel_duplicate_payments",
 ]
 
 

@@ -79,6 +79,9 @@ from . import queries_r9s  # noqa: E402,F401
 from . import queries_r9t  # noqa: E402,F401
 from . import queries_r9u  # noqa: E402,F401
 from . import queries_r9v  # noqa: E402,F401
+from . import queries_r9w  # noqa: E402,F401
+from . import queries_r9x  # noqa: E402,F401
+from . import queries_r9y  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`

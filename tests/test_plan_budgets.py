@@ -404,6 +404,14 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9w batch (density outliers / intrinsic dimension)
+    "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
+    "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r9x batch (rank-biased overlap)
+    "doc_rbo_term_ranks": 0,         # checkpointed top-50 heads; broadcast join
+    # r9y batch (robust repair / payments audit)
+    "evt_hampel_filter": 2,          # (type,day) rollup + 7-day window arrays
+    "rel_duplicate_payments": 0,     # blocked broadcast self-join at test SF
     # r9v batch (watermark detection)
     "doc_watermark_greenlist": 1,    # map-side HOF fold + one source agg
     # r9u batch (auction clearing / copula grid)
