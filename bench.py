@@ -460,6 +460,8 @@ BENCH_QUERIES = [
     "doc_rbo_term_ranks",
     "evt_hampel_filter",
     "rel_duplicate_payments",
+    "evt_nelson_rules",
+    "evt_jonckheere_terpstra",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9z batch (run rules / ordered trend)
+    "evt_nelson_rules": 2,           # checkpointed day frame; rank + run windows
+    "evt_jonckheere_terpstra": 3,    # checkpointed day frame; pair join + census
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
