@@ -462,6 +462,8 @@ BENCH_QUERIES = [
     "rel_duplicate_payments",
     "evt_nelson_rules",
     "evt_jonckheere_terpstra",
+    "evt_rayleigh_hours",
+    "evt_lorenz_asymmetry",
 ]
 
 

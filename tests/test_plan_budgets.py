@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9aa batch (circular stats / inequality shape)
+    "evt_rayleigh_hours": 2,         # (type,hour) count + literal join fold
+    "evt_lorenz_asymmetry": 1,       # type window lift + fold on same exchange
     # r9z batch (run rules / ordered trend)
     "evt_nelson_rules": 2,           # checkpointed day frame; rank + run windows
     "evt_jonckheere_terpstra": 3,    # checkpointed day frame; pair join + census
