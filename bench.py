@@ -464,6 +464,8 @@ BENCH_QUERIES = [
     "evt_jonckheere_terpstra",
     "evt_rayleigh_hours",
     "evt_lorenz_asymmetry",
+    "evt_robust_shape_quantiles",
+    "rel_mrp_projection",
 ]
 
 

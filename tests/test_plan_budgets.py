@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ab batch (robust shape / MRP projection)
+    "evt_robust_shape_quantiles": 2,  # histogram agg + cum windows + fold
+    "rel_mrp_projection": 2,          # orderkey join rides AQE; (pk,wk)+pk
     # r9aa batch (circular stats / inequality shape)
     "evt_rayleigh_hours": 2,         # (type,hour) count + literal join fold
     "evt_lorenz_asymmetry": 1,       # type window lift + fold on same exchange
