@@ -466,6 +466,7 @@ BENCH_QUERIES = [
     "evt_lorenz_asymmetry",
     "evt_robust_shape_quantiles",
     "rel_mrp_projection",
+    "evt_walsh_hadamard_energy",
 ]
 
 

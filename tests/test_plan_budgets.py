@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ac batch (Walsh-Hadamard sequency analysis)
+    "evt_walsh_hadamard_energy": 2,   # day rollup + rank window; blk fold reuses
     # r9ab batch (robust shape / MRP projection)
     "evt_robust_shape_quantiles": 2,  # histogram agg + cum windows + fold
     "rel_mrp_projection": 2,          # orderkey join rides AQE; (pk,wk)+pk
