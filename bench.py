@@ -467,6 +467,8 @@ BENCH_QUERIES = [
     "evt_robust_shape_quantiles",
     "rel_mrp_projection",
     "evt_walsh_hadamard_energy",
+    "evt_pettitt_test",
+    "evt_partial_correlation",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ad batch (nonparametric change point / partial correlation)
+    "evt_pettitt_test": 3,            # checkpointed day frame; delta agg + window
+    "evt_partial_correlation": 1,     # day rollup + 1-row fold
     # r9ac batch (Walsh-Hadamard sequency analysis)
     "evt_walsh_hadamard_energy": 2,   # day rollup + rank window; blk fold reuses
     # r9ab batch (robust shape / MRP projection)
