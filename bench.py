@@ -469,6 +469,8 @@ BENCH_QUERIES = [
     "evt_walsh_hadamard_energy",
     "evt_pettitt_test",
     "evt_partial_correlation",
+    "evt_sprt_conversion",
+    "evt_benford_two_digit",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ae batch (SPRT / two-digit Benford)
+    "evt_sprt_conversion": 1,         # user fold; walk windows the user frame
+    "evt_benford_two_digit": 2,       # 90-cell agg + literal join + n lift
     # r9ad batch (nonparametric change point / partial correlation)
     "evt_pettitt_test": 3,            # checkpointed day frame; delta agg + window
     "evt_partial_correlation": 1,     # day rollup + 1-row fold
