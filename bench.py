@@ -471,6 +471,8 @@ BENCH_QUERIES = [
     "evt_partial_correlation",
     "evt_sprt_conversion",
     "evt_benford_two_digit",
+    "evt_pairwise_wins_bt",
+    "doc_shard_token_balance",
 ]
 
 

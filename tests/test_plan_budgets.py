@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9af batch (pairwise ranking / shard balance)
+    "evt_pairwise_wins_bt": 1,        # checkpointed day frame; day-keyed join
+    "doc_shard_token_balance": 1,     # map-side shard+tokens, one 32-row agg
     # r9ae batch (SPRT / two-digit Benford)
     "evt_sprt_conversion": 1,         # user fold; walk windows the user frame
     "evt_benford_two_digit": 2,       # 90-cell agg + literal join + n lift
