@@ -473,6 +473,8 @@ BENCH_QUERIES = [
     "evt_benford_two_digit",
     "evt_pairwise_wins_bt",
     "doc_shard_token_balance",
+    "doc_greedy_vocab_cover",
+    "evt_dominant_period",
 ]
 
 

@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ag batch (vocabulary set cover / periodicity scan)
+    "doc_greedy_vocab_cover": 2,      # checkpointed (src,word) frame; round aggs
+    "evt_dominant_period": 2,         # (type,day) rollup + type window stack
     # r9af batch (pairwise ranking / shard balance)
     "evt_pairwise_wins_bt": 1,        # checkpointed day frame; day-keyed join
     "doc_shard_token_balance": 1,     # map-side shard+tokens, one 32-row agg
