@@ -475,6 +475,7 @@ BENCH_QUERIES = [
     "doc_shard_token_balance",
     "doc_greedy_vocab_cover",
     "evt_dominant_period",
+    "evt_decile_shift_function",
 ]
 
 

@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ah batch (two-sample shift function)
+    "evt_decile_shift_function": 1,   # checkpointed decile frame; tiny join
     # r9ag batch (vocabulary set cover / periodicity scan)
     "doc_greedy_vocab_cover": 2,      # checkpointed (src,word) frame; round aggs
     "evt_dominant_period": 2,         # (type,day) rollup + type window stack
