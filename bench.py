@@ -476,6 +476,8 @@ BENCH_QUERIES = [
     "doc_greedy_vocab_cover",
     "evt_dominant_period",
     "evt_decile_shift_function",
+    "evt_time_to_threshold",
+    "doc_word_bigram_entropy",
 ]
 
 

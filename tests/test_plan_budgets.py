@@ -404,6 +404,9 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9ai batch (milestone timing / word predictability)
+    "evt_time_to_threshold": 2,       # user window + bucket histogram
+    "doc_word_bigram_entropy": 3,     # checkpointed bigram frame; two folds
     # r9ah batch (two-sample shift function)
     "evt_decile_shift_function": 1,   # checkpointed decile frame; tiny join
     # r9ag batch (vocabulary set cover / periodicity scan)
