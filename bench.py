@@ -478,6 +478,7 @@ BENCH_QUERIES = [
     "evt_decile_shift_function",
     "evt_time_to_threshold",
     "doc_word_bigram_entropy",
+    "rel_price_dispersion",
 ]
 
 

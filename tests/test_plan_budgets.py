@@ -404,6 +404,8 @@ BUDGETS = {
     # r9i batch (shape / tail statistics)
     "evt_moment_skew_kurtosis": 1, # map-side integer powers + one type agg
     "evt_hill_tail_index": 2,      # checkpointed head frame; thr agg + take fold
+    # r9aj batch (price dispersion audit)
+    "rel_price_dispersion": 1,        # one l_partkey agg, map-side sorts
     # r9ai batch (milestone timing / word predictability)
     "evt_time_to_threshold": 2,       # user window + bucket histogram
     "doc_word_bigram_entropy": 3,     # checkpointed bigram frame; two folds
