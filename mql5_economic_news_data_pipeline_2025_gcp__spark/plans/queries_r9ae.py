@@ -67,18 +67,25 @@ _BENFORD2_U = {d: round(math.log10(1 + 1 / d) * 1e6) for d in range(10, 100)}
       SELECT t, x,
              sum(CASE WHEN x = 1 THEN {_INC1} ELSE {_INC0} END)
                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS llr_u
-      FROM s)
-    SELECT CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(x) AS BIGINT) AS n_converted,
-           CAST(max(CASE WHEN t = (SELECT max(t) FROM w) THEN llr_u END)
-                AS BIGINT) AS llr_final_u,
-           CAST(coalesce(min(CASE WHEN abs(llr_u) >= {_BOUND} THEN t END),
-                         0) AS BIGINT) AS first_cross_t,
-           CAST(coalesce(min(CASE WHEN abs(llr_u) >= {_BOUND}
-                                  THEN CASE WHEN llr_u > 0 THEN 1
-                                            ELSE -1 END END), 0)
+      FROM s),
+    agg AS (
+      -- pack (t, sign) so min() lands on the FIRST crossing's sign:
+      -- t*2 + (0 if llr>0 else 1) is monotone in t (one row per t)
+      SELECT count(*) AS n_users, sum(x) AS n_converted,
+             max(CASE WHEN t = (SELECT max(t) FROM w) THEN llr_u END)
+               AS llr_final_u,
+             min(CASE WHEN abs(llr_u) >= {_BOUND}
+                      THEN t * 2 + CASE WHEN llr_u > 0 THEN 0 ELSE 1 END
+                 END) AS packed
+      FROM w)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(llr_final_u AS BIGINT) AS llr_final_u,
+           CAST(coalesce(packed // 2, 0) AS BIGINT) AS first_cross_t,
+           CAST(CASE WHEN packed IS NULL THEN 0
+                     WHEN packed % 2 = 0 THEN 1 ELSE -1 END
                 AS BIGINT) AS decision
-    FROM w
+    FROM agg
     """,
     description=(
         "Wald SPRT over the chronological user stream (ordered by "
@@ -136,24 +143,34 @@ def evt_sprt_conversion(spark, sf_dir):
         "t_max", F.max("t").over(Window.partitionBy())
     )
     crossed = F.abs(F.col("llr_u")) >= _BOUND
+    # pack (t, sign) so the plain min() aggregate lands on the FIRST
+    # crossing's sign (a bare min over signs would report -1 whenever
+    # the walk ever dipped below -bound, even after crossing +bound
+    # first): t*2 + (0 if llr>0 else 1) is monotone in t (one row per t)
+    packed = F.min(
+        F.when(
+            crossed,
+            F.col("t") * 2
+            + F.when(F.col("llr_u") > 0, 0).otherwise(1),
+        )
+    )
     return w.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("x").cast("bigint").alias("n_converted"),
         F.max(F.when(F.col("t") == F.col("t_max"), F.col("llr_u")))
         .cast("bigint")
         .alias("llr_final_u"),
-        F.coalesce(F.min(F.when(crossed, F.col("t"))), F.lit(0))
+        packed.alias("packed"),
+    ).select(
+        "n_users",
+        "n_converted",
+        "llr_final_u",
+        F.coalesce(F.expr("packed div 2"), F.lit(0))
         .cast("bigint")
         .alias("first_cross_t"),
-        F.coalesce(
-            F.min(
-                F.when(
-                    crossed,
-                    F.when(F.col("llr_u") > 0, 1).otherwise(-1),
-                )
-            ),
-            F.lit(0),
-        )
+        F.when(F.col("packed").isNull(), 0)
+        .when(F.col("packed") % 2 == 0, 1)
+        .otherwise(-1)
         .cast("bigint")
         .alias("decision"),
     )

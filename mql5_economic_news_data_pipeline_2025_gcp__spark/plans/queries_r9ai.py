@@ -173,9 +173,14 @@ def doc_word_bigram_entropy(spark, sf_dir):
     toks = docs.select("source", tokens("text").alias("ws"))
     bi = toks.select(
         "source",
+        # guard: sequence(2, size(ws)) on a 1-token doc yields the
+        # DESCENDING [2, 1] and element_at(ws, 2) throws; emit an empty
+        # index array instead (matches the oracle's empty range(2, 2))
         F.explode(
             F.expr(
-                "filter(transform(sequence(2, size(ws)),"
+                "filter(transform("
+                " CASE WHEN size(ws) >= 2 THEN sequence(2, size(ws))"
+                " ELSE CAST(array() AS array<int>) END,"
                 " i -> struct(element_at(ws, i - 1) AS w1,"
                 " element_at(ws, i) AS w2)),"
                 " s -> s.w1 <> '' AND s.w2 <> '')"

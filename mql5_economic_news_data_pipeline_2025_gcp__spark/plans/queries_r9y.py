@@ -16,7 +16,7 @@ days of each other.  The fixture order amounts are fully dispersed
 (zero organic collisions measured at sf0.01 even under $100 rounding),
 so the payments feed is the orders table plus a DETERMINISTICALLY
 dirtied re-submission stream — every 17th order re-posted 3 days later
-under an offset key — giving the detector a measurable ground truth,
+under a negated key — giving the detector a measurable ground truth,
 the `rel_entity_resolution` discipline applied to audit analytics.
 Blocking on (custkey, amount cents) makes the candidate space
 tiny-bucket before the date check; the gate pins perfect
@@ -155,8 +155,10 @@ def evt_hampel_filter(spark, sf_dir):
       SELECT o_orderkey, o_custkey, amount_c, od FROM base
       UNION ALL
       -- deterministically dirtied re-submissions: every 17th order
-      -- re-posted 3 days later under an offset key (the ground truth)
-      SELECT o_orderkey + 5000000, o_custkey, amount_c, od + 3
+      -- re-posted 3 days later under a NEGATED key (the ground truth;
+      -- negative keys are disjoint from genuine orderkeys at ANY SF —
+      -- a fixed +5e6 offset collides with real keys from sf1 up)
+      SELECT -o_orderkey - 1, o_custkey, amount_c, od + 3
       FROM base WHERE o_orderkey % 17 = 0),
     pairs AS (
       SELECT a.o_custkey AS custkey, a.amount_c,
@@ -176,7 +178,7 @@ def evt_hampel_filter(spark, sf_dir):
         "duplicate-payment audit scan with measurable ground truth: "
         "the payments feed is orders plus a deterministically dirtied "
         "re-submission stream (every 17th order re-posted 3 days "
-        "later under an offset key — fixture amounts have ZERO "
+        "later under a negated key — fixture amounts have ZERO "
         "organic collisions, measured), and the detector flags "
         "same-customer same-cent-amount pairs within 7 days. "
         "Blocking on (custkey, amount) makes the self-join tiny-"
@@ -198,7 +200,11 @@ def rel_duplicate_payments(spark, sf_dir):
         F.to_date("o_orderdate").alias("od"),
     )
     dups = base.filter(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+        # negated key (-k - 1): strictly negative for every k >= 0,
+        # so disjoint from genuine orderkeys at ANY scale factor (a
+        # fixed offset collides with real keys from sf1 up; bare -k
+        # collides with itself at k = 0)
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         "o_custkey",
         "amount_c",
         F.date_add("od", 3).alias("od"),

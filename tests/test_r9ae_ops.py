@@ -90,3 +90,55 @@ def test_benford_two_digit_cells_and_conformity(spark):
     # literal table is a (quantized) probability distribution
     assert abs(sum(int(got[d]["benford_p_u"]) for d in range(10, 100))
                - 1_000_000) <= 10
+
+
+def test_sprt_double_cross_decision_is_first_crossing(spark, tmp_path):
+    """Adversarial fixture: 17 converters push the LLR past +bound, then
+    30 non-converters drag it below -bound. The decision must be +1 (the
+    FIRST crossing's direction), not the -1 a bare min-over-signs of all
+    crossed rows would report. Differential: Spark vs the DuckDB oracle
+    on the same fixture, plus a pinned expected decision."""
+    import datetime
+
+    import duckdb
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    n_up = -(-_BOUND // _INC1)  # ceil: conversions to cross +bound
+    n_dn = -(-(2 * _BOUND) // -_INC0) + 2  # then enough to cross -bound
+    for k in range(n_up + n_dn):
+        ts = base + datetime.timedelta(minutes=k)
+        eid += 1
+        rows.append((eid, ts, k, "view", 1.0, "{}"))
+        if k < n_up:  # converter: purchase same day
+            eid += 1
+            rows.append((eid, ts + datetime.timedelta(hours=1), k,
+                         "purchase", 2.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    spec = REGISTRY["evt_sprt_conversion"]
+    got = spec.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet'"
+    )
+    want = con.execute(spec.oracle).df()
+    r = got.to_dict("records")[0]
+    assert int(r["first_cross_t"]) == n_up
+    assert int(r["decision"]) == 1  # first crossing was upward
+    # final LLR really did double-cross (below -bound at the end)
+    assert int(r["llr_final_u"]) <= -_BOUND
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "scripts"))
+    from diffcheck import compare
+
+    assert not compare(got, want)

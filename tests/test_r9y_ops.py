@@ -69,8 +69,10 @@ def test_duplicate_payments_perfect_pr_vs_injection(spark):
     )
     got = {(int(r["ok_a"]), int(r["ok_b"])) for r in rows}
     o = pd.read_parquet(f"{SF}/orders.parquet")
+    # re-submissions carry the negated key -k-1 (strictly negative,
+    # disjoint at any SF), so ok_a < ok_b pairs them as (-k-1, k)
     injected = {
-        (int(k), int(k) + 5000000)
+        (-int(k) - 1, int(k))
         for k in o["o_orderkey"]
         if int(k) % 17 == 0
     }
@@ -81,4 +83,4 @@ def test_duplicate_payments_perfect_pr_vs_injection(spark):
     assert got == injected
     for r in rows:
         assert int(r["gap_days"]) == 3
-        assert int(r["ok_b"]) == int(r["ok_a"]) + 5000000
+        assert int(r["ok_b"]) == -int(r["ok_a"]) - 1
