@@ -98,85 +98,114 @@ from . import queries_r9aj  # noqa: E402,F401
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`
 # — it unions all committed CORRECTNESS_r*.json and lists the
 # never-driver-sampled oracle-paired queries per module; replace the
-# tuple below with the flagship + 49 of those (largest never-sampled
-# pool: the r6b suite holds 41).
-# Rounds 3–8 rotated six distinct 50-query sets through the window (267
-# distinct driver-sampled queries; the ONLY two ever-red rows —
-# evt_gains_table / evt_levene_median in round 8 — were
-# oracle-environment parity breaks, not value bugs). Round 9 ROTATES the
-# SEVENTH set in, leading with every query whose shape changed in the
-# round-9 parity hardening (the two round-8 reds rebuilt on pinned
-# integer decile arithmetic / BIGINT-half outputs, plus the seven
-# queries scripts/parity_lint.py flagged for the same HUGEINT /
-# ntile-convention hazards), then the complete never-sampled r8a–r8i
-# batches the round-8 verdict named, then the oldest never-sampled
-# core/ext singles. Everything certified in earlier rounds keeps its
-# green row in those artifacts and stays covered by the
-# order-independent full differential gate (scripts/diffcheck.py,
-# tests/test_oracle.py), which runs every entry each round.
+# tuple below with the flagship + 49 of those.
+# Rounds 3–9 rotated seven distinct 50-query sets through the window
+# (312 distinct driver-sampled queries; zero §2 query ever red — the
+# only two ever-red rows, round-8's evt_gains_table/evt_levene_median,
+# were oracle-environment parity breaks, re-certified green in round 9).
+# Round 10 ROTATES the EIGHTH set in: 49 never-sampled round-9 queries
+# spanning all 36 r9 batches, leading with the newest (r9a, r9aa–r9aj)
+# and force-including the three advisor-flagged queries fixed this
+# round (evt_sprt_conversion first-crossing decision,
+# doc_word_bigram_entropy 1-token guard, rel_duplicate_payments
+# disjoint injection keys) plus the verdict-named samples
+# (stream_page_hinkley, rel_fifo_cogs, emb_kcenter_coreset, …).
+# Everything certified in earlier rounds keeps its green row in those
+# artifacts and stays covered by the order-independent full
+# differential gate (scripts/diffcheck.py, tests/test_oracle.py),
+# which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # round-8 driver reds, rebuilt this round — re-certification is the
-    # round-9 gate ("done" = hash-green in THIS window)
-    "evt_gains_table",
-    "evt_levene_median",
-    # parity-lint hazards hardened this round (hash changed locally)
-    "evt_value_deciles",
-    "evt_tree_scoring_sql",
-    "rel_rfm_scores",
-    "doc_ppl_buckets",
-    "evt_ltv_discounted",
-    "doc_bpe_train3_check",
-    "emb_semihard_triplets",
-    # r8a literal-artifact twins
-    "emb_knn_label_prop_check",
-    "emb_pq_adc_check",
-    "evt_hll_portable_overlap",
-    "evt_sketch_portable_profile",
-    "mm_phash_portable_check",
-    # r8b tokenizer economics / calibration
-    "doc_ngram_coverage_curve",
-    "doc_vocab_pruning_oov",
-    "doc_wordpiece_fertility",
-    "evt_brier_decomposition",
-    "evt_ipf_raking_check",
-    # r8c rate limiting (batch replays + the stateful drain)
-    "evt_rate_limit_audit",
-    "evt_rate_limit_policy_sweep",
-    "stream_rate_limited",
-    # r8d distributional / ANN / autocorrelation
-    "emb_binary_quantization_topk",
-    "evt_pacf_yw",
-    "evt_wasserstein_1d",
-    # r8e streaming HLL / graph / cointegration
-    "doc_dupgraph_modularity",
-    "evt_cointegration_lite",
-    "stream_hll_portable_distinct",
-    # r8f–r8i singles
-    "doc_span_corruption",
-    "evt_qini_uplift",
-    "evt_changepoint_binseg2",
-    "evt_mase_backtest",
-    # oldest never-sampled core singles
-    "emb_class_downsample",
-    "evt_data_quality_audit",
-    "evt_hash_sample",
-    "evt_incremental_monthly_agg",
-    "evt_series_similarity_topk",
-    "evt_spearman_view_purchase",
-    "rel_brand_disjunctive_revenue",
-    "rel_returned_revenue_topk",
-    "rel_ship_speed_priority",
-    "sql_monthly_priority_share",
-    # oldest never-sampled ext singles
-    "doc_bpe_token_counts",
-    "doc_chunk_windows",
-    "doc_dedup_keep_best",
-    "doc_dupgraph_triangles",
-    "doc_jaccard_near_dup",
-    "doc_mix_sample",
-    "doc_train_shuffle",
+    # r9a
+    "evt_atkinson_stats",
+    "evt_theil_inequality",
+    "rel_herfindahl_market",
+    # r9aa
+    "evt_lorenz_asymmetry",
+    "evt_rayleigh_hours",
+    # r9ab
+    "evt_robust_shape_quantiles",
+    "rel_mrp_projection",
+    # r9ac
+    "evt_walsh_hadamard_energy",
+    # r9ad
+    "evt_partial_correlation",
+    "evt_pettitt_test",
+    # r9ae
+    "evt_benford_two_digit",
+    "evt_sprt_conversion",
+    # r9af
+    "doc_shard_token_balance",
+    "evt_pairwise_wins_bt",
+    # r9ag
+    "doc_greedy_vocab_cover",
+    "evt_dominant_period",
+    # r9ah
+    "evt_decile_shift_function",
+    # r9ai
+    "doc_word_bigram_entropy",
+    "evt_time_to_threshold",
+    # r9aj
+    "rel_price_dispersion",
+    # r9y
+    "rel_duplicate_payments",
+    # r9c
+    "stream_page_hinkley",
+    # r9p
+    "rel_fifo_cogs",
+    # r9b
+    "doc_blocklist_filter",
+    # r9c
+    "evt_page_hinkley",
+    # r9d
+    "emb_anisotropy_spectrum",
+    # r9e
+    "evt_confusion_threshold",
+    # r9f
+    "emb_distance_histogram",
+    # r9g
+    "rel_croston_intermittent",
+    # r9h
+    "evt_information_value",
+    # r9i
+    "evt_hill_tail_index",
+    # r9j
+    "evt_permutation_entropy",
+    # r9k
+    "evt_burst_hysteresis",
+    # r9l
+    "evt_adstock_carryover",
+    # r9m
+    "emb_hnsw_level_plan",
+    # r9n
+    "stream_cms_portable_grid",
+    # r9o
+    "emb_kcenter_coreset",
+    # r9p
+    "evt_energy_distance",
+    # r9q
+    "evt_higuchi_fd",
+    # r9r
+    "evt_seasonal_mann_kendall",
+    # r9s
+    "emb_alignment_uniformity",
+    # r9t
+    "evt_downside_risk",
+    # r9u
+    "evt_empirical_copula",
+    # r9v
+    "doc_watermark_greenlist",
+    # r9w
+    "emb_twonn_intrinsic_dim",
+    # r9x
+    "doc_rbo_term_ranks",
+    # r9y
+    "evt_hampel_filter",
+    # r9z
+    "evt_jonckheere_terpstra",
+    # r9b
+    "doc_char_bigram_entropy",
 )
 
 
