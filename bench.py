@@ -537,14 +537,25 @@ def main() -> None:
         if only
         else BENCH_QUERIES
     )
-    # calibration brackets the query loop (3 runs before + 3 after) so
-    # sustained load ANYWHERE in the ~minutes-long run is sampled; the
-    # median of all 6 estimates the sustained slowdown factor (min would
-    # hide exactly the load we are trying to measure)
+    # calibration brackets the query loop (3 runs before + 3 after) AND
+    # is interleaved every PROBE_EVERY queries: the suite-level
+    # host_factor cannot explain per-query 4x swings under bursty load
+    # (round-9 host_noise 1.433 produced six phantom 2.5-4x
+    # "regressions" a manual isolation session had to disprove —
+    # BENCH_NOTES.md). Each query records its NEAREST probe, so
+    # artifact readers get a per-query normalization that tracks load
+    # at the moment the query actually ran (round-9 verdict task 3).
     calib_runs = _calibrate(spark)
+    probe_every = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "25"))
+    # probe_trace: (queries-completed-when-sampled, probe_sec); seeded
+    # with the pre-loop bracket median position 0
+    probe_trace: list[tuple[int, float]] = [(0, sorted(calib_runs)[1])]
     timings: dict[str, float] = {}
     all_iters: dict[str, list[float]] = {}
-    for name in bench_set:
+    query_pos: dict[str, int] = {}
+    for qi, name in enumerate(bench_set):
+        if qi and qi % probe_every == 0:
+            probe_trace.append((qi, _calibrate(spark, n=1)[0]))
         spec = REGISTRY[name]
         runs: list[float] = []
         for _ in range(iters):
@@ -561,6 +572,7 @@ def main() -> None:
         # history could disprove — round-6 verdict task #4).
         timings[name] = min(runs)
         all_iters[name] = runs
+        query_pos[name] = qi
         # operators that persist() intermediates (jaccard inverted index,
         # CC edge list) must not leak cache blocks into later queries —
         # accumulated executor-memory pressure inflates every timing
@@ -575,12 +587,28 @@ def main() -> None:
         max(r) / min(r) for r in all_iters.values() if r and min(r) > 0
     )
     host_noise = round(spreads[len(spreads) // 2], 3) if spreads else None
-    calib_runs += _calibrate(spark)
+    post_runs = _calibrate(spark)
+    probe_trace.append((len(bench_set), sorted(post_runs)[1]))
+    calib_runs += post_runs
     cs = sorted(calib_runs)
     calib_sec = round((cs[len(cs) // 2 - 1] + cs[len(cs) // 2]) / 2, 3)
     # never normalize DOWNWARD past the reference: a host faster than the
     # reference would deflate the total and hide real regressions
     host_factor = round(max(1.0, calib_sec / CALIB_REF_SEC), 3)
+    # per-query normalization by the NEAREST interleaved probe (by run
+    # position): q / max(1, probe/ref). Readers comparing rounds should
+    # prefer these when host_noise is high — a probe taken within
+    # ~probe_every queries of the measurement reflects the load the
+    # query actually saw, which the run-wide median cannot.
+    def _nearest_probe(pos: int) -> float:
+        return min(probe_trace, key=lambda pr: abs(pr[0] - pos))[1]
+
+    queries_normalized = {
+        name: round(
+            t / max(1.0, _nearest_probe(query_pos[name]) / CALIB_REF_SEC), 3
+        )
+        for name, t in timings.items()
+    }
     value = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",
@@ -595,7 +623,15 @@ def main() -> None:
         "calib_runs": calib_runs,
         "host_factor": host_factor,
         "queries": timings,
+        "queries_normalized": queries_normalized,
+        "probe_trace": [[p, s] for p, s in probe_trace],
+        "probe_every": probe_every,
         "iters": all_iters,
+        # headline scope: registry queries NOT in the bench set (and
+        # why, structurally): rows-only/streaming scaffolding floors and
+        # SCALE.md-documented exclusions — recorded so "covered
+        # everything" can be audited rather than assumed
+        "excluded": sorted(set(REGISTRY) - set(bench_set)),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures stdout with a bounded tail — BENCH_r03 lost 80+
