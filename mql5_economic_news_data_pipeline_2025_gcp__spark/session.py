@@ -25,6 +25,12 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def get_spark(app_name: str = "mql5_econ_news_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
+    # must run BEFORE the JVM launches: exports PYTHONPATH (and the
+    # protobuf version-check escape hatch) to JVM-spawned Python
+    # workers — the transformWithState state server needs it
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
     n = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{n}]")

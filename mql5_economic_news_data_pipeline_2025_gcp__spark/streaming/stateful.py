@@ -110,12 +110,22 @@ def series_state_tws(
     ``transformWithStateInPandas`` — the modernized twin of
     ``series_state_stream``.
 
-    ENVIRONMENT GATE: the transformWithState Python state server speaks
-    protobuf to the JVM; this container ships a broken
-    ``google.protobuf`` (no ``descriptor`` module), so the operator is
-    NOT in the query registry — ``tests/test_streaming_semantics.py::
-    test_series_state_tws_matches_batch`` runs it (and checks it against
-    the batch GROUP BY) wherever protobuf is importable, and skips here.
+    ENVIRONMENT REQUIREMENTS (both handled here):
+
+    - the transformWithState Python state server speaks protobuf to the
+      JVM; ``compat.ensure_protobuf_for_session`` discovers the
+      on-image vendored runtime and exports it to worker processes —
+      via ``os.environ`` for JVMs launched after it runs
+      (``session.get_spark`` path) and via the mutable
+      ``sparkContext.environment`` dict for an ALREADY-running stock
+      session (the driver-harness path). If no runtime exists anywhere,
+      this raises ``RuntimeError`` and the pytest gate skips.
+    - TWS stores each state variable in its own column family, which
+      the default HDFS-backed state store rejects — the drain below
+      pins ``RocksDBStateStoreProvider`` (rocksdbjni ships with Spark
+      4) for the duration of the query and restores the session conf
+      after. RocksDB is also the provider a production deployment
+      wants: state spills to disk + changelog checkpointing.
 
     Why this API at scale: state lives in named, typed variables
     (ValueState here; List/Map for bigger shapes) with per-variable TTL
@@ -125,6 +135,15 @@ def series_state_tws(
     only the keys that changed — identical drain semantics to the
     applyInPandasWithState form.
     """
+    from ..compat import ensure_protobuf_for_session
+
+    if not ensure_protobuf_for_session(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "(state-server wire protocol) and none is importable or "
+            "vendored on this image"
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -193,7 +212,22 @@ def series_state_tws(
         outputMode="Update",
         timeMode="None",
     )
-    result = _drain_to_table(out, mode="update", state_partitions=None)
+    # TWS keeps each state variable in its own column family — only the
+    # RocksDB provider supports that; pin it for this drain and restore
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        result = _drain_to_table(out, mode="update", state_partitions=None)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
     return result.select(
         "user_id",
         "event_type",

@@ -35,6 +35,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 
+def static_reused_exchanges(spark, spark_fn, sf_dir: str) -> int:
+    """Count ``ReusedExchange`` from a STATIC (AQE-off) build.
+
+    Under AQE (the session default) exchange reuse happens at RUNTIME:
+    the pre-execution plan string never contains ``ReusedExchange``, so
+    counting it there reads 0 for every query no matter how much reuse
+    actually happens (the round-9 verdict's all-zero column). With
+    adaptive execution disabled, Catalyst's ``ReuseExchange`` rule runs
+    at planning time and the marker is visible without executing the
+    query — same reuse decisions, zero execution cost. Proven live by
+    ``tests/test_plan_audit_counters.py`` against a plan with known
+    reuse and a known-reuse-free plan."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    return plan.count("ReusedExchange")
+
+
+#: Queries whose SCALE.md entries claim exchange REUSE. Static (AQE-off)
+#: planning at test SF usually broadcasts the shared side instead, so
+#: reuse there legitimately reads 0 — the claim is about RUNTIME reuse,
+#: which only the executed AQE final plan shows. The audit executes
+#: these few and records `runtime_reused_exchanges` so the claim is
+#: measured in the artifact, not just in a pytest.
+RUNTIME_REUSE_CLAIMS = (
+    # SCALE.md: signature lineage materialized once, both LSH self-join
+    # sides reuse one exchange. (doc_dup_ngram_fraction used to carry a
+    # reuse claim, but the round-10 measurement showed it was already
+    # window-lifted to a single lineage — SCALE.md wording fixed to
+    # match; a single-lineage plan has nothing to reuse.)
+    "doc_minhash_lsh_candidates",
+)
+
+
+def runtime_reused_exchanges(spark, spark_fn, sf_dir: str) -> int:
+    """Execute the query and count ``ReusedExchange`` in the AQE FINAL
+    plan (reuse is a runtime decision under adaptive execution)."""
+    df = spark_fn(spark, sf_dir)
+    df.collect()  # bounded outputs only (enforced by the claim list)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0].count("ReusedExchange")
+
+
 def main() -> None:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
@@ -67,7 +118,22 @@ def main() -> None:
                     "arrow_seams": plan.count("ArrowEvalPython")
                     + plan.count("MapInPandas")
                     + plan.count("FlatMapGroupsInPandas"),
-                    "reused_exchanges": plan.count("ReusedExchange"),
+                    # static AQE-off count — the AQE pre-exec plan never
+                    # shows ReusedExchange (see static_reused_exchanges)
+                    "reused_exchanges": static_reused_exchanges(
+                        spark, spec.spark_fn, SF_DIR
+                    ),
+                    **(
+                        {
+                            "runtime_reused_exchanges": (
+                                runtime_reused_exchanges(
+                                    spark, spec.spark_fn, SF_DIR
+                                )
+                            )
+                        }
+                        if name in RUNTIME_REUSE_CLAIMS
+                        else {}
+                    ),
                 }
             )
         except Exception as exc:

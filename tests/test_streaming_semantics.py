@@ -106,16 +106,20 @@ def test_watermark_advance_and_append_emission(spark, tmp_path):
 
 def test_series_state_tws_matches_batch(spark):
     """transformWithStateInPandas twin of the series bookkeeping: full
-    single-drain run equals the batch GROUP BY. Requires working
-    protobuf bindings (the TWS Python state server's wire protocol) —
-    skipped where the environment ships a broken google.protobuf."""
+    single-drain run equals the batch GROUP BY. Requires a
+    google.protobuf runtime (the TWS state server's wire protocol);
+    ``compat.ensure_protobuf`` discovers the image's vendored runtime,
+    so on this container the test RUNS — the skip survives only for
+    environments with no runtime anywhere on disk."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState "
-                    "state server cannot start in this environment")
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime anywhere on this image: "
+                    "transformWithState state server cannot start")
 
     from pyspark.sql import functions as F
 
