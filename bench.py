@@ -479,6 +479,9 @@ BENCH_QUERIES = [
     "evt_time_to_threshold",
     "doc_word_bigram_entropy",
     "rel_price_dispersion",
+    "evt_variance_ratio_test",
+    "evt_pinball_loss",
+    "evt_diebold_mariano",
 ]
 
 

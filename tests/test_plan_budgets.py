@@ -437,6 +437,11 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10b batch (forecast evaluation): (type,day) rollup + type lag
+    # windows riding one exchange + fold
+    "evt_variance_ratio_test": 2,
+    "evt_pinball_loss": 2,
+    "evt_diebold_mariano": 2,
     # r9x batch (rank-biased overlap)
     "doc_rbo_term_ranks": 0,         # checkpointed top-50 heads; broadcast join
     # r9y batch (robust repair / payments audit)
