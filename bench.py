@@ -482,6 +482,8 @@ BENCH_QUERIES = [
     "evt_variance_ratio_test",
     "evt_pinball_loss",
     "evt_diebold_mariano",
+    "doc_gopher_rules",
+    "emb_hubness",
 ]
 
 
