@@ -500,3 +500,107 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain_to_table(out, mode="update", state_partitions=None)
+
+
+def interval_union_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage via ``transformWithStateInPandas``
+    with a typed ``ListState`` — the Spark-4 state-API twin of
+    ``stream_interval_union``.
+
+    Where the applyInPandasWithState form packs the merged segments into
+    one opaque state tuple (parallel arrays), this one keeps them in a
+    named ``ListState`` of (s_us, e_us) structs — the representation the
+    new API is built for: the JVM state store sees a LIST it can append
+    to and iterate without rewriting a monolithic blob, and at RocksDB
+    scale a long segment list stops being a single giant value. A
+    ``ValueState`` carries the interval counter. Same exactness
+    argument: merged disjoint segments are invariant to micro-batch
+    split/arrival order, so the batch sweep SQL is a true oracle.
+
+    Environment handling (protobuf + RocksDB provider) is identical to
+    ``series_state_tws``.
+    """
+    from ..compat import ensure_protobuf_for_session
+
+    if not ensure_protobuf_for_session(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "(state-server wire protocol) and none is importable or "
+            "vendored on this image"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class IntervalUnion(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._segments = handle.getListState(
+                "segments", "s_us long, e_us long"
+            )
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            merged = (
+                [(int(s), int(e)) for s, e in self._segments.get()]
+                if self._segments.exists()
+                else []
+            )
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                batch = list(
+                    zip(
+                        (int(x) for x in pdf["s_us"]),
+                        (int(x) for x in pdf["e_us"]),
+                    )
+                )
+                merged = _merge_intervals(merged, batch)
+            self._segments.put([(s, e) for s, e in merged])
+            self._n.update((n,))
+            covered = sum(e - s for s, e in merged)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_intervals": [n],
+                    "covered_us": [covered],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _stream_source(spark, sf_dir, "events")
+    ts_us = _ts_us(stream)
+    ev = stream.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        ts_us.alias("s_us"),
+        (
+            ts_us
+            + (
+                F.abs(F.round(F.col("value") * 100).cast("long")) % 3600
+            )
+            * 1000000
+        ).alias("e_us"),
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        IntervalUnion(),
+        outputStructType=_IU_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _drain_to_table(out, mode="update", state_partitions=None)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
