@@ -484,6 +484,10 @@ BENCH_QUERIES = [
     "evt_diebold_mariano",
     "doc_gopher_rules",
     "emb_hubness",
+    "rel_nation_portfolio_overlap",
+    "evt_sample_entropy",
+    "stream_interval_union_tws",
+    "stream_series_state_tws",
 ]
 
 

@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10e batch (assortment overlap / sample entropy)
+    "rel_nation_portfolio_overlap": 5,  # checkpointed (nation,type) set
+    "evt_sample_entropy": 1,         # checkpointed template frame; one fold
     # r10c batch (curation audit / ANN diagnostics)
     "doc_gopher_rules": 1,           # map-side rule pass + source fold
     "emb_hubness": 3,                # query-window + two bounded folds
