@@ -488,6 +488,8 @@ BENCH_QUERIES = [
     "evt_sample_entropy",
     "stream_interval_union_tws",
     "stream_series_state_tws",
+    "evt_conformal_prediction",
+    "evt_bgnbd_summary",
 ]
 
 

@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10f batch (conformal intervals / BG-NBD inputs)
+    "evt_conformal_prediction": 1,   # checkpointed residual frame
+    "evt_bgnbd_summary": 2,          # user fold + x rollup (cal scalar bcast)
     # r10e batch (assortment overlap / sample entropy)
     "rel_nation_portfolio_overlap": 5,  # checkpointed (nation,type) set
     "evt_sample_entropy": 1,         # checkpointed template frame; one fold
