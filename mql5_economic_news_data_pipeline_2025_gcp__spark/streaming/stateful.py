@@ -604,3 +604,128 @@ def interval_union_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+
+
+# ---------------------------------------------------- event-time timers
+
+_SC_OUT_SCHEMA = "user_id long, start_us long, end_us long, n long"
+
+
+def session_close_tws(
+    spark: SparkSession, events_dir: str, gap_s: int
+) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMERS — the third leg
+    of the transformWithState coverage (ValueState → ListState →
+    timers): sessions close either inline (a batch row arrives past the
+    gap) or via ``handleExpiredTimer`` when the WATERMARK passes the
+    open session's end + gap, which is how a production stream emits a
+    user's final session without waiting for their next event.
+
+    State: one ValueState (start_us, last_us, n) per user; one
+    registered event-time timer at last_us + gap per user, re-armed on
+    every extension (the old timer is deleted — dangling timers would
+    close sessions early). Output: CLOSED sessions only; a session
+    still open when the drain ends is withheld, exactly like an open
+    watermark window in `stream_windowed_counts`.
+
+    Ordering contract: correctness of inline closes assumes event-time
+    order ACROSS batches per user (the watermark contract — data later
+    than the watermark bound is the source's responsibility); within a
+    batch rows are sorted here.
+    """
+    from ..compat import ensure_protobuf_for_session
+
+    if not ensure_protobuf_for_session(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_s * 1_000_000
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._s = handle.getValueState(
+                "session", "start_us long, last_us long, n long"
+            )
+
+        def _emit(self, key, start_us, last_us, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start_us],
+                    "end_us": [last_us],
+                    "n": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._s.get() if self._s.exists() else None
+            ts = []
+            for pdf in rows:
+                ts.extend(int(x) for x in pdf["ts_us"])
+            ts.sort()
+            for t in ts:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    yield self._emit(key, *cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            # re-arm: exactly one live timer per key, at tail end + gap
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._s.update(cur)
+            self._handle.registerTimer((cur[1] + gap_us) // 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._s.exists():
+                start_us, last_us, n = self._s.get()
+                # the timer was armed at last_us + gap; if state moved
+                # past it a newer timer exists — only close when the
+                # expiry really is this session's close point
+                if expiredTimerInfo.getExpiryTimeInMs() >= (
+                    last_us + gap_us
+                ) // 1000:
+                    yield self._emit(key, start_us, last_us, n)
+                    self._s.clear()
+
+        def close(self) -> None:
+            pass
+
+    stream = _stream_source(spark, events_dir, "events")
+    ts_us = _ts_us(stream)
+    ev = (
+        stream.select(
+            "user_id",
+            ts_us.alias("ts_us"),
+            F.timestamp_micros(ts_us).alias("event_ts"),
+        )
+        .withWatermark("event_ts", "0 seconds")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        SessionClose(),
+        outputStructType=_SC_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _drain_to_table(out, mode="append", state_partitions=None)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
