@@ -729,3 +729,101 @@ def session_close_tws(
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+
+
+# ---------------------------------------------------- MapState histogram
+
+_TH_OUT_SCHEMA = "user_id long, event_type string, n long, sum_c long"
+
+
+def user_type_histogram_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram (count + cent total per type) with
+    the per-type cells in a typed ``MapState`` — the fourth and last
+    state primitive of the transformWithState API (ValueState →
+    ListState → timers → MapState).
+
+    Why a map and not a (user_id, event_type) grouping key: keying the
+    OPERATOR by user keeps one state-store entry per user whose cells
+    are point-addressable (``getValue``/``updateValue`` touch ONE cell
+    per incoming type — O(Δtypes) per batch, not O(all types)), and a
+    batch emits only the user's updated rows. The equivalent
+    composite-key formulation shuffles on the wider key and cannot
+    co-iterate a user's whole histogram without a second aggregation.
+
+    Output per batch: one row per (user, type) cell the batch touched,
+    carrying the RUNNING totals; the drain's latest row per cell equals
+    the batch GROUP BY — the differential oracle.
+    """
+    from ..compat import ensure_protobuf_for_session
+
+    if not ensure_protobuf_for_session(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeHistogram(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cells = handle.getMapState(
+                "cells", "event_type string", "n long, sum_c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, tuple[int, int]] = {}
+            for pdf in rows:
+                for et, g in pdf.groupby("event_type"):
+                    dn, dc = len(g), int(g["value_c"].sum())
+                    if et in touched:
+                        n0, c0 = touched[et]
+                    else:
+                        prev = (
+                            self._cells.getValue((et,))
+                            if self._cells.containsKey((et,))
+                            else None
+                        )
+                        n0, c0 = (prev[0], prev[1]) if prev else (0, 0)
+                    touched[et] = (n0 + dn, c0 + dc)
+            for et, (n, c) in touched.items():
+                self._cells.updateValue((et,), (n, c))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "event_type": list(touched),
+                    "n": [v[0] for v in touched.values()],
+                    "sum_c": [v[1] for v in touched.values()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _stream_source(spark, sf_dir, "events")
+    ev = stream.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        TypeHistogram(),
+        outputStructType=_TH_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _drain_to_table(out, mode="update", state_partitions=None)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)

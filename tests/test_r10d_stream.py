@@ -65,3 +65,34 @@ def test_listate_union_exact_across_batches(spark, split_dir):
     # updates: at least one user must have merged across triggers
     # (n_intervals > a single part's share)
     assert max(n for n, _ in got.values()) > 1
+
+
+def test_mapstate_histogram_exact_across_batches(spark, split_dir):
+    """Same multi-batch construction for the MapState twin: per-type
+    cells must accumulate across triggers (getValue of a cell written
+    in an earlier batch), matching the batch GROUP BY on the parts."""
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime on this image")
+    import duckdb
+
+    got = {
+        (int(r["user_id"]), r["event_type"]): (int(r["n"]), int(r["sum_c"]))
+        for r in REGISTRY["stream_user_type_histogram_tws"]
+        .spark_fn(spark, split_dir)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{split_dir}/events.parquet/*.parquet'"
+    )
+    want = {
+        (int(r[0]), r[1]): (int(r[2]), int(r[3]))
+        for r in con.execute(
+            REGISTRY["stream_user_type_histogram_tws"].oracle
+        ).fetchall()
+    }
+    assert got == want
+    # cross-batch accumulation really happened: with 24 shuffled parts
+    # some (user, type) cell must exceed any single part's share
+    assert max(n for n, _ in got.values()) > 1
