@@ -490,6 +490,8 @@ BENCH_QUERIES = [
     "stream_series_state_tws",
     "evt_conformal_prediction",
     "evt_bgnbd_summary",
+    "evt_l_moments",
+    "emb_trustworthiness",
 ]
 
 

@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10h batch (L-moments / trustworthiness)
+    "evt_l_moments": 2,              # day rollup + rank window + fold
+    "emb_trustworthiness": 1,        # panel broadcast + query windows
     # r10f batch (conformal intervals / BG-NBD inputs)
     "evt_conformal_prediction": 1,   # checkpointed residual frame
     "evt_bgnbd_summary": 2,          # user fold + x rollup (cal scalar bcast)
