@@ -492,6 +492,8 @@ BENCH_QUERIES = [
     "evt_bgnbd_summary",
     "evt_l_moments",
     "emb_trustworthiness",
+    "doc_ndcg_at_k",
+    "evt_hoover_index",
 ]
 
 

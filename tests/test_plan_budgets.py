@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10i batch (graded IR eval / Hoover inequality)
+    "doc_ndcg_at_k": 2,              # token pass + query rank windows
+    "evt_hoover_index": 2,           # user fold + totals window-lift
     # r10h batch (L-moments / trustworthiness)
     "evt_l_moments": 2,              # day rollup + rank window + fold
     "emb_trustworthiness": 1,        # panel broadcast + query windows
