@@ -494,6 +494,8 @@ BENCH_QUERIES = [
     "emb_trustworthiness",
     "doc_ndcg_at_k",
     "evt_hoover_index",
+    "evt_purged_cv_folds",
+    "rel_leadtime_reliability",
 ]
 
 

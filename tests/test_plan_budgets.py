@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10j batch (purged CV / lead-time scorecard)
+    "evt_purged_cv_folds": 1,        # checkpointed fold frame; K-row join
+    "rel_leadtime_reliability": 1,   # broadcast joins at test SF + fold
     # r10i batch (graded IR eval / Hoover inequality)
     "doc_ndcg_at_k": 2,              # token pass + query rank windows
     "evt_hoover_index": 2,           # user fold + totals window-lift
