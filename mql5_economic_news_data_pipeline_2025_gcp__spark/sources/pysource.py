@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ["view", "click", "purchase", "signup"]
@@ -121,3 +123,92 @@ def read_synthetic_events(spark, n_rows: int = 10000, n_parts: int = 8):
         .option("n_parts", str(n_parts))
         .load()
     )
+
+
+# ------------------------------------------------------------- write path
+# The WRITE half of the Python Data Source API (SPARK-44076): a real
+# in-house connector needs both directions. The shipped sink writes
+# JSONL part files with a two-phase commit — executors write
+# task-attempt files and return commit messages; the driver's commit()
+# publishes a _MANIFEST naming exactly the committed parts (readers
+# ignore orphans from failed attempts), abort() removes them. That is
+# the same manifest-pinning discipline as sources/txn.py, demonstrated
+# at the connector seam.
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, schema, overwrite)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self._fields = [f.name for f in schema.fields]
+        self._overwrite = overwrite
+
+    # executor side: one task-attempt file per partition
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self._path, fname), "w") as fh:
+            for row in iterator:
+                rec = {k: _json_safe(v) for k, v in zip(self._fields, row)}
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    # driver side: publish EXACTLY the committed parts
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(m.filename for m in messages),
+            "rows_per_part": {
+                m.filename: m.n_rows for m in messages
+            },
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self._path, "_MANIFEST"), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.filename))
+            except OSError:
+                pass
+
+
+def _json_safe(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
