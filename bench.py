@@ -496,6 +496,8 @@ BENCH_QUERIES = [
     "evt_hoover_index",
     "evt_purged_cv_folds",
     "rel_leadtime_reliability",
+    "evt_digit_heaping",
+    "rel_assortment_churn",
 ]
 
 

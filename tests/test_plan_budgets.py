@@ -437,6 +437,10 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10l batch (trailing-digit heaping / assortment churn)
+    "evt_digit_heaping": 1,          # checkpointed cell frame; totals bcast
+    "rel_assortment_churn": 9,       # all on the checkpointed dim-sized
+                                     # presence frame (set algebra stages)
     # r10j batch (purged CV / lead-time scorecard)
     "evt_purged_cv_folds": 1,        # checkpointed fold frame; K-row join
     "rel_leadtime_reliability": 1,   # broadcast joins at test SF + fold
