@@ -498,6 +498,8 @@ BENCH_QUERIES = [
     "rel_leadtime_reliability",
     "evt_digit_heaping",
     "rel_assortment_churn",
+    "emb_reciprocal_nn",
+    "emb_knn_margin",
 ]
 
 
