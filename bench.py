@@ -500,6 +500,8 @@ BENCH_QUERIES = [
     "rel_assortment_churn",
     "emb_reciprocal_nn",
     "emb_knn_margin",
+    "evt_tv_drift",
+    "doc_dup_cluster_sources",
 ]
 
 

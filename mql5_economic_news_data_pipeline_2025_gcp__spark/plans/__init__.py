@@ -105,6 +105,7 @@ from . import queries_r10i  # noqa: E402,F401
 from . import queries_r10j  # noqa: E402,F401
 from . import queries_r10l  # noqa: E402,F401
 from . import queries_r10m  # noqa: E402,F401
+from . import queries_r10n  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`

@@ -437,6 +437,9 @@ BUDGETS = {
     # r9w batch (density outliers / intrinsic dimension)
     "evt_lof_reachability": 2,       # checkpointed day frame + knn frame
     "emb_twonn_intrinsic_dim": 1,    # capped broadcast self-join + rank
+    # r10n batch (TV drift / dup-cluster sources)
+    "evt_tv_drift": 5,               # checkpointed cell frame; grid joins
+    "doc_dup_cluster_sources": 3,    # fp fold + tiny histogram fold
     # r10m batch (ANN-graph reciprocity / Lowe margin)
     "emb_reciprocal_nn": 3,          # panel-only digraph; bounded joins
     "emb_knn_margin": 2,             # panel vs corpus; top-2 self-join
