@@ -58,7 +58,12 @@ def ensure_protobuf() -> bool:
     for cand in _VENDORED_PROTOBUF_DIRS:
         if not os.path.isdir(os.path.join(cand, "google", "protobuf")):
             continue
-        sys.path.insert(0, cand)
+        # APPEND, never prepend: the vendored dir ships many top-level
+        # packages besides google.protobuf; putting it first would shadow
+        # same-named site-packages in the driver and every worker.
+        # protobuf itself is absent from site-packages (that's why we're
+        # here), so tail position still resolves it.
+        sys.path.append(cand)
         try:
             importlib.invalidate_caches()
             from google.protobuf import descriptor  # noqa: F401
@@ -69,7 +74,7 @@ def ensure_protobuf() -> bool:
         pp = os.environ.get("PYTHONPATH", "")
         if cand not in pp.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                cand + (os.pathsep + pp if pp else "")
+                (pp + os.pathsep if pp else "") + cand
             )
         # vendored runtime may trail pyspark's gencode by a minor
         # version — use protobuf's own documented escape hatch
@@ -102,9 +107,11 @@ def ensure_protobuf_for_session(spark) -> bool:
         if cand in pp.split(os.pathsep):
             worker_pp = env.get("PYTHONPATH", "")
             if cand not in worker_pp.split(os.pathsep):
-                env["PYTHONPATH"] = cand + (
-                    os.pathsep + worker_pp if worker_pp else ""
-                )
+                # tail position, matching ensure_protobuf: don't let the
+                # vendored dir shadow worker site-packages
+                env["PYTHONPATH"] = (
+                    worker_pp + os.pathsep if worker_pp else ""
+                ) + cand
             env.setdefault(
                 "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
             )

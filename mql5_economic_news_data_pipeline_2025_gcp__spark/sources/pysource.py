@@ -179,23 +179,48 @@ class _JsonlWriter(DataSourceWriter):
 
     # driver side: publish EXACTLY the committed parts
     def commit(self, messages):
+        import glob
         import json
         import os
 
+        rows_per_part = {m.filename: m.n_rows for m in messages}
+        manifest_path = os.path.join(self._path, "_MANIFEST")
+        if self._overwrite:
+            # overwrite semantics: this save is the whole dataset — prune
+            # every part file not written by this job, so a glob reader
+            # (part-*.jsonl) can't see stale rows from a prior save
+            for stale in glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                if os.path.basename(stale) not in rows_per_part:
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
+        elif os.path.exists(manifest_path):
+            # append semantics: the new manifest must keep naming the
+            # prior save's committed parts or they become orphans
+            try:
+                with open(manifest_path) as fh:
+                    prior = json.load(fh).get("rows_per_part", {})
+                for fname, n in prior.items():
+                    rows_per_part.setdefault(fname, n)
+            except (OSError, ValueError):
+                pass
         manifest = {
-            "parts": sorted(m.filename for m in messages),
-            "rows_per_part": {
-                m.filename: m.n_rows for m in messages
-            },
-            "rows": sum(m.n_rows for m in messages),
+            "parts": sorted(rows_per_part),
+            "rows_per_part": rows_per_part,
+            "rows": sum(rows_per_part.values()),
         }
-        with open(os.path.join(self._path, "_MANIFEST"), "w") as fh:
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
 
     def abort(self, messages):
         import os
 
+        # a failed task contributes None (no commit message was returned);
+        # only successful attempts left files to clean up
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self._path, m.filename))
             except OSError:

@@ -509,13 +509,17 @@ def interval_union_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Where the applyInPandasWithState form packs the merged segments into
     one opaque state tuple (parallel arrays), this one keeps them in a
-    named ``ListState`` of (s_us, e_us) structs — the representation the
-    new API is built for: the JVM state store sees a LIST it can append
-    to and iterate without rewriting a monolithic blob, and at RocksDB
-    scale a long segment list stops being a single giant value. A
-    ``ValueState`` carries the interval counter. Same exactness
-    argument: merged disjoint segments are invariant to micro-batch
-    split/arrival order, so the batch sweep SQL is a true oracle.
+    named ``ListState`` of (s_us, e_us) structs — so the JVM state store
+    holds per-element rows it can iterate without deserializing one
+    monolithic blob, and at RocksDB scale a long segment list stops
+    being a single giant value. Note the write side here is still
+    ``put()`` of the full merged list each batch (interval merging can
+    rewrite interior segments, so an append-only delta doesn't apply);
+    the O(Δ) ``appendList`` fast path only pays off for genuinely
+    append-only state shapes. A ``ValueState``
+    carries the interval counter. Same exactness argument: merged
+    disjoint segments are invariant to micro-batch split/arrival order,
+    so the batch sweep SQL is a true oracle.
 
     Environment handling (protobuf + RocksDB provider) is identical to
     ``series_state_tws``.
@@ -678,8 +682,11 @@ def session_close_tws(
                     cur = (t, t, 1)
                 else:
                     cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            # re-arm: exactly one live timer per key, at tail end + gap
-            for old in self._handle.listTimers():
+            # re-arm: exactly one live timer per key, at tail end + gap.
+            # Materialize before deleting — listTimers() is a server-paged
+            # iterator, and interleaving deleteTimer with an unexhausted
+            # page fetch can skip entries if >1 timer ever exists per key.
+            for old in list(self._handle.listTimers()):
                 self._handle.deleteTimer(old)
             self._s.update(cur)
             self._handle.registerTimer((cur[1] + gap_us) // 1000)
