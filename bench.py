@@ -528,6 +528,33 @@ def _calibrate(spark, n: int = 3) -> list[float]:
     return runs
 
 
+#: Outlier-retry rule (round-10 verdict task 3): any query whose fresh
+#: min-of-N exceeds RETRY_FACTOR x its last committed quiet-host time
+#: (BENCH_QUIET_REF.json — per-query minimum across every committed
+#: BENCH_RESULTS.json) gets ONE immediate re-run block appended to the
+#: same artifact, with its own calibration probe. Untouched code never
+#: legitimately doubles, so a surviving >2x after the retry is a real
+#: regression; a retry that lands back near the reference is contention,
+#: attributed in-artifact instead of generating a round of `weak` flags.
+RETRY_FACTOR = 2.0
+#: Cap on retried queries per run: if the host is globally slow, EVERY
+#: query trips the rule and retries would double the bench wall time —
+#: the suite-level host_factor already explains that case. Overflow is
+#: recorded in `retry_skipped` so the denominator stays auditable.
+RETRY_BUDGET = 40
+
+
+def _load_quiet_ref() -> dict[str, float]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET_REF.json"
+    )
+    try:
+        with open(path) as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
@@ -573,26 +600,53 @@ def main() -> None:
     # probe_trace: (queries-completed-when-sampled, probe_sec); seeded
     # with the pre-loop bracket median position 0
     probe_trace: list[tuple[int, float]] = [(0, sorted(calib_runs)[1])]
+    quiet_ref = _load_quiet_ref()
     timings: dict[str, float] = {}
     all_iters: dict[str, list[float]] = {}
     query_pos: dict[str, int] = {}
-    for qi, name in enumerate(bench_set):
-        if qi and qi % probe_every == 0:
-            probe_trace.append((qi, _calibrate(spark, n=1)[0]))
-        spec = REGISTRY[name]
-        runs: list[float] = []
-        for _ in range(iters):
+    retries: dict[str, dict] = {}
+    retry_skipped: list[str] = []
+
+    def _time_runs(spec, n: int) -> list[float]:
+        out: list[float] = []
+        for _ in range(n):
             t0 = time.time()
             df = spec.spark_fn(spark, SF_DIR)
             # noop sink forces full materialization of every output column
             # (count() would let Catalyst prune computed columns)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
+            out.append(round(time.time() - t0, 3))
+        return out
+
+    for qi, name in enumerate(bench_set):
+        if qi and qi % probe_every == 0:
+            probe_trace.append((qi, _calibrate(spark, n=1)[0]))
+        spec = REGISTRY[name]
+        runs = _time_runs(spec, iters)
         # min damps noisy-neighbor spikes; the full iteration list is kept
         # so artifact readers can tell host noise from a real regression
         # (the r6 driver artifact ran on a loaded host and manufactured 11
         # phantom >1.5x "regressions" that only the committed bench
         # history could disprove — round-6 verdict task #4).
+        ref = quiet_ref.get(name)
+        if ref and min(runs) > RETRY_FACTOR * ref and len(retries) >= RETRY_BUDGET:
+            retry_skipped.append(name)
+        elif ref and min(runs) > RETRY_FACTOR * ref:
+            # outlier vs committed quiet history: retry once, NOW, with a
+            # dedicated probe so the artifact can attribute the spike to
+            # host load (probe also high) or to the plan (probe quiet,
+            # query still slow = real regression)
+            spark.catalog.clearCache()
+            retry_probe = _calibrate(spark, n=1)[0]
+            retry_runs = _time_runs(spec, iters)
+            retries[name] = {
+                "quiet_ref": ref,
+                "pre_retry_min": min(runs),
+                "retry_runs": retry_runs,
+                "retry_probe_sec": retry_probe,
+                "cleared": min(retry_runs) <= RETRY_FACTOR * ref,
+            }
+            runs = runs + retry_runs
         timings[name] = min(runs)
         all_iters[name] = runs
         query_pos[name] = qi
@@ -649,6 +703,10 @@ def main() -> None:
         "queries_normalized": queries_normalized,
         "probe_trace": [[p, s] for p, s in probe_trace],
         "probe_every": probe_every,
+        "retry_factor": RETRY_FACTOR,
+        "retry_budget": RETRY_BUDGET,
+        "retries": retries,
+        "retry_skipped": retry_skipped,
         "iters": all_iters,
         # headline scope: registry queries NOT in the bench set (and
         # why, structurally): rows-only/streaming scaffolding floors and
@@ -683,6 +741,8 @@ def main() -> None:
         "n_queries": len(timings),
         "iterations": iters,
         "agg": "min",
+        "n_retries": len(retries),
+        "n_retries_cleared": sum(1 for r in retries.values() if r["cleared"]),
         "queries": slowest,
         "full_results": os.path.basename(out_path),
     }
