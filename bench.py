@@ -502,6 +502,12 @@ BENCH_QUERIES = [
     "emb_knn_margin",
     "evt_tv_drift",
     "doc_dup_cluster_sources",
+    # round 11
+    "evt_cramer_von_mises",
+    "evt_cucconi_test",
+    "evt_hoeffding_d",
+    "rel_goodman_kruskal_gamma",
+    "evt_somers_d",
 ]
 
 

@@ -106,6 +106,8 @@ from . import queries_r10j  # noqa: E402,F401
 from . import queries_r10l  # noqa: E402,F401
 from . import queries_r10m  # noqa: E402,F401
 from . import queries_r10n  # noqa: E402,F401
+from . import queries_r11a  # noqa: E402,F401
+from . import queries_r11b  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`
@@ -116,109 +118,81 @@ from . import queries_r10n  # noqa: E402,F401
 # (312 distinct driver-sampled queries; zero §2 query ever red — the
 # only two ever-red rows, round-8's evt_gains_table/evt_levene_median,
 # were oracle-environment parity breaks, re-certified green in round 9).
-# Round 10 ROTATES the EIGHTH set in: 49 never-sampled round-9 queries
-# spanning all 36 r9 batches, leading with the newest (r9a, r9aa–r9aj)
-# and force-including the three advisor-flagged queries fixed this
-# round (evt_sprt_conversion first-crossing decision,
-# doc_word_bigram_entropy 1-token guard, rel_duplicate_payments
-# disjoint injection keys) plus the verdict-named samples
-# (stream_page_hinkley, rel_fifo_cogs, emb_kcenter_coreset, …).
-# Everything certified in earlier rounds keeps its green row in those
-# artifacts and stays covered by the order-independent full
-# differential gate (scripts/diffcheck.py, tests/test_oracle.py),
-# which runs every entry each round.
+# Round 11 ROTATES the NINTH set in: 49 never-sampled queries leading
+# with every remaining r10 batch entry (the newest additions get driver
+# history while fresh — including ALL THREE transformWithStateInPandas
+# oracle queries, round-10 verdict task 5) and the ext-module stragglers,
+# then the 21 remaining r9 singletons. Everything certified in earlier
+# rounds keeps its green row in those artifacts and stays covered by the
+# order-independent full differential gate (scripts/diffcheck.py,
+# tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # r9a
-    "evt_atkinson_stats",
-    "evt_theil_inequality",
-    "rel_herfindahl_market",
-    # r9aa
-    "evt_lorenz_asymmetry",
-    "evt_rayleigh_hours",
-    # r9ab
-    "evt_robust_shape_quantiles",
-    "rel_mrp_projection",
-    # r9ac
-    "evt_walsh_hadamard_energy",
-    # r9ad
-    "evt_partial_correlation",
-    "evt_pettitt_test",
-    # r9ae
-    "evt_benford_two_digit",
-    "evt_sprt_conversion",
-    # r9af
-    "doc_shard_token_balance",
-    "evt_pairwise_wins_bt",
-    # r9ag
-    "doc_greedy_vocab_cover",
-    "evt_dominant_period",
-    # r9ah
-    "evt_decile_shift_function",
-    # r9ai
-    "doc_word_bigram_entropy",
-    "evt_time_to_threshold",
-    # r9aj
-    "rel_price_dispersion",
-    # r9y
-    "rel_duplicate_payments",
-    # r9c
-    "stream_page_hinkley",
-    # r9p
-    "rel_fifo_cogs",
-    # r9b
-    "doc_blocklist_filter",
-    # r9c
-    "evt_page_hinkley",
-    # r9d
-    "emb_anisotropy_spectrum",
-    # r9e
-    "evt_confusion_threshold",
-    # r9f
-    "emb_distance_histogram",
-    # r9g
-    "rel_croston_intermittent",
-    # r9h
-    "evt_information_value",
-    # r9i
-    "evt_hill_tail_index",
-    # r9j
-    "evt_permutation_entropy",
-    # r9k
-    "evt_burst_hysteresis",
-    # r9l
-    "evt_adstock_carryover",
-    # r9m
-    "emb_hnsw_level_plan",
-    # r9n
-    "stream_cms_portable_grid",
-    # r9o
-    "emb_kcenter_coreset",
-    # r9p
-    "evt_energy_distance",
-    # r9q
-    "evt_higuchi_fd",
-    # r9r
-    "evt_seasonal_mann_kendall",
-    # r9s
-    "emb_alignment_uniformity",
-    # r9t
-    "evt_downside_risk",
-    # r9u
-    "evt_empirical_copula",
-    # r9v
-    "doc_watermark_greenlist",
-    # r9w
-    "emb_twonn_intrinsic_dim",
-    # r9x
-    "doc_rbo_term_ranks",
-    # r9y
-    "evt_hampel_filter",
-    # r9z
-    "evt_jonckheere_terpstra",
-    # r9b
-    "doc_char_bigram_entropy",
+    # ext stragglers
+    "doc_unk_mask",
+    "emb_dedup_clusters",
+    "stream_corpus_filter",
+    "stream_series_state",
+    # r10a — TWS ValueState
+    "stream_series_state_tws",
+    # r10b
+    "evt_diebold_mariano",
+    "evt_pinball_loss",
+    "evt_variance_ratio_test",
+    # r10c
+    "doc_gopher_rules",
+    "emb_hubness",
+    # r10d — TWS ListState
+    "stream_interval_union_tws",
+    # r10e
+    "evt_sample_entropy",
+    "rel_nation_portfolio_overlap",
+    # r10f
+    "evt_bgnbd_summary",
+    "evt_conformal_prediction",
+    # r10g — TWS MapState
+    "stream_user_type_histogram_tws",
+    # r10h
+    "emb_trustworthiness",
+    "evt_l_moments",
+    # r10i
+    "doc_ndcg_at_k",
+    "evt_hoover_index",
+    # r10j
+    "evt_purged_cv_folds",
+    "rel_leadtime_reliability",
+    # r10l
+    "evt_digit_heaping",
+    "rel_assortment_churn",
+    # r10m
+    "emb_knn_margin",
+    "emb_reciprocal_nn",
+    # r10n
+    "doc_dup_cluster_sources",
+    "evt_tv_drift",
+    # r9 singletons (the last never-sampled r9 entries)
+    "evt_peaks_over_threshold",
+    "emb_cluster_label_purity",
+    "evt_weibull_plot_fit",
+    "evt_mutual_information",
+    "evt_simpson_paradox_audit",
+    "evt_ldp_frequency",
+    "evt_session_gap_sweep",
+    "rel_intermittency_profile",
+    "evt_tail_dependence",
+    "evt_moment_skew_kurtosis",
+    "evt_turning_points",
+    "evt_chow_test",
+    "evt_kpss_partial_sums",
+    "rel_soundex_blocking",
+    "evt_xbar_r_chart",
+    "evt_transfer_entropy",
+    "stream_histogram_quantiles",
+    "evt_kupiec_var_backtest",
+    "rel_auction_clearing",
+    "evt_lof_reachability",
+    "evt_nelson_rules",
 )
 
 

@@ -508,6 +508,13 @@ BUDGETS = {
     # r9j batch (randomness / complexity tests)
     "evt_turning_points": 2,       # (type,day) rollup + type window; agg reuses
     "evt_permutation_entropy": 2,  # same day frame; pattern agg rides the window exchange
+    # r11a batch (rank-exact two-sample tests)
+    "evt_cramer_von_mises": 1,     # ONE user window; agg rides its exchange
+    "evt_cucconi_test": 1,         # same pooled-rank frame, same single exchange
+    # r11b batch (ordinal association)
+    "evt_hoeffding_d": 2,          # checkpointed rank frame; dominance join + agg
+    "rel_goodman_kruskal_gamma": 1,  # checkpointed grid; final year agg only
+    "evt_somers_d": 2,             # type rank window + checkpointed grid; pair agg
 }
 
 
