@@ -508,6 +508,9 @@ BENCH_QUERIES = [
     "evt_hoeffding_d",
     "rel_goodman_kruskal_gamma",
     "evt_somers_d",
+    "evt_l_diversity",
+    "evt_mondrian_cuts",
+    "evt_smote_bucketed",
 ]
 
 

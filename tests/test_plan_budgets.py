@@ -515,6 +515,12 @@ BUDGETS = {
     "evt_hoeffding_d": 2,          # checkpointed rank frame; dominance join + agg
     "rel_goodman_kruskal_gamma": 1,  # checkpointed grid; final year agg only
     "evt_somers_d": 2,             # type rank window + checkpointed grid; pair agg
+    # r11c batch (privacy operators)
+    "evt_l_diversity": 2,          # (QI, sensitive) fold + QI re-aggregate
+    "evt_mondrian_cuts": 5,        # ONE fact fold (checkpointed cells); all 5
+                                   # exchanges on the ≤|users|·24 cell frame
+    # r11d batch (bucketed SMOTE)
+    "evt_smote_bucketed": 1,       # one (user, hour) window; no pair frame
 }
 
 
