@@ -511,6 +511,7 @@ BENCH_QUERIES = [
     "evt_l_diversity",
     "evt_mondrian_cuts",
     "evt_smote_bucketed",
+    "stream_session_close_tws",
 ]
 
 

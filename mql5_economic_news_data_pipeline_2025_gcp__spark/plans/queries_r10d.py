@@ -6,10 +6,11 @@ with the merged disjoint segments held in a NAMED, TYPED ``ListState``
 of (s_us, e_us) structs plus a ``ValueState`` counter, instead of the
 applyInPandasWithState form's one opaque parallel-array tuple
 (``stream_interval_union``). This is the state shape the new API
-exists for: the store sees a list it can append/iterate per element
-(RocksDB column family per variable) rather than rewriting a
-monolithic blob each commit — the difference between O(Δ) and O(state)
-write amplification when a user's segment list is long. Exactness is
+exists for: the store sees a list it can iterate per element (RocksDB
+column family per variable) rather than deserializing a monolithic
+blob each read — though note the merge itself still put()s the full
+list per batch, since interval merging can rewrite interior segments
+(the O(Δ) appendList fast path needs append-only state). Exactness is
 inherited: merged disjoint segments are invariant to micro-batch
 split and arrival order, so the batch sweep SQL remains a true oracle,
 and the pair (`stream_interval_union`, `stream_interval_union_tws`)
