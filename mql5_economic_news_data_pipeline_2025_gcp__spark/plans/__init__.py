@@ -195,7 +195,9 @@ _PRIORITY: tuple[str, ...] = (
     "evt_kupiec_var_backtest",
     "rel_auction_clearing",
     "evt_lof_reachability",
-    "evt_nelson_rules",
+    # r11e — TWS event-time timers (the 4th typed-state leg, new this
+    # round: certify it while fresh; evt_nelson_rules rotates in r12)
+    "stream_session_close_tws",
 )
 
 
