@@ -512,6 +512,8 @@ BENCH_QUERIES = [
     "evt_mondrian_cuts",
     "evt_smote_bucketed",
     "stream_session_close_tws",
+    "evt_lepage_components",
+    "evt_seq_pattern_support",
 ]
 
 

@@ -521,6 +521,10 @@ BUDGETS = {
                                    # exchanges on the ≤|users|·24 cell frame
     # r11d batch (bucketed SMOTE)
     "evt_smote_bucketed": 1,       # one (user, hour) window; no pair frame
+    # r11f batch (Lepage / sequential patterns)
+    "evt_lepage_components": 1,    # shared pooled-rank window, agg rides it
+    "evt_seq_pattern_support": 2,  # checkpointed (user,type) fold; expansion
+                                   # join + membership agg on user partition
 }
 
 
