@@ -514,6 +514,7 @@ BENCH_QUERIES = [
     "stream_session_close_tws",
     "evt_lepage_components",
     "evt_seq_pattern_support",
+    "stream_pysink_roundtrip",
 ]
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -137,7 +138,10 @@ def read_synthetic_events(spark, n_rows: int = 10000, n_parts: int = 8):
 
 
 class JsonlSinkDataSource(DataSource):
-    """``df.write.format("jsonl_sink").option("path", dir).save()``."""
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    and the STREAMING half:
+    ``df.writeStream.format("jsonl_sink").option("path", dir)...`` via
+    :class:`_JsonlStreamWriter` (per-micro-batch two-phase commit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -145,6 +149,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _JsonlWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamWriter(self.options, schema)
 
 
 class _JsonlCommit(WriterCommitMessage):
@@ -225,6 +232,105 @@ class _JsonlWriter(DataSourceWriter):
                 os.remove(os.path.join(self._path, m.filename))
             except OSError:
                 pass
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming sink leg of the connector: one two-phase commit PER
+    MICRO-BATCH. Executors write task-attempt part files and return
+    commit messages; the driver's ``commit(messages, batchId)``
+    publishes ``_BATCH_<id>`` naming exactly that batch's committed
+    parts. Exactly-once across engine restarts comes from batch-id
+    idempotence: a REPLAYED batch (the engine re-runs the last batch
+    after an un-acked commit) finds its ``_BATCH_<id>`` already
+    published, discards the replay attempt's duplicate part files and
+    leaves the original commit untouched — the same dedup-by-batch-id
+    discipline as ``txn.append_exactly_once``. A committed reader takes
+    the union of parts named by batch manifests and sees no orphan from
+    failed attempts or replays."""
+
+    def __init__(self, options, schema):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self._fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self._path, fname), "w") as fh:
+            for row in iterator:
+                rec = {
+                    k: _json_safe(v) for k, v in zip(self._fields, row)
+                }
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def _batch_manifest(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self._path, f"_BATCH_{batch_id}")
+
+    def commit(self, messages, batchId: int):
+        import json
+        import os
+
+        live = [m for m in messages if m is not None]
+        manifest_path = self._batch_manifest(batchId)
+        if os.path.exists(manifest_path):
+            # replayed batch: the original commit already published —
+            # drop this attempt's duplicate parts (exactly-once)
+            for m in live:
+                try:
+                    os.remove(os.path.join(self._path, m.filename))
+                except OSError:
+                    pass
+            return
+        manifest = {
+            "batch_id": batchId,
+            "parts": sorted(m.filename for m in live),
+            "rows": sum(m.n_rows for m in live),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path)  # atomic publish
+
+    def abort(self, messages, batchId: int):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self._path, m.filename))
+            except OSError:
+                pass
+
+
+def committed_stream_rows(path: str) -> dict:
+    """Reader-side contract for the streaming sink: the committed
+    dataset is the union of parts named by ``_BATCH_*`` manifests —
+    orphans from failed attempts or discarded replays are invisible."""
+    import glob
+    import json
+    import os
+
+    parts: list[str] = []
+    rows = 0
+    for mp in sorted(glob.glob(os.path.join(path, "_BATCH_*"))):
+        if mp.endswith(".tmp"):
+            continue
+        with open(mp) as fh:
+            man = json.load(fh)
+        parts.extend(man["parts"])
+        rows += man["rows"]
+    return {"parts": parts, "rows": rows}
 
 
 def _json_safe(v):

@@ -855,3 +855,56 @@ def stream_pydatasource_counts(
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
     return _drain_to_table(agg, mode="complete")
+
+
+def stream_pysink_roundtrip(
+    spark: SparkSession, n_rows: int = 2000, batch_rows: int = 512
+) -> DataFrame:
+    """Full round trip through BOTH halves of the Python Data Source
+    connector: the synthetic stream reader feeds the jsonl stream SINK
+    (sources/pysource.py::_JsonlStreamWriter — per-micro-batch
+    two-phase commit with batch-id idempotence), then the COMMITTED
+    dataset (only parts named by ``_BATCH_*`` manifests; orphans from
+    failed attempts are invisible by construction) is read back and
+    aggregated. The bounded source drains deterministically, so the
+    committed rows equal the generator's exact row set and the DuckDB
+    oracle re-derives them from ``range()`` — a dropped, duplicated or
+    orphaned part breaks the id checksum."""
+    from ..sources.pysource import committed_stream_rows
+    from ..sources.pysource import register as register_pysource
+    from ..sources.pysource import register_sink
+
+    register_pysource(spark)
+    register_sink(spark)
+    base = tempfile.mkdtemp(prefix="pysink_rt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", str(batch_rows))
+        .option("max_rows", str(n_rows))
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    committed = committed_stream_rows(out)
+    paths = [os.path.join(out, p) for p in committed["parts"]]
+    back = spark.read.schema(
+        "event_id long, event_type string, user_id long, value_c long"
+    ).json(paths)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_c").cast("bigint").alias("value_sum_c"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
