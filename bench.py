@@ -515,6 +515,8 @@ BENCH_QUERIES = [
     "evt_lepage_components",
     "evt_seq_pattern_support",
     "stream_pysink_roundtrip",
+    "rel_ruzicka_similarity",
+    "evt_kendall_w",
 ]
 
 

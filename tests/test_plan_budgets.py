@@ -525,6 +525,11 @@ BUDGETS = {
     "evt_lepage_components": 1,    # shared pooled-rank window, agg rides it
     "evt_seq_pattern_support": 2,  # checkpointed (user,type) fold; expansion
                                    # join + membership agg on user partition
+    # r11h batch (weighted similarity / concordance)
+    "rel_ruzicka_similarity": 5,   # checkpointed (nation,type) revenue fold;
+                                   # all 5 exchanges on dimension frames
+    "evt_kendall_w": 5,            # checkpointed (type,day) fold; windows,
+                                   # day sums and the k-frame are all bounded
 }
 
 
