@@ -517,6 +517,7 @@ BENCH_QUERIES = [
     "stream_pysink_roundtrip",
     "rel_ruzicka_similarity",
     "evt_kendall_w",
+    "doc_contrastive_triplets",
 ]
 
 

@@ -530,6 +530,8 @@ BUDGETS = {
                                    # all 5 exchanges on dimension frames
     "evt_kendall_w": 5,            # checkpointed (type,day) fold; windows,
                                    # day sums and the k-frame are all bounded
+    # r11i batch (contrastive triplets)
+    "doc_contrastive_triplets": 0,  # two windows, zero hash exchanges
 }
 
 
