@@ -518,6 +518,7 @@ BENCH_QUERIES = [
     "rel_ruzicka_similarity",
     "evt_kendall_w",
     "doc_contrastive_triplets",
+    "evt_hmm_viterbi_check",
 ]
 
 
