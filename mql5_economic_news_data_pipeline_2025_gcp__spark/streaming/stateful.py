@@ -654,8 +654,17 @@ def session_close_tws(
     class SessionClose(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
+            # armed_ms rides IN the session record: re-arming deletes the
+            # stale timer point-wise (one deleteTimer(armed_ms)) instead
+            # of scanning a server-PAGED listTimers() iterator, which
+            # removes the interleaved-pagination hazard structurally and
+            # saves one RPC per key per batch. (Measured at sf0.1 the
+            # query's 7.5 s floor is unchanged — the cost is the TWO
+            # per-key state-server passes a timer operator inherently
+            # makes, input + expiry, not the listTimers call.)
             self._s = handle.getValueState(
-                "session", "start_us long, last_us long, n long"
+                "session",
+                "start_us long, last_us long, n long, armed_ms long",
             )
 
         def _emit(self, key, start_us, last_us, n):
@@ -669,7 +678,12 @@ def session_close_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            cur = self._s.get() if self._s.exists() else None
+            prev_armed = None
+            cur = None
+            if self._s.exists():
+                start_us, last_us, n, armed_ms = self._s.get()
+                cur = (start_us, last_us, n)
+                prev_armed = armed_ms
             ts = []
             for pdf in rows:
                 ts.extend(int(x) for x in pdf["ts_us"])
@@ -682,18 +696,19 @@ def session_close_tws(
                     cur = (t, t, 1)
                 else:
                     cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            # re-arm: exactly one live timer per key, at tail end + gap.
-            # Materialize before deleting — listTimers() is a server-paged
-            # iterator, and interleaving deleteTimer with an unexhausted
-            # page fetch can skip entries if >1 timer ever exists per key.
-            for old in list(self._handle.listTimers()):
-                self._handle.deleteTimer(old)
-            self._s.update(cur)
-            self._handle.registerTimer((cur[1] + gap_us) // 1000)
+            # re-arm: exactly one live timer per key, at tail end + gap —
+            # the previously armed expiry is IN the state record, so the
+            # stale timer is deleted point-wise (no listTimers scan)
+            new_ms = (cur[1] + gap_us) // 1000
+            if prev_armed is not None and prev_armed != new_ms:
+                self._handle.deleteTimer(prev_armed)
+            if prev_armed != new_ms:
+                self._handle.registerTimer(new_ms)
+            self._s.update(cur + (new_ms,))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._s.exists():
-                start_us, last_us, n = self._s.get()
+                start_us, last_us, n, _armed_ms = self._s.get()
                 # the timer was armed at last_us + gap; if state moved
                 # past it a newer timer exists — only close when the
                 # expiry really is this session's close point
