@@ -519,6 +519,8 @@ BENCH_QUERIES = [
     "evt_kendall_w",
     "doc_contrastive_triplets",
     "evt_hmm_viterbi_check",
+    "evt_recurrence_quantification",
+    "rel_eoq_components",
 ]
 
 

@@ -532,6 +532,10 @@ BUDGETS = {
                                    # day sums and the k-frame are all bounded
     # r11i batch (contrastive triplets)
     "doc_contrastive_triplets": 0,  # two windows, zero hash exchanges
+    # r11k batch (RQA / EOQ)
+    "evt_recurrence_quantification": 5,  # checkpointed day + recurrent-set
+                                         # frames; pair work calendar-bounded
+    "rel_eoq_components": 1,       # one brand-bucketed fold
 }
 
 
