@@ -3211,19 +3211,60 @@ def evt_theilsen_trend(spark, sf_dir):
 
 @register(
     "stream_heavy_hitters",
-    oracle=None,  # sketch cells depend on xxhash64 (engine-specific);
-    # the gate is tests/test_streaming_semantics.py::
-    # test_stream_cms_equals_batch — the streamed sketch must be
-    # CELL-IDENTICAL to the batch sketch, so the readout equals
-    # evt_cms_heavy_hitters exactly
+    # The streamed d=4 × w=2048 grid uses the PORTABLE salted-md5
+    # bucket hash (round 12 — retired this query's rows-only driver
+    # status), and integer cell sums are micro-batch-split invariant,
+    # so DuckDB replays the exact drained sketch from per-key exact
+    # counts: cell(i, j) = Σ true_cnt over keys with bucket_i = j.
+    # Streaming-mechanics gate stays tests/test_streaming_semantics.py::
+    # test_stream_cms_equals_batch (streamed grid == one-pass batch
+    # grid, cell for cell).
+    oracle="""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS hh_key,
+             count(*) AS true_cnt
+      FROM events GROUP BY 1),
+    h AS (
+      SELECT hh_key, true_cnt,
+             ('0x' || substr(md5('cms0:' || hh_key), 1, 8))::BIGINT
+               % 2048 AS j0,
+             ('0x' || substr(md5('cms1:' || hh_key), 1, 8))::BIGINT
+               % 2048 AS j1,
+             ('0x' || substr(md5('cms2:' || hh_key), 1, 8))::BIGINT
+               % 2048 AS j2,
+             ('0x' || substr(md5('cms3:' || hh_key), 1, 8))::BIGINT
+               % 2048 AS j3
+      FROM k),
+    c0 AS (SELECT j0 AS j, sum(true_cnt) AS c FROM h GROUP BY j0),
+    c1 AS (SELECT j1 AS j, sum(true_cnt) AS c FROM h GROUP BY j1),
+    c2 AS (SELECT j2 AS j, sum(true_cnt) AS c FROM h GROUP BY j2),
+    c3 AS (SELECT j3 AS j, sum(true_cnt) AS c FROM h GROUP BY j3),
+    top AS (
+      SELECT hh_key, true_cnt,
+             row_number() OVER (ORDER BY true_cnt DESC, hh_key ASC)
+               AS rnk
+      FROM k ORDER BY true_cnt DESC, hh_key ASC LIMIT 20)
+    SELECT t.hh_key,
+           CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(least(c0.c, c1.c, c2.c, c3.c) AS BIGINT) AS cms_est,
+           CAST(t.rnk AS BIGINT) AS rnk
+    FROM top t
+    JOIN h  ON h.hh_key = t.hh_key
+    JOIN c0 ON c0.j = h.j0
+    JOIN c1 ON c1.j = h.j1
+    JOIN c2 ON c2.j = h.j2
+    JOIN c3 ON c3.j = h.j3
+    """,
     description=(
         "streaming count-min heavy hitters: micro-batches feed "
         "cell-count partials into a batch-id-versioned parquet sketch "
         "state (at-least-once replays skipped, atomic symlink "
         "publish); the d x w grid never grows, so streaming state is "
         "FIXED-SIZE forever — the property that lets a heavy-hitter "
-        "monitor run unbounded on an unbounded stream. Mergeability "
-        "makes the drained sketch cell-identical to the batch sketch"
+        "monitor run unbounded on an unbounded stream. The bucket "
+        "hash is the portable salted-md5 recipe, so the drained grid "
+        "is hash-checked against a DuckDB replay (round 12) on top of "
+        "the streamed==batch cell-identity pytest gate"
     ),
     tags=("events", "streaming", "sketch"),
 )

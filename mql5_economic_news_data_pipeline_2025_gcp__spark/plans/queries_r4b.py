@@ -2049,20 +2049,60 @@ def evt_did_estimate(spark, sf_dir):
 
 @register(
     "stream_hll_distinct",
-    oracle=None,  # streaming drain + engine-specific sketch binaries;
-    # gate: tests/test_streaming_semantics.py::
-    # test_stream_hll_equals_batch (streamed sketch estimate equals the
-    # one-pass batch sketch EXACTLY — register-max merge is
-    # micro-batch-split invariant)
+    # Round 12: the streamed state is the PORTABLE m=256 register
+    # table (the evt_hll_portable_rollup recipe — md5-prefix hash,
+    # rho via the bin()-string trick, exact Σ 2^(25−reg) BIGINT
+    # denominator), and register max is micro-batch-split invariant,
+    # so DuckDB replays the drained state — this retired the suite's
+    # LAST rows-only driver cell. Streaming-mechanics gate stays
+    # tests/test_streaming_semantics.py::test_stream_hll_equals_batch
+    # (streamed register table == one-pass batch register table).
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS hv
+      FROM u),
+    b AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 25
+                      ELSE 25 - length(bin(w)) END) AS reg
+      FROM b GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << (25 - reg)) AS BIGINT)
+               AS sum_present
+      FROM r GROUP BY event_type),
+    ex AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM u GROUP BY event_type)
+    SELECT a.event_type,
+           CAST(256 - a.n_buckets AS BIGINT) AS zero_registers,
+           CAST(a.sum_present
+                + (256 - a.n_buckets) * 33554432 AS BIGINT) AS sum_scaled,
+           round(1579498136381.3938
+                 / (a.sum_present + (256 - a.n_buckets) * 33554432), 6)
+             AS hll_estimate,
+           e.exact_distinct
+    FROM agg a
+    JOIN ex e ON e.event_type = a.event_type
+    """,
     description=(
-        "streaming distinct-user monitor: per-type HLL sketches "
-        "folded across micro-batches through the batch-id-versioned "
-        "parquet state (at-least-once replays skipped, atomic symlink "
-        "publish — the CMS stream's exactly-once mechanics with "
-        "register-union instead of integer sums). State is |types|×KB "
-        "forever; the drained sketch is bit-identical to a one-pass "
-        "batch sketch, so estimates carry the same lgk=12 accuracy "
-        "contract as evt_hll_rollup_distinct"
+        "streaming distinct-user monitor: per-type PORTABLE m=256 HLL "
+        "register tables folded across micro-batches through the "
+        "batch-id-versioned parquet state's max-merge (at-least-once "
+        "replays skipped, atomic symlink publish — the CMS stream's "
+        "exactly-once mechanics with register max instead of integer "
+        "sums). State is |types|×256 integer rows forever; register "
+        "max is split-invariant, so the drained table equals a "
+        "one-pass batch register table and the whole readout "
+        "(zero registers, exact BIGINT harmonic denominator, raw "
+        "alpha*m^2*2^25/sum estimate) is hash-checked against a "
+        "DuckDB replay (round 12)"
     ),
     tags=("events", "streaming", "sketch"),
 )

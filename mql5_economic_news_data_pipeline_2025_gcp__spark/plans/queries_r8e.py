@@ -67,8 +67,11 @@ from .registry import register
         "state store and a batch GROUP BY hold byte-identical "
         "register tables, and the drained readout hash-matches the "
         "from-scratch SQL oracle (the first streaming SKETCH in the "
-        "registry with a full value oracle; the DataSketches-binary "
-        "stream_hll_distinct stays as the engine-native path). State "
+        "registry with a full value oracle; stream_hll_distinct holds "
+        "the same registers in foreachBatch-versioned parquet state "
+        "instead of the streaming state store — same recipe, "
+        "different state tier, both oracle-paired since round 12). "
+        "State "
         "is ≤ types·256 rows regardless of user cardinality — "
         "strictly smaller than the dedup key-set the TTL-dedup "
         "stream keeps. Readout: zero registers, exact BIGINT "

@@ -32,6 +32,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -100,6 +101,10 @@ def prepare_session(spark: SparkSession) -> None:
 #: recorded, r05). The demo's real implementation stays in REGISTRY
 #: under its own name for bench timing, the compat smoke, and its exact
 #: pytest gates — this mapping only affects the driver-contract view.
+#: Round 12 (r11 ADVICE): the substitution is driver-VISIBLE — both
+#: sides emit a constant ``substituted_by = '<twin>'`` column (see
+#: ``_marked_twin``), so no coverage reading of the driver artifacts
+#: can mistake a twin's green row for a hash check of the demo itself.
 DRIVER_TWINS: dict[str, str] = {
     "evt_sketch_profile": "evt_sketch_portable_profile",
     "evt_series_dtw": "evt_dtw_check",
@@ -134,7 +139,38 @@ def _driver_spec(name: str) -> QuerySpec:
         raise ValueError(
             f"driver twin {twin!r} of {name!r} has no oracle"
         )
-    return twin_spec
+    return _marked_twin(twin_spec)
+
+
+def _marked_twin(twin_spec: QuerySpec) -> QuerySpec:
+    """The twin spec with the substitution made DRIVER-VISIBLE (round-11
+    ADVICE): both the Spark result and the oracle result carry a
+    constant ``substituted_by = '<twin name>'`` column, so every driver
+    artifact row produced under a demo's name records — in its own
+    schema — that the hash certifies the TWIN's dataflow, not the
+    nondeterministic demo itself. The marker is identical on both
+    sides, so it never perturbs the value hash; wrapping the oracle in
+    a subquery is safe because the driver compare is order-insensitive
+    (it sorts rows and columns before hashing)."""
+    twin = twin_spec.name
+
+    def marked_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return twin_spec.spark_fn(spark, sf_dir).withColumn(
+            "substituted_by", F.lit(twin)
+        )
+
+    marked_fn.__name__ = f"{twin}_driver_marked"
+    marked_fn.substituted_by = twin
+    marked_oracle = (
+        f"SELECT q.*, '{twin}' AS substituted_by\nFROM (\n{twin_spec.oracle}\n) q"
+    )
+    return QuerySpec(
+        twin,
+        marked_fn,
+        marked_oracle,
+        twin_spec.description,
+        twin_spec.tags,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

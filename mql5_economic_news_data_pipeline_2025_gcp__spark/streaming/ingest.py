@@ -676,8 +676,16 @@ def stream_heavy_hitters(
     CELL-IDENTICAL to the batch-built sketch (asserted in
     tests/test_streaming_semantics.py::test_stream_cms_equals_batch),
     so the heavy-hitter readout matches the batch query exactly.
+
+    Round 12: the bucket hash is the PORTABLE salted-md5 recipe
+    (operators/cms.py::cms_bucket, portable=True) instead of xxhash64,
+    so the drained grid — and therefore the integer readout — is
+    replayable by the DuckDB oracle as plain relational math; that
+    retired this query's rows-only driver status. Cell sums are
+    micro-batch-split invariant (integer addition), so the final
+    sketch does not depend on how the drain split the rows.
     """
-    from ..operators.cms import cms_estimate
+    from ..operators.cms import cms_bucket, cms_estimate
 
     state = ParquetRollupState(
         spark,
@@ -694,7 +702,9 @@ def stream_heavy_hitters(
             "_k",
             F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth"),
         )
-        .withColumn("bucket", F.pmod(F.xxhash64(F.col("_k"), F.col("depth")), F.lit(w)))
+        .withColumn(
+            "bucket", cms_bucket(F.col("_k"), F.col("depth"), w, portable=True)
+        )
         .withColumn("wt", F.lit(1).cast("bigint"))
     )
     with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
@@ -731,7 +741,7 @@ def stream_heavy_hitters(
             ),
         )
     )
-    est = cms_estimate(sketch, top, "hh_key", d=d, w=w)
+    est = cms_estimate(sketch, top, "hh_key", d=d, w=w, portable=True)
     return top.join(est, top.hh_key == est.key).select(
         "hh_key",
         F.col("true_cnt").cast("bigint").alias("true_cnt"),
@@ -789,31 +799,65 @@ class ParquetSketchState:
         return self.spark.read.parquet(self.current)
 
 
-def stream_hll_distinct(spark: SparkSession, sf_dir: str, lgk: int = 12) -> DataFrame:
-    """Streaming distinct-user monitor: per-type HLL sketches maintained
-    across micro-batches — the cardinality twin of the CMS heavy-hitter
-    stream, completing the mergeable-sketch trio in streaming form.
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user monitor: per-type PORTABLE HyperLogLog
+    register tables maintained across micro-batches — the cardinality
+    twin of the CMS heavy-hitter stream, completing the mergeable-sketch
+    trio in streaming form.
 
-    Stream side is STATELESS projection; each batch contributes a
-    per-type partial sketch and the state table absorbs it by register
-    union. State size is |types| × KB forever — the fixed-memory
-    property that lets a distinct-count monitor run unbounded. After a
-    full drain the streamed sketch is BIT-IDENTICAL to the one-pass
-    batch sketch (register max is micro-batch-split invariant), so the
-    estimate matches the batch query exactly
-    (tests/test_streaming_semantics.py::test_stream_hll_equals_batch).
+    Stream side is STATELESS map work: user_id → (bucket = md5-hash %
+    256, rho = 25 − bit_length(hash div 256)), the same engine-portable
+    register recipe as the batch ``evt_hll_portable_rollup`` (plans/
+    queries_r6.py). State is the (event_type, bucket) → max(rho) table
+    folded through the batch-id-versioned ``ParquetRollupState``
+    max-merge — |types| × 256 integer rows forever, the fixed-memory
+    property that lets a distinct-count monitor run unbounded. Register
+    max is associative/commutative/idempotent, so the drained table is
+    IDENTICAL to a one-pass batch register table no matter how the
+    micro-batches split the rows (tests/test_streaming_semantics.py::
+    test_stream_hll_equals_batch), and — round 12 — the whole readout
+    is replayable by the DuckDB oracle as integer math, which retired
+    the suite's last rows-only driver cell. Engine-native DataSketches
+    binaries stay covered by ``ParquetSketchState`` (exercised directly
+    in test_streaming_semantics.py::test_sketch_state_fold_binary).
+
+    Readout per type: zero-register count, the EXACT harmonic
+    denominator Σ 2^(25−reg) as a BIGINT (absent buckets contribute
+    2^25), the raw alpha·m²·2^25 / sum estimate (numerator inlined as
+    the same 17-digit literal both engines divide by), and the exact
+    distinct count as audit baseline.
     """
-    state = ParquetSketchState(
+    M, WBITS = 256, 25
+    NUM = 1579498136381.3938  # 0.7213/(1+1.079/256) * 256^2 * 2^25
+    state = ParquetRollupState(
         spark,
         _scratch_dir("hll_state_"),
-        keys=("event_type",),
-        value_col="user_id",
-        lgk=lgk,
+        keys=("event_type", "bucket"),
+        maxs=("reg",),
     )
-    ev = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w_col = F.floor(F.col("hv") / M).cast("bigint")
+    regs = (
+        _events_stream(spark, sf_dir)
+        .select("event_type", hv.alias("hv"))
+        .select(
+            "event_type",
+            (F.col("hv") % M).alias("bucket"),
+            w_col.alias("w"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(WBITS))
+            .otherwise(F.lit(WBITS) - F.length(F.bin("w")))
+            .alias("reg"),
+        )
+    )
     with _state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         q = (
-            ev.writeStream.foreachBatch(state.fold)
+            regs.writeStream.foreachBatch(state.fold)
             .option("checkpointLocation", _scratch_dir("hll_ckpt_"))
             .start()
         )
@@ -821,11 +865,32 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str, lgk: int = 12) -> Data
             q.processAllAvailable()
         finally:
             q.stop()
-    return state.read().select(
+    agg = (
+        state.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - max_reg)"))
+            .cast("bigint")
+            .alias("sum_present"),
+        )
+    )
+    from ..sources.tables import load_table
+
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    sum_scaled = F.col("sum_present") + (
+        F.lit(M) - F.col("n_buckets")
+    ) * F.lit(1 << WBITS)
+    return agg.join(ex, "event_type").select(
         "event_type",
-        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias(
-            "est_distinct_users"
-        ),
+        (F.lit(M) - F.col("n_buckets")).cast("bigint").alias("zero_registers"),
+        sum_scaled.cast("bigint").alias("sum_scaled"),
+        F.round(F.lit(NUM) / sum_scaled, 6).alias("hll_estimate"),
+        "exact_distinct",
     )
 
 
@@ -900,6 +965,13 @@ def stream_pysink_roundtrip(
         q.awaitTermination(60)
     committed = committed_stream_rows(out)
     paths = [os.path.join(out, p) for p in committed["parts"]]
+    if not paths:
+        # surface the real failure (sink misconfiguration / early abort)
+        # instead of spark.read.json's opaque empty-path error
+        raise RuntimeError(
+            f"no _BATCH_ manifests committed at {out}: the jsonl stream "
+            "sink drained without completing a single two-phase commit"
+        )
     back = spark.read.schema(
         "event_id long, event_type string, user_id long, value_c long"
     ).json(paths)

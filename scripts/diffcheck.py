@@ -4,7 +4,12 @@ query on Spark AND its DuckDB oracle at the given SF, compares row count,
 column names, and cell values (exact for ints/strings, bit-exact target
 for doubles — reports max abs diff when nonzero).
 
-Usage: python scripts/diffcheck.py [sf_dir] [query ...]
+Usage: python scripts/diffcheck.py [--driver-view] [sf_dir] [query ...]
+
+``--driver-view`` checks the DRIVER-CONTRACT view (__spark_entry__'s
+queries()/oracle_sql(), i.e. with DRIVER_TWINS substitution and the
+substituted_by marker column) instead of the raw REGISTRY — use it to
+pre-validate exactly what the correctness driver will run.
 """
 
 from __future__ import annotations
@@ -20,8 +25,10 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_argv = [a for a in sys.argv[1:] if a != "--driver-view"]
+DRIVER_VIEW = "--driver-view" in sys.argv[1:]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
+ONLY = set(_argv[1:])
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -82,6 +89,15 @@ def main() -> int:
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
     from mql5_economic_news_data_pipeline_2025_gcp__spark.session import get_spark
 
+    if DRIVER_VIEW:
+        from mql5_economic_news_data_pipeline_2025_gcp__spark.plans.registry import (
+            _driver_spec,
+        )
+
+        registry = {name: _driver_spec(name) for name in REGISTRY}
+    else:
+        registry = REGISTRY
+
     if os.environ.get("SPARK_GRAFT_DIFF_DEFAULT_SESSION"):
         # driver-environment twin: a STOCK session (no session.py tuning)
         # — catches config-drift bugs like the round-4 TIMESTAMP_NTZ break
@@ -103,7 +119,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = 0
-    for name, spec in REGISTRY.items():
+    for name, spec in registry.items():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()

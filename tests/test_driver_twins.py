@@ -28,14 +28,30 @@ def test_every_twin_exists_and_is_oracle_paired():
         )
 
 
-def test_driver_view_substitutes_both_sides():
+def test_driver_view_substitutes_both_sides_with_visible_marker():
     qs, osql = queries(), oracle_sql()
     for demo, twin in DRIVER_TWINS.items():
-        # the spark side under the demo name IS the twin's program, and
-        # the oracle under the demo name IS the twin's oracle — the
-        # driver compares the twin against its own oracle
-        assert qs[demo] is REGISTRY[twin].spark_fn
-        assert osql[demo] == REGISTRY[twin].oracle
+        # the spark side under the demo name is the twin's program
+        # wrapped to stamp a driver-visible substituted_by column, and
+        # the oracle under the demo name is the twin's oracle wrapped
+        # to stamp the identical constant — the driver compares the
+        # twin against its own oracle and RECORDS the swap in the
+        # row's own schema (round-11 ADVICE transparency fix)
+        assert getattr(qs[demo], "substituted_by", None) == twin
+        assert f"'{twin}' AS substituted_by" in osql[demo]
+        assert REGISTRY[twin].oracle.strip() in osql[demo]
+
+
+def test_marked_twin_executes_with_marker(spark):
+    """Run one substituted entry end-to-end: the driver-visible frame
+    is the twin's output plus the constant marker column."""
+    demo, twin = "emb_mmr_rerank", DRIVER_TWINS["emb_mmr_rerank"]
+    out = queries()[demo](spark, "/root/testdata/sf0.001")
+    assert "substituted_by" in out.columns
+    rows = out.limit(5).collect()
+    assert rows and all(r["substituted_by"] == twin for r in rows)
+    bare = REGISTRY[twin].spark_fn(spark, "/root/testdata/sf0.001")
+    assert out.drop("substituted_by").columns == bare.columns
 
 
 def test_registry_itself_is_untouched():
@@ -46,9 +62,8 @@ def test_registry_itself_is_untouched():
         ].spark_fn
 
 
-def test_rows_only_residue_is_streaming_only():
+def test_no_rows_only_driver_cells_remain():
+    # round 12 retired the last two rows-only streaming queries via
+    # portable-sketch oracles: every driver-view entry is hash-checked
     qs, osql = queries(), oracle_sql()
-    rows_only = sorted(set(qs) - set(osql))
-    assert rows_only == ["stream_heavy_hitters", "stream_hll_distinct"], (
-        f"unexpected rows-only set: {rows_only}"
-    )
+    assert sorted(set(qs) - set(osql)) == []

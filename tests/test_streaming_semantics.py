@@ -220,25 +220,65 @@ def test_rollup_state_retry_is_idempotent(spark, tmp_path):
 
 def test_stream_cms_equals_batch(spark):
     """The streamed (micro-batch-merged) CMS sketch readout must equal
-    the batch CMS query exactly — mergeability + exactly-once fold."""
+    a one-pass batch sketch built with the SAME (portable) hash exactly
+    — mergeability + exactly-once fold. The readout math mirrors
+    stream_heavy_hitters' top-20 join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
     from mql5_economic_news_data_pipeline_2025_gcp__spark.plans import REGISTRY
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
+        load_table,
+    )
 
     sf = "/root/testdata/sf0.001"
     streamed = (
         REGISTRY["stream_heavy_hitters"].spark_fn(spark, sf).toPandas()
         .sort_values("rnk").reset_index(drop=True)
     )
+    ev = load_table(spark, sf, "events").withColumn(
+        "hh_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    sketch = cms_build(ev, "hh_key", d=4, w=2048, portable=True)
+    top = (
+        ev.groupBy("hh_key")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_cnt"), F.asc("hh_key"))
+            ),
+        )
+    )
+    est = cms_estimate(sketch, top, "hh_key", d=4, w=2048, portable=True)
     batch = (
-        REGISTRY["evt_cms_heavy_hitters"].spark_fn(spark, sf).toPandas()
-        .sort_values("rnk").reset_index(drop=True)
+        top.join(est, top.hh_key == est.key)
+        .select(
+            "hh_key",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("est").cast("bigint").alias("cms_est"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
     )
     assert streamed.equals(batch)
+    # CMS one-sided guarantee survives the streaming fold
+    assert (streamed["cms_est"] >= streamed["true_cnt"]).all()
 
 
 def test_stream_hll_equals_batch(spark):
-    """The micro-batch-folded HLL state must equal the one-pass batch
-    sketch EXACTLY (register-wise max is split-invariant), so the
-    streamed estimates == batch estimates, not merely close."""
+    """The micro-batch-folded portable HLL register readout must equal
+    the one-pass batch register table EXACTLY (register-wise max is
+    split-invariant) — same zero-register counts and exact BIGINT
+    harmonic denominators, not merely close estimates."""
     from pyspark.sql import functions as F
 
     from mql5_economic_news_data_pipeline_2025_gcp__spark.sources.tables import (
@@ -250,22 +290,108 @@ def test_stream_hll_equals_batch(spark):
 
     sf = "/root/testdata/sf0.001"
     streamed = {
-        r["event_type"]: r["est_distinct_users"]
+        r["event_type"]: (r["zero_registers"], r["sum_scaled"])
         for r in stream_hll_distinct(spark, sf).collect()
     }
-    batch = {
-        r["event_type"]: r["est"]
-        for r in load_table(spark, sf, "events")
-        .groupBy("event_type")
+    # one-pass batch register table, same portable recipe
+    ev = load_table(spark, sf, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    regs = (
+        ev.select("event_type", hv.alias("hv"))
+        .select(
+            "event_type",
+            (F.col("hv") % 256).alias("bucket"),
+            F.floor(F.col("hv") / 256).cast("bigint").alias("w"),
+        )
+        .groupBy("event_type", "bucket")
         .agg(
-            F.expr(
-                "CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
-                " AS BIGINT)"
-            ).alias("est")
+            F.max(
+                F.when(F.col("w") == 0, F.lit(25)).otherwise(
+                    F.lit(25) - F.length(F.bin("w"))
+                )
+            ).alias("reg")
+        )
+    )
+    batch = {
+        r["event_type"]: (r["zr"], r["ss"])
+        for r in regs.groupBy("event_type")
+        .agg(
+            (F.lit(256) - F.count(F.lit(1))).cast("bigint").alias("zr"),
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - reg)"))
+                + (F.lit(256) - F.count(F.lit(1))) * F.lit(1 << 25)
+            )
+            .cast("bigint")
+            .alias("ss"),
         )
         .collect()
     }
     assert streamed == batch
+
+
+def test_sketch_state_fold_binary(spark, tmp_path):
+    """ParquetSketchState (engine-native DataSketches HLL binaries in
+    batch-id-versioned parquet state) still merges by register union
+    with at-least-once idempotence: a replayed batch id is a no-op and
+    the folded estimate equals the direct ``hll_union_agg`` of the
+    same per-batch sketches (the union code path itself — a one-pass
+    sketch can differ by a few counts through the union gadget's
+    sparse-mode transitions, so THAT is not the invariant), and stays
+    within the lgk=12 rsd of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from mql5_economic_news_data_pipeline_2025_gcp__spark.streaming.ingest import (
+        ParquetSketchState,
+    )
+
+    state = ParquetSketchState(
+        spark, str(tmp_path), keys=("event_type",), value_col="user_id", lgk=12
+    )
+    b0 = spark.createDataFrame(
+        [("view", i) for i in range(400)] + [("click", i) for i in range(50)],
+        "event_type string, user_id long",
+    )
+    b1 = spark.createDataFrame(
+        [("view", i) for i in range(200, 600)],
+        "event_type string, user_id long",
+    )
+    state.fold(b0, 0)
+    state.fold(b0, 0)  # at-least-once replay: must be skipped
+    state.fold(b1, 1)
+    state.fold(b1, 1)
+    assert state.applied_batch() == 1
+    folded = {
+        r["event_type"]: r["est"]
+        for r in state.read()
+        .select(
+            "event_type",
+            F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("est"),
+        )
+        .collect()
+    }
+    per_batch = (
+        b0.withColumn("b", F.lit(0))
+        .unionByName(b1.withColumn("b", F.lit(1)))
+        .groupBy("event_type", "b")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    direct_union = {
+        r["event_type"]: r["est"]
+        for r in per_batch.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert folded == direct_union
+    # accuracy contract: within 5 rsd (lgk=12 -> rsd ~1.6%) of exact
+    exact = {"view": 600, "click": 50}
+    for k, est in folded.items():
+        assert abs(est - exact[k]) <= max(3, 0.08 * exact[k])
 
 
 def test_streaming_listener_records_progress(spark, tmp_path):
