@@ -20,11 +20,14 @@ registration: at sf0.001 the drain emits 905 of 906 sessions, matching
 this formula exactly (the one open session is the withheld final
 session whose timer the watermark never passes).
 
-Ordering note: the operator's cross-batch ordering contract is the
-file source's mtime pickup; an sf table arriving as ONE parquet file
-is a single batch (intra-batch rows are sorted inside the processor),
-and multi-file tables at higher SF only affect timings, not this
-oracle at the driver's sf0.01.
+Ordering note: the operator needs per-user event-time order across the
+whole drain; it sorts rows WITHIN a batch, so the oracle requires the
+table to arrive as one micro-batch. Round 12 made that structural:
+``session_close_tws`` opens its source with ``single_batch=True``
+(maxFilesPerTrigger = actual file count), so a MULTI-FILE events table
+still arrives as one batch — pinned by tests/test_r11e_ops.py::
+test_session_close_tws_two_file_table against a deliberately
+out-of-order 2-file split.
 """
 
 from __future__ import annotations

@@ -3942,9 +3942,16 @@ def doc_dedup_spans_removal(spark, sf_dir):
     cuts = spans.select(
         "doc_id", F.explode(F.expr("sequence(s, e)")).alias("cut_pos")
     ).distinct()
-    kept = tokpos.join(
-        cuts,
-        (tokpos.doc_id == cuts.doc_id) & (tokpos.pos == cuts.cut_pos),
+    # explicit aliases: tokpos and cuts share lineage (both derive from
+    # docs), so unaliased tokpos.doc_id == cuts.doc_id resolves as a
+    # trivially-true same-column predicate (Spark warns; a future
+    # ambiguity-resolution change could silently row-multiply). Aliased
+    # sides make the equi-join unambiguous by construction.
+    tp, ct = tokpos.alias("tp"), cuts.alias("ct")
+    kept = tp.join(
+        ct,
+        (F.col("tp.doc_id") == F.col("ct.doc_id"))
+        & (F.col("tp.pos") == F.col("ct.cut_pos")),
         "left_anti",
     )
     sizes = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))

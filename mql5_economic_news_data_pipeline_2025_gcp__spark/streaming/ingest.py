@@ -74,13 +74,24 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
-def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    single_batch: bool = False,
+) -> DataFrame:
     """File-source readStream over one test parquet (ns-timestamps read
     as long, converted downstream — same convention as sources.tables).
 
     The file stream source requires a directory; the single test parquet
     is exposed through a symlinked temp dir (a real deployment points at
     the landing prefix directly).
+
+    ``single_batch=True`` sets ``maxFilesPerTrigger`` to the actual file
+    count, so a multi-file table still arrives as ONE micro-batch — the
+    structural guard for operators whose oracle needs per-key event-time
+    order across the whole drain (they sort within a batch; they cannot
+    sort across batches). Used by ``session_close_tws``.
     """
     import pyarrow.parquet as pq
 
@@ -125,9 +136,10 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             os.symlink(pf, os.path.join(stream_dir, f"{table}_{i}.parquet"))
         atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
         _STREAM_DIRS[key] = stream_dir
+    files_per_trigger = max(len(part_files), 1) if single_batch else 8
     return (
         spark.readStream.schema(T.StructType(fields))
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(stream_dir)
     )
 

@@ -635,7 +635,16 @@ def session_close_tws(
     Ordering contract: correctness of inline closes assumes event-time
     order ACROSS batches per user (the watermark contract — data later
     than the watermark bound is the source's responsibility); within a
-    batch rows are sorted here.
+    batch rows are sorted here. Round 12: the source is opened with
+    ``single_batch=True`` (maxFilesPerTrigger = actual file count), so
+    a MULTI-FILE events table still arrives as one micro-batch and the
+    contract holds structurally instead of by the one-file-per-sf-table
+    accident — pinned by tests/test_r11e_ops.py::
+    test_session_close_tws_two_file_table. Cost note (PLAN_AUDIT): the
+    ~7 s sf0.1 floor is RocksDB/state-server harness fixed cost — the
+    two per-key state passes (input + expiry) an event-time-timer
+    operator inherently makes — not per-row work; see SCALE.md's
+    sf0.1→sf1 slope row for the measured data-bound component.
     """
     from ..compat import ensure_protobuf_for_session
 
@@ -721,7 +730,7 @@ def session_close_tws(
         def close(self) -> None:
             pass
 
-    stream = _stream_source(spark, events_dir, "events")
+    stream = _stream_source(spark, events_dir, "events", single_batch=True)
     ts_us = _ts_us(stream)
     ev = (
         stream.select(

@@ -109,3 +109,46 @@ def test_racing_appends_lose_no_rows(spark, tmp_path):
         cur = set(txn._read_manifest(root, v)["files"])
         assert prev <= cur
         prev = cur
+
+
+def test_reader_pinned_during_optimize_sees_old_snapshot(spark, tmp_path):
+    """Snapshot isolation across OPTIMIZE (round-11 stretch task): a
+    reader that resolved version N keeps reading N's exact row set —
+    and N's exact FILE set — while optimize_files() commits N+1 packed
+    files underneath it. Data files are immutable and optimize never
+    deletes (only vacuum can), so the pinned frame collects identically
+    after the swap; time travel to N agrees; and the new head holds the
+    same rows from a different (smaller) file list."""
+    root = str(tmp_path / "opt")
+    txn.overwrite(_rows(spark, 0, 10, "base").coalesce(1), root)
+    for i in range(3):  # three small streaming-style appends
+        txn.append(_rows(spark, 1000 * (i + 1), 5, f"a{i}").coalesce(1), root)
+    n_pin = txn.versions(root)[-1]
+    pin_files = set(txn._read_manifest(root, n_pin)["files"])
+    pinned = txn.read(spark, root, version=n_pin)  # resolves N's files NOW
+    expected = {(r["k"], r["src"]) for r in pinned.collect()}
+    assert len(expected) == 25
+
+    v_new, n_packed, _carried = txn.optimize_files(
+        spark, root, target_file_mb=128
+    )
+    assert v_new == n_pin + 1 and n_packed >= 2
+
+    # the pinned reader still sees N's rows exactly, collected AFTER
+    # the OPTIMIZE commit swapped the head
+    assert {(r["k"], r["src"]) for r in pinned.collect()} == expected
+    # time travel to N re-resolves the same immutable file list
+    assert set(txn._read_manifest(root, n_pin)["files"]) == pin_files
+    assert {
+        (r["k"], r["src"])
+        for r in txn.read(spark, root, version=n_pin).collect()
+    } == expected
+    # new head: same rows, different (packed) files
+    head_files = set(txn._read_manifest(root, v_new)["files"])
+    assert head_files != pin_files and len(head_files) < len(pin_files)
+    assert {
+        (r["k"], r["src"]) for r in txn.read(spark, root).collect()
+    } == expected
+    # every pre-OPTIMIZE data file still exists (only vacuum deletes)
+    for f in pin_files:
+        assert (tmp_path / "opt" / f).exists()
