@@ -123,87 +123,93 @@ from . import queries_r11k  # noqa: E402,F401
 # — it unions all committed CORRECTNESS_r*.json and lists the
 # never-driver-sampled oracle-paired queries per module; replace the
 # tuple below with the flagship + 49 of those.
-# Rounds 3–9 rotated seven distinct 50-query sets through the window
-# (312 distinct driver-sampled queries; zero §2 query ever red — the
+# Rounds 3–11 rotated nine distinct 50-query sets through the window
+# (410 distinct driver-sampled queries; zero §2 query ever red — the
 # only two ever-red rows, round-8's evt_gains_table/evt_levene_median,
 # were oracle-environment parity breaks, re-certified green in round 9).
-# Round 11 ROTATES the NINTH set in: 49 never-sampled queries leading
-# with every remaining r10 batch entry (the newest additions get driver
-# history while fresh — including ALL THREE transformWithStateInPandas
-# oracle queries, round-10 verdict task 5) and the ext-module stragglers,
-# then the 21 remaining r9 singletons. Everything certified in earlier
-# rounds keeps its green row in those artifacts and stays covered by the
+# Round 12 ROTATES the TENTH set in: 49 never-sampled queries (per
+# scripts/rotation_candidates.py) leading with every remaining r11
+# batch entry — including stream_pysink_roundtrip (the Python Data
+# Source two-phase-commit roundtrip gets driver history while fresh) —
+# plus the TWO STREAMING SKETCH QUERIES that gained portable-state
+# oracles this round (stream_heavy_hitters, stream_hll_distinct: their
+# first-ever hash rows retire the rows-only driver cells), the two ext
+# twin-substituted demos (their rows will demonstrate the new
+# driver-visible substituted_by marker), the last r9 singleton
+# (evt_nelson_rules, named by the r11 verdict), and the r5/r6/r3
+# never-sampled remainder. Everything certified in earlier rounds keeps
+# its green row in those artifacts and stays covered by the
 # order-independent full differential gate (scripts/diffcheck.py,
 # tests/test_oracle.py), which runs every entry each round.
 _PRIORITY: tuple[str, ...] = (
     # entry() flagship — continuity canary across all rounds
     "evt_metrics_r2_mse",
-    # ext stragglers
-    "doc_unk_mask",
-    "emb_dedup_clusters",
-    "stream_corpus_filter",
-    "stream_series_state",
-    # r10a — TWS ValueState
-    "stream_series_state_tws",
-    # r10b
-    "evt_diebold_mariano",
-    "evt_pinball_loss",
-    "evt_variance_ratio_test",
-    # r10c
-    "doc_gopher_rules",
-    "emb_hubness",
-    # r10d — TWS ListState
-    "stream_interval_union_tws",
-    # r10e
-    "evt_sample_entropy",
-    "rel_nation_portfolio_overlap",
-    # r10f
-    "evt_bgnbd_summary",
-    "evt_conformal_prediction",
-    # r10g — TWS MapState
-    "stream_user_type_histogram_tws",
-    # r10h
-    "emb_trustworthiness",
-    "evt_l_moments",
-    # r10i
-    "doc_ndcg_at_k",
-    "evt_hoover_index",
-    # r10j
-    "evt_purged_cv_folds",
-    "rel_leadtime_reliability",
-    # r10l
-    "evt_digit_heaping",
-    "rel_assortment_churn",
-    # r10m
-    "emb_knn_margin",
-    "emb_reciprocal_nn",
-    # r10n
-    "doc_dup_cluster_sources",
-    "evt_tv_drift",
-    # r9 singletons (the last never-sampled r9 entries)
-    "evt_peaks_over_threshold",
-    "emb_cluster_label_purity",
-    "evt_weibull_plot_fit",
-    "evt_mutual_information",
-    "evt_simpson_paradox_audit",
-    "evt_ldp_frequency",
-    "evt_session_gap_sweep",
-    "rel_intermittency_profile",
-    "evt_tail_dependence",
-    "evt_moment_skew_kurtosis",
-    "evt_turning_points",
-    "evt_chow_test",
-    "evt_kpss_partial_sums",
-    "rel_soundex_blocking",
-    "evt_xbar_r_chart",
-    "evt_transfer_entropy",
-    "stream_histogram_quantiles",
-    "evt_kupiec_var_backtest",
-    "rel_auction_clearing",
-    "evt_lof_reachability",
-    # r11e — TWS event-time timers (the 4th typed-state leg, new this
-    # round: certify it while fresh; evt_nelson_rules rotates in r12)
-    "stream_session_close_tws",
+    # round-12 newly oracle-paired streaming sketches (first hash rows)
+    "stream_heavy_hitters",
+    "stream_hll_distinct",
+    # ext twin-substituted demos (exercise the substituted_by marker)
+    "evt_series_dtw",
+    "evt_sketch_profile",
+    # r11a
+    "evt_cramer_von_mises",
+    "evt_cucconi_test",
+    # r11b
+    "evt_hoeffding_d",
+    "evt_somers_d",
+    "rel_goodman_kruskal_gamma",
+    # r11c
+    "evt_l_diversity",
+    "evt_mondrian_cuts",
+    # r11d
+    "evt_smote_bucketed",
+    # r11f
+    "evt_lepage_components",
+    "evt_seq_pattern_support",
+    # r11g — Python Data Source sink roundtrip
+    "stream_pysink_roundtrip",
+    # r11h
+    "evt_kendall_w",
+    "rel_ruzicka_similarity",
+    # r11i
+    "doc_contrastive_triplets",
+    # r11j
+    "evt_hmm_viterbi_check",
+    # r11k
+    "evt_recurrence_quantification",
+    "rel_eoq_components",
+    # r9z — last never-sampled r9 entry (r11 verdict callout)
+    "evt_nelson_rules",
+    # r5 never-sampled remainder
+    "doc_bloom_decontaminate",
+    "doc_cluster_size_histogram",
+    "doc_lsh_tuning_curve",
+    "emb_logreg_eval",
+    "evt_group_sample",
+    "evt_partition_skew_report",
+    "evt_peak_detection",
+    "evt_time_range_rolling",
+    # r6 never-sampled remainder (incl. the oracle-paired twins that
+    # back the DRIVER_TWINS map — sampled under their OWN names here)
+    "doc_dsir_importance",
+    "emb_lloyd_step_check",
+    "emb_matryoshka_recall",
+    "emb_mmr_check",
+    "emb_rrf_fusion",
+    "evt_bollinger_bands",
+    "evt_cusum_check",
+    "evt_drawdown",
+    "evt_dtw_check",
+    "evt_event_study_car",
+    "evt_hll_portable_rollup",
+    "evt_markov_absorption_check",
+    "evt_rsi",
+    # r3 never-sampled picks
+    "doc_dup_ngram_fraction",
+    "doc_simhash_near_dup",
+    "doc_token_entropy",
+    "emb_hard_negatives",
+    "evt_winsorize",
+    "rel_dominant_suppliers",
 )
 
 
