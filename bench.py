@@ -521,6 +521,9 @@ BENCH_QUERIES = [
     "evt_hmm_viterbi_check",
     "evt_recurrence_quantification",
     "rel_eoq_components",
+    # round 12
+    "evt_kuiper_test",
+    "evt_benjamini_yekutieli",
 ]
 
 

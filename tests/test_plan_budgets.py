@@ -536,6 +536,10 @@ BUDGETS = {
     "evt_recurrence_quantification": 5,  # checkpointed day + recurrent-set
                                          # frames; pair work calendar-bounded
     "rel_eoq_components": 1,       # one brand-bucketed fold
+    "evt_kuiper_test": 2,          # pooled-value fold + per-type window
+    "evt_benjamini_yekutieli": 0,  # step-up over a checkpointed
+                                   # <=|types|-row frame; fact fold
+                                   # upstream of the checkpoint
 }
 
 
