@@ -524,6 +524,8 @@ BENCH_QUERIES = [
     # round 12
     "evt_kuiper_test",
     "evt_benjamini_yekutieli",
+    "evt_gk_lambda",
+    "doc_burrows_delta",
 ]
 
 

@@ -540,6 +540,11 @@ BUDGETS = {
     "evt_benjamini_yekutieli": 0,  # step-up over a checkpointed
                                    # <=|types|-row frame; fact fold
                                    # upstream of the checkpoint
+    "evt_gk_lambda": 2,            # two grid folds of the checkpointed
+                                   # |buckets|*|types| contingency
+    "doc_burrows_delta": 5,        # catalog-bounded: source totals,
+                                   # word stats, K*|sources| z grid,
+                                   # |sources|^2 pair agg
 }
 
 
