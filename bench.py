@@ -526,6 +526,8 @@ BENCH_QUERIES = [
     "evt_benjamini_yekutieli",
     "evt_gk_lambda",
     "doc_burrows_delta",
+    "doc_lcs_rouge",
+    "emb_hopkins_statistic",
 ]
 
 

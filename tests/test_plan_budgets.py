@@ -545,6 +545,11 @@ BUDGETS = {
     "doc_burrows_delta": 5,        # catalog-bounded: source totals,
                                    # word stats, K*|sources| z grid,
                                    # |sources|^2 pair agg
+    "doc_lcs_rouge": 2,            # rank-2 window + pair join; DP rides
+                                   # in one mapInPandas over |sources|
+                                   # bounded rows
+    "emb_hopkins_statistic": 0,    # cap-bounded broadcast joins off a
+                                   # checkpointed 256*64 cell frame
 }
 
 
