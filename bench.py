@@ -528,6 +528,8 @@ BENCH_QUERIES = [
     "doc_burrows_delta",
     "doc_lcs_rouge",
     "emb_hopkins_statistic",
+    "evt_sharpe_sortino",
+    "evt_omega_ratio",
 ]
 
 

@@ -550,6 +550,8 @@ BUDGETS = {
                                    # bounded rows
     "emb_hopkins_statistic": 0,    # cap-bounded broadcast joins off a
                                    # checkpointed 256*64 cell frame
+    "evt_sharpe_sortino": 2,       # day fold + per-type lag window
+    "evt_omega_ratio": 2,          # same daily-changes shape
 }
 
 
