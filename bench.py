@@ -530,6 +530,8 @@ BENCH_QUERIES = [
     "emb_hopkins_statistic",
     "evt_sharpe_sortino",
     "evt_omega_ratio",
+    "evt_page_trend",
+    "evt_hjorth_parameters",
 ]
 
 

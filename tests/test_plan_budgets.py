@@ -552,6 +552,9 @@ BUDGETS = {
                                    # checkpointed 256*64 cell frame
     "evt_sharpe_sortino": 2,       # day fold + per-type lag window
     "evt_omega_ratio": 2,          # same daily-changes shape
+    "evt_page_trend": 2,           # in-block 4x4 pair join over the
+                                   # checkpointed daypart grid
+    "evt_hjorth_parameters": 2,    # day fold + per-type lag window
 }
 
 
