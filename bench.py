@@ -532,6 +532,8 @@ BENCH_QUERIES = [
     "evt_omega_ratio",
     "evt_page_trend",
     "evt_hjorth_parameters",
+    "evt_christoffersen_test",
+    "evt_first_passage_time",
 ]
 
 

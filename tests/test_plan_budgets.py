@@ -555,6 +555,10 @@ BUDGETS = {
     "evt_page_trend": 2,           # in-block 4x4 pair join over the
                                    # checkpointed daypart grid
     "evt_hjorth_parameters": 2,    # day fold + per-type lag window
+    "evt_christoffersen_test": 3,  # day fold + rank/lag windows off the
+                                   # checkpointed change frame
+    "evt_first_passage_time": 3,   # user-day fold + cumulative window
+                                   # + histogram agg
 }
 
 
