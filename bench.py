@@ -534,6 +534,8 @@ BENCH_QUERIES = [
     "evt_hjorth_parameters",
     "evt_christoffersen_test",
     "evt_first_passage_time",
+    "evt_bowker_symmetry",
+    "evt_longest_streaks",
 ]
 
 

@@ -123,6 +123,7 @@ from . import queries_r12c  # noqa: E402,F401
 from . import queries_r12d  # noqa: E402,F401
 from . import queries_r12e  # noqa: E402,F401
 from . import queries_r12f  # noqa: E402,F401
+from . import queries_r12g  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`

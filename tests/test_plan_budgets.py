@@ -559,6 +559,9 @@ BUDGETS = {
                                    # checkpointed change frame
     "evt_first_passage_time": 3,   # user-day fold + cumulative window
                                    # + histogram agg
+    "evt_bowker_symmetry": 0,      # per-user lag window + checkpointed
+                                   # |types|^2 mirror join
+    "evt_longest_streaks": 2,      # day fold + sign-island windows
 }
 
 
