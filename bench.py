@@ -536,6 +536,8 @@ BENCH_QUERIES = [
     "evt_first_passage_time",
     "evt_bowker_symmetry",
     "evt_longest_streaks",
+    "evt_extremal_index",
+    "evt_teager_energy",
 ]
 
 

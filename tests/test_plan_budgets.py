@@ -562,6 +562,9 @@ BUDGETS = {
     "evt_bowker_symmetry": 0,      # per-user lag window + checkpointed
                                    # |types|^2 mirror join
     "evt_longest_streaks": 2,      # day fold + sign-island windows
+    "evt_extremal_index": 3,       # rank + exceedance-lag windows off
+                                   # the checkpointed daily frame
+    "evt_teager_energy": 2,        # day fold + one lag/lead window
 }
 
 
