@@ -538,6 +538,8 @@ BENCH_QUERIES = [
     "evt_longest_streaks",
     "evt_extremal_index",
     "evt_teager_energy",
+    "evt_ulcer_index",
+    "evt_aroon",
 ]
 
 

@@ -565,6 +565,8 @@ BUDGETS = {
     "evt_extremal_index": 3,       # rank + exceedance-lag windows off
                                    # the checkpointed daily frame
     "evt_teager_energy": 2,        # day fold + one lag/lead window
+    "evt_ulcer_index": 2,          # day fold + cumulative windows
+    "evt_aroon": 2,                # day fold + rolling pack window
 }
 
 
