@@ -683,6 +683,13 @@ def main() -> None:
                 "retry_runs": retry_runs,
                 "retry_probe_sec": retry_probe,
                 "cleared": min(retry_runs) <= RETRY_FACTOR * ref,
+                # where in the suite the spike happened: round-12's
+                # uncleared retries all fired deep in the run (JVM
+                # codegen-cache/GC pressure a quiet probe can't see);
+                # a position near len(bench_set) says "suite-tail
+                # pressure", a small one says "look harder"
+                "position": qi,
+                "n_queries": len(bench_set),
             }
             runs = runs + retry_runs
         timings[name] = min(runs)
