@@ -540,6 +540,8 @@ BENCH_QUERIES = [
     "evt_teager_energy",
     "evt_ulcer_index",
     "evt_aroon",
+    "evt_variogram_lags",
+    "evt_theil_u2_naive",
 ]
 
 

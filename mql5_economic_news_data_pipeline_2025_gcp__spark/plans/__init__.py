@@ -126,6 +126,7 @@ from . import queries_r12f  # noqa: E402,F401
 from . import queries_r12g  # noqa: E402,F401
 from . import queries_r12h  # noqa: E402,F401
 from . import queries_r12i  # noqa: E402,F401
+from . import queries_r12j  # noqa: E402,F401
 
 # The correctness driver snapshots the FIRST 50 registry entries (dict
 # insertion order). NEXT ROTATION: run `python scripts/rotation_candidates.py`

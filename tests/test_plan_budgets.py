@@ -567,6 +567,9 @@ BUDGETS = {
     "evt_teager_energy": 2,        # day fold + one lag/lead window
     "evt_ulcer_index": 2,          # day fold + cumulative windows
     "evt_aroon": 2,                # day fold + rolling pack window
+    "evt_variogram_lags": 1,       # banded pair join off the
+                                   # checkpointed daily frame
+    "evt_theil_u2_naive": 2,       # day fold + two lag columns
 }
 
 
