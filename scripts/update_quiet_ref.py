@@ -24,6 +24,19 @@ import subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Queries whose implementation was INTENTIONALLY rewritten with a
+#: different cost profile: history older than (and including) the named
+#: commit is excluded from their minimum, otherwise the all-history min
+#: permanently reflects the retired implementation and the retry rule
+#: flags the new one forever. rounds 12+: the two streaming sketches
+#: traded engine-native binary state (~0.4 s) for portable salted-md5
+#: state (~0.8 s) to become oracle-checkable — a deliberate trade.
+REBASED_AT: dict[str, str] = {
+    "stream_hll_distinct": "18bac56",
+    "stream_heavy_hitters": "18bac56",
+}
+
+
 def main() -> None:
     commits = subprocess.run(
         ["git", "log", "--pretty=%h", "--", "BENCH_RESULTS.json"],
@@ -33,6 +46,20 @@ def main() -> None:
     ).stdout.split()
     best: dict[str, float] = {}
     used: list[str] = []
+    # for each re-based query, the set of commits AFTER its rewrite
+    # (rev-list cutoff..HEAD) — only artifacts committed there reflect
+    # the new implementation's cost
+    after_cutoff: dict[str, set[str]] = {
+        q: set(
+            subprocess.run(
+                ["git", "rev-list", "--abbrev-commit", f"{cut}..HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            ).stdout.split()
+        )
+        for q, cut in REBASED_AT.items()
+    }
     for c in commits:
         raw = subprocess.run(
             ["git", "show", f"{c}:BENCH_RESULTS.json"],
@@ -48,6 +75,8 @@ def main() -> None:
             continue
         used.append(c)
         for name, t in queries.items():
+            if name in after_cutoff and c not in after_cutoff[name]:
+                continue  # pre-rewrite artifact for a re-based query
             if t and (name not in best or t < best[name]):
                 best[name] = t
     # the working-tree artifact too (a just-finished quiet bench that
