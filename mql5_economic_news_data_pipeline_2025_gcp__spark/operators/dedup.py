@@ -332,7 +332,15 @@ def dedup_clusters(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
+        # localCheckpoint, NOT persist: persist caches the DATA but
+        # keeps the full candidate-generation lineage (LSH chain) in
+        # the LOGICAL plan, so every round's three edge joins re-embed
+        # and re-analyze that whole tree — measured ~0.6 s/round of
+        # pure plan-building at sf0.1 (r13). The checkpoint truncates
+        # the plan to an RDD scan (and locally persists the RDD, same
+        # data reuse as persist); lazy, so the round-1 convergence
+        # action materializes it — no extra pre-loop job.
+        .localCheckpoint(eager=False)
     )
     # iterate ONLY over edge-touched nodes: an isolated node's label is
     # itself by definition and can never change, so it has no business
@@ -354,16 +362,21 @@ def dedup_clusters(
     )
     prev_sum = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # min over the CLOSED neighborhood in ONE aggregate: neighbor
+        # labels (edges⋈labels) unioned with each node's own label row,
+        # then a single min-agg — replaces the old groupBy + left-join
+        # (min over neighbors, then least(own, nbr)), which cost one
+        # extra shuffle of |touched| rows per round (guide §2.4). Same
+        # update rule: min(own ∪ neighbors) ≡ least(own, min(neighbors)).
+        nbr_rows = edges.join(labels, edges.dst == labels.node).select(
+            "src", "label"
         )
-        stepped = labels.join(nbr, labels.node == nbr.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                "label"
-            ),
+        own_rows = labels.select(F.col("node").alias("src"), "label")
+        stepped = (
+            nbr_rows.unionByName(own_rows)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
         )
         # pointer jumping: follow the label's own label (labels only
         # decrease, so this stays within the component and can only
@@ -387,7 +400,9 @@ def dedup_clusters(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
+    # (checkpointed edge RDD blocks are reclaimed by the ContextCleaner
+    # when the frame goes out of scope — same lifecycle as the per-round
+    # label checkpoints; there is no cache entry to unpersist)
     return (
         nodes.select(F.col(id_col))
         .join(labels, nodes[id_col] == labels.node, "left")

@@ -535,36 +535,51 @@ def _register_pagerank():
                 pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
             )
             .distinct()
-            # edge list + degrees feed every iteration; persist so the
-            # LSH chain runs once, not 5× (same second-lineage rule as
-            # the CC edge set)
-            .persist()
+            # localCheckpoint, not persist (r13): persist reuses the
+            # DATA but keeps the whole LSH lineage in the logical plan,
+            # so every iteration's join re-embedded and re-analyzed it —
+            # pure plan-building overhead per round. The lazy checkpoint
+            # truncates the plan to an RDD scan and still runs the LSH
+            # chain exactly once (materialized by the first action).
+            .localCheckpoint(eager=False)
         )
-        nodes = docs.select("doc_id")
+        # id list for the damping term: a fresh column-pruned scan, NOT
+        # the fan_out'ed docs frame — the repartition exchange is for
+        # the shingling compute and has no business under a 1-column
+        # id readout that re-runs every iteration (r13)
+        nodes = t(spark, sf_dir, "documents").select("doc_id")
         deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
             F.count(F.lit(1)).alias("deg")
         )
         e_with_deg = edges.join(
             deg.select(F.col("doc_id").alias("src"), "deg"), "src"
-        ).persist()
+        ).localCheckpoint(eager=False)
 
         pr = nodes.select("doc_id", F.lit(1000000).cast("bigint").alias("pr"))
         for _ in range(_ITERS):
-            contrib = (
-                e_with_deg.join(
-                    pr.select(F.col("doc_id").alias("src"), "pr"), "src"
-                )
-                .select("dst", F.expr("pr div deg").alias("contrib"))
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.sum("contrib").alias("s"))
+            # one aggregate per round (r13): incoming contributions
+            # unioned with a zero row per node, single sum — replaces
+            # the old groupBy-then-left-join-to-nodes, which shuffled
+            # the |nodes| frame a second time each round (guide §2.4).
+            # sum(contribs ∪ {0}) ≡ coalesce(sum(contribs), 0), so the
+            # integer damping arithmetic is unchanged bit-for-bit.
+            contrib_rows = e_with_deg.join(
+                pr.select(F.col("doc_id").alias("src"), "pr"), "src"
+            ).select(
+                F.col("dst").alias("doc_id"),
+                F.expr("pr div deg").alias("contrib"),
+            )
+            zero_rows = nodes.select(
+                "doc_id", F.lit(0).cast("bigint").alias("contrib")
             )
             pr = (
-                nodes.join(contrib, "doc_id", "left")
+                contrib_rows.unionByName(zero_rows)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("s"))
                 .select(
                     "doc_id",
                     (
-                        F.lit(150000)
-                        + F.expr("85 * coalesce(s, 0) div 100")
+                        F.lit(150000) + F.expr("85 * s div 100")
                     ).cast("bigint").alias("pr"),
                 )
                 # cut the lineage every round: without this the final plan

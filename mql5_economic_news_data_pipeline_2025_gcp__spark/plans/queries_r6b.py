@@ -3079,26 +3079,32 @@ def doc_textrank_keywords(spark, sf_dir):
     ew = edges.join(outw, "u").select(
         "u", "v", "w", "wout"
     ).localCheckpoint(eager=False)
-    nodes = edges.select(F.col("u").alias("word")).distinct()
+    # the vocabulary node list feeds every one of the 10 rounds —
+    # checkpoint it once instead of re-running the distinct each round
+    nodes = (
+        edges.select(F.col("u").alias("word"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     r = nodes.select("word", F.lit(1000000).cast("long").alias("r"))
     for _ in range(10):
-        contrib = (
-            r.join(ew, r["word"] == ew["u"])
-            .select(
-                F.col("v").alias("word"),
-                F.expr("(r * w) div wout").alias("c"),
-            )
+        # one aggregate per round (r13): neighbor contributions unioned
+        # with a zero row per node, single sum — replaces the old
+        # groupBy-then-left-join-to-nodes (one fewer shuffle of the
+        # vocabulary frame per round, guide §2.4). sum(c ∪ {0}) ≡
+        # coalesce(sum(c), 0): the damped integer formula is unchanged.
+        contrib_rows = r.join(ew, r["word"] == ew["u"]).select(
+            F.col("v").alias("word"),
+            F.expr("(r * w) div wout").alias("c"),
+        )
+        zero_rows = nodes.select("word", F.lit(0).cast("long").alias("c"))
+        r = (
+            contrib_rows.unionByName(zero_rows)
             .groupBy("word")
             .agg(F.sum("c").alias("s"))
-        )
-        r = (
-            nodes.join(contrib, "word", "left")
             .select(
                 "word",
-                (
-                    F.lit(150000)
-                    + F.expr("85 * coalesce(s, 0) div 100")
-                ).alias("r"),
+                (F.lit(150000) + F.expr("85 * s div 100")).alias("r"),
             )
             .localCheckpoint(eager=False)
         )

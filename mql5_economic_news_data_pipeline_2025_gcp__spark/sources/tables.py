@@ -52,9 +52,21 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+#: Spark schema memo keyed by (path, dir/file mtime_ns, size): parquet
+#: schema INFERENCE is a driver-side footer read per ``spark.read``
+#: call — measured ~80 ms vs ~13 ms with an explicit schema at test SF,
+#: and at 100 TB it is a full footer sweep of the landing prefix. The
+#: schema is immutable for a given file set; the mtime/size key makes a
+#: rewritten table (tests overwrite scratch dirs; Spark writers always
+#: produce fresh part names, so the directory mtime moves) re-infer.
+_SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table by name from ``sf_dir``; ns-timestamps are
     converted to TimestampType (µs truncation)."""
+    import os
+
     from pyspark.sql.types import LongType
 
     # Harden against host-session config drift: PySpark 4.1 defaults
@@ -71,7 +83,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    try:
+        st = os.stat(path)
+        memo_key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None  # let spark.read surface the real error
+    cached_schema = _SCHEMA_MEMO.get(memo_key) if memo_key else None
+    if cached_schema is not None:
+        df = spark.read.schema(cached_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if memo_key:
+            _SCHEMA_MEMO[memo_key] = df.schema
     for c in _nano_ts_columns(path):
         # guard on the ACTUAL read type: INT96-written timestamps also
         # report as timestamp[ns] in the pyarrow footer but Spark reads
