@@ -342,24 +342,37 @@ def phash_media(df: DataFrame) -> DataFrame:
     4×16-bit keys, equi-join on (band, key), verify hamming ≤ radius."""
     import hashlib
 
+    import numpy as np
+
+    def _phash_one(b: bytes) -> int:
+        """Bit-identical to the original per-bit Python loop, with the
+        64-wide vote accumulation vectorized in numpy (guide §4.2 —
+        the per-gram md5 is the only remaining per-element Python
+        call). Original semantics: h = big-endian uint64 of digest[:8];
+        vote j += ±1 on (h >> j) & 1; sign-pack votes into 64 bits."""
+        n = len(b) - 3
+        if n <= 0:
+            return 0
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(b[i : i + 4]).digest()[:8] for i in range(n)),
+            dtype=np.uint8,
+        ).reshape(n, 8)
+        # (h >> j) & 1 over a big-endian byte block == little-bitorder
+        # unpack of the REVERSED bytes: column j is exactly bit j of h
+        bits = np.unpackbits(digs[:, ::-1], axis=1, bitorder="little")
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - n
+        v = int.from_bytes(
+            np.packbits(votes > 0, bitorder="little").tobytes(), "little"
+        )
+        # two's-complement into a signed 64-bit long
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                b = p if p is not None else b""
-                acc = [0] * 64
-                for i in range(max(0, len(b) - 3)):
-                    h = int.from_bytes(
-                        hashlib.md5(b[i : i + 4]).digest()[:8], "big"
-                    )
-                    for j in range(64):
-                        acc[j] += 1 if (h >> j) & 1 else -1
-                v = 0
-                for j in range(64):
-                    if acc[j] > 0:
-                        v |= 1 << j
-                # two's-complement into a signed 64-bit long
-                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            out = [
+                _phash_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -492,7 +492,13 @@ def doc_phrase_search(spark, sf_dir):
     tags=("embeddings", "graph", "iterative", "communities"),
 )
 def emb_knn_communities(spark, sf_dir, k: int = 5, rounds: int = 5):
-    edges = _knn_edges(spark, sf_dir, k).localCheckpoint()
+    # LAZY checkpoints throughout (r13): the loop has NO per-round
+    # driver action (fixed 5 rounds, no convergence test), so eager
+    # checkpoints were paying one dedicated job per round + one for the
+    # edges. eager=False still truncates each round's logical plan at
+    # build time and still persists each RDD; the single final action
+    # materializes the whole chain, computing every round exactly once.
+    edges = _knn_edges(spark, sf_dir, k).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -510,7 +516,7 @@ def emb_knn_communities(spark, sf_dir, k: int = 5, rounds: int = 5):
         )
         labels = best.select(
             F.col("src").alias("node"), (-F.col("m.neg")).alias("label")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -112,13 +112,28 @@ def evt_knox_test(spark, sf_dir):
         .alias("d"),
     )
     a = pt.alias("a")
-    b = pt.alias("b")
+    # day-offset explode (r13): the b side emits one row per admissible
+    # join day (d−1, d, d+1), so the pair join is a pure EQUI-join on
+    # (la, lo, day) and its fan-out is bounded by cell×day density.
+    # The previous form equi-joined on (la, lo) alone with the BETWEEN
+    # as a post-join predicate — the full per-cell fan-out (~7.7M
+    # intermediate pairs at sf0.1) that the docstring promised to
+    # avoid. Each qualifying pair still matches exactly ONCE (at the
+    # unique offset a.d − b.d), so x_st is unchanged.
+    b = pt.select(
+        "event_id",
+        "la",
+        "lo",
+        F.explode(
+            F.array(F.col("d") - 1, F.col("d"), F.col("d") + 1)
+        ).alias("dj"),
+    ).alias("b")
     close_pairs = (
         a.join(
             b,
             (F.col("a.la") == F.col("b.la"))
             & (F.col("a.lo") == F.col("b.lo"))
-            & (F.col("b.d").between(F.col("a.d") - 1, F.col("a.d") + 1))
+            & (F.col("a.d") == F.col("b.dj"))
             & (F.col("a.event_id") < F.col("b.event_id")),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("x_st"))

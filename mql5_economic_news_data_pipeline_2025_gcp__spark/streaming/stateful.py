@@ -697,14 +697,29 @@ def session_close_tws(
             for pdf in rows:
                 ts.extend(int(x) for x in pdf["ts_us"])
             ts.sort()
+            # batch inline closes into ONE frame per key (r13): a user
+            # with k sessions in the batch previously yielded k−1
+            # one-row pandas DataFrames — at ~0.5 ms per constructor
+            # that dominated the per-key Python cost (guide §4.2).
+            # Identical rows, one Arrow batch out instead of k−1.
+            closed: list[tuple[int, int, int]] = []
             for t in ts:
                 if cur is None:
                     cur = (t, t, 1)
                 elif t - cur[1] > gap_us:
-                    yield self._emit(key, *cur)
+                    closed.append(cur)
                     cur = (t, t, 1)
                 else:
                     cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "start_us": [c[0] for c in closed],
+                        "end_us": [c[1] for c in closed],
+                        "n": [c[2] for c in closed],
+                    }
+                )
             # re-arm: exactly one live timer per key, at tail end + gap —
             # the previously armed expiry is IN the state record, so the
             # stale timer is deleted point-wise (no listTimers scan)
