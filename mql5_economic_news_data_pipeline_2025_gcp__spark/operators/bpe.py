@@ -122,7 +122,21 @@ def bpe_train(
     # incremental path wins by ~6x (222 s → 36 s at a 135k-word vocab).
     # The two paths are count-identical by construction (the delta is
     # exact); tests pin both against the sequential reference.
-    incremental = wf.count() > 10_000
+    n_vocab = wf.count()
+    incremental = n_vocab > 10_000
+    # size the vocab table's partitioning to the VOCAB, not to the
+    # corpus scan it was aggregated from (r13): word_freqs output is
+    # |vocab| rows but inherits the corpus partitioning, so every
+    # per-round recount/delta job launched one task per corpus
+    # partition over a near-empty table. ~50k words per partition keeps
+    # per-round jobs proportional to the vocab at any scale (measured
+    # ~8% per round at the 31-word test vocab, where driver-side job
+    # overhead floors the round; the task-count saving grows with
+    # cluster width). The count above is already paid → sizing is free.
+    wf_parts = wf.rdd.getNumPartitions()
+    vocab_parts = max(1, min(wf_parts, (n_vocab // 50_000) + 1))
+    if vocab_parts < wf_parts:
+        wf = wf.coalesce(vocab_parts)
     cnts = _pair_counts(wf).localCheckpoint() if incremental else None
 
     records: list[tuple[int, str, str, str, int]] = []

@@ -1301,7 +1301,7 @@ def sql_lateral_topk(spark, sf_dir):
     description=(
         "Structured Streaming over the custom Python Data Source "
         "connector: the stream reader's checkpointed offsets advance "
-        "in 2048-row micro-batches to the 10k bound, a complete-mode "
+        "in 5000-row micro-batches to the 10k bound, a complete-mode "
         "aggregation accumulates per-type counts/sums across batches, "
         "and the drained result must equal the oracle's batch "
         "re-derivation of the SAME deterministic rows — proving the "
@@ -1639,7 +1639,12 @@ def doc_lsh_tuning_curve(spark, sf_dir):
     )
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8).localCheckpoint()
+    # no checkpoint on sig (r13): it has exactly ONE consumer (the
+    # banded frame below, which the self-join reuses via its own
+    # repartition exchange), so the eager checkpoint was a pure extra
+    # blocking job — the map-side signature pipeline is derived once
+    # either way
+    sig = minhash_signatures_mapside(docs, n=3, num_hashes=8)
 
     # ONE banded frame holds every (config, band) cell — both operating
     # points ride a single explode + single bucket self-join instead of

@@ -48,16 +48,17 @@ def get_spark(app_name: str = "mql5_econ_news_spark", cpus: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # whole-stage codegen field limit (default 100): the wide
-        # single-pass statistic aggregates (evt_fdr_bh's 112 conditional
-        # cells, evt_permutation_test's 64 shuffles x 2) exceed it, which
-        # silently drops their ENTIRE stage — scan, filter, md5 project,
-        # aggregate — to interpreted row-at-a-time eval. 256 keeps those
-        # plans inside codegen (measured -25%/-36% at sf0.1, r13); the
-        # limit is plan-shaped, not data-shaped, so the same value is
-        # right at 100 TB. Catalyst still splits oversized generated
-        # methods / falls back per-stage past hugeMethodLimit.
-        .config("spark.sql.codegen.maxFields", "256")
+        # spark.sql.codegen.maxFields deliberately stays at its default
+        # (100) — r13 NEGATIVE RESULT: raising it to 256 put the wide
+        # single-pass statistic aggregates (evt_fdr_bh's 112 cells,
+        # evt_permutation_test's 128) inside whole-stage codegen and won
+        # -25%/-36% on those two in isolation, but at suite scale the
+        # extra/bigger generated classes churned the 100-entry codegen
+        # cache and janino compile time regressed loop-heavy queries
+        # 3-6x (textrank 3.5 -> 10+ s, dupgraph_bfs 1.8 -> 11 s in the
+        # full 517-query bench; isolated A/B confirmed maxFields as the
+        # cause). Interpreted eval for the two wide aggregates is the
+        # cheaper global trade. See OPTIMIZATION_r13.md.
         # answer unfiltered MIN/MAX/COUNT from parquet footer statistics
         # (high-water-mark scalar, catalog count probes) — a stats-only
         # scan instead of a data scan; Catalyst falls back automatically

@@ -907,7 +907,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_pydatasource_counts(
-    spark: SparkSession, n_rows: int = 10000, batch_rows: int = 2048
+    spark: SparkSession, n_rows: int = 10000, batch_rows: int = 5000
 ) -> DataFrame:
     """Structured Streaming over the CUSTOM Python Data Source
     (sources/pysource.py): per-type counts/sums aggregated across the
@@ -916,7 +916,15 @@ def stream_pydatasource_counts(
     ``processAllAvailable`` drains it deterministically and the result
     equals the batch aggregate over the same generated rows — which the
     DuckDB oracle re-derives from ``range()`` (``stream_pydatasource_
-    counts`` in the registry)."""
+    counts`` in the registry).
+
+    ``batch_rows`` (r13): 5000 → exactly TWO micro-batches at the 10k
+    bound. The result is batch-split-invariant (same committed row
+    set, same aggregate), but every micro-batch pays the connector's
+    fixed planning/offset-commit cost — five 2048-row batches measured
+    4.2 s vs 2.9 s at two batches (guide §1: don't pay fixed costs N
+    times). Two batches keep the multi-batch offset protocol on the
+    benched path; replay/recovery stays pinned by test_pysource.py."""
     from ..sources.pysource import register as register_pysource
 
     register_pysource(spark)
@@ -935,7 +943,7 @@ def stream_pydatasource_counts(
 
 
 def stream_pysink_roundtrip(
-    spark: SparkSession, n_rows: int = 2000, batch_rows: int = 512
+    spark: SparkSession, n_rows: int = 2000, batch_rows: int = 1000
 ) -> DataFrame:
     """Full round trip through BOTH halves of the Python Data Source
     connector: the synthetic stream reader feeds the jsonl stream SINK
@@ -946,7 +954,15 @@ def stream_pysink_roundtrip(
     aggregated. The bounded source drains deterministically, so the
     committed rows equal the generator's exact row set and the DuckDB
     oracle re-derives them from ``range()`` — a dropped, duplicated or
-    orphaned part breaks the id checksum."""
+    orphaned part breaks the id checksum.
+
+    ``batch_rows`` (r13): 1000 → exactly TWO micro-batches at the 2k
+    bound. The committed row set (and so the aggregate) is batch-split
+    -invariant, but each micro-batch pays a full two-phase commit
+    through the Python sink — four 512-row batches measured 4.5 s vs
+    3.1 s at two. Two batches keep the per-batch ``_BATCH_<id>``
+    manifest protocol multi-batch on the benched path; batch-id replay
+    idempotence stays pinned by test_pysource_stream_sink.py."""
     from ..sources.pysource import committed_stream_rows
     from ..sources.pysource import register as register_pysource
     from ..sources.pysource import register_sink
