@@ -340,6 +340,11 @@ def dedup_clusters(
         # the plan to an RDD scan (and locally persists the RDD, same
         # data reuse as persist); lazy, so the round-1 convergence
         # action materializes it — no extra pre-loop job.
+        # TRADE (§5): localCheckpoint blocks live in EXECUTOR storage —
+        # on a cluster with executor loss / dynamic allocation the
+        # truncated lineage is unrecoverable and the job fails; use
+        # reliable checkpoint() to a checkpoint dir there. Cleanup
+        # relies on ContextCleaner GC (fine for short-lived sessions).
         .localCheckpoint(eager=False)
     )
     # iterate ONLY over edge-touched nodes: an isolated node's label is

@@ -541,6 +541,10 @@ def _register_pagerank():
             # pure plan-building overhead per round. The lazy checkpoint
             # truncates the plan to an RDD scan and still runs the LSH
             # chain exactly once (materialized by the first action).
+            # TRADE (§5): checkpoint blocks live in executor storage —
+            # under executor loss / dynamic allocation the truncated
+            # lineage is unrecoverable; a cluster run should use
+            # reliable checkpoint() to a checkpoint dir instead.
             .localCheckpoint(eager=False)
         )
         # id list for the damping term: a fresh column-pruned scan, NOT

@@ -498,6 +498,9 @@ def emb_knn_communities(spark, sf_dir, k: int = 5, rounds: int = 5):
     # edges. eager=False still truncates each round's logical plan at
     # build time and still persists each RDD; the single final action
     # materializes the whole chain, computing every round exactly once.
+    # TRADE (§5): checkpoint blocks live in executor storage — under
+    # executor loss / dynamic allocation the truncated lineage is
+    # unrecoverable; a cluster run should use reliable checkpoint().
     edges = _knn_edges(spark, sf_dir, k).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -59,6 +59,12 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 #: schema is immutable for a given file set; the mtime/size key makes a
 #: rewritten table (tests overwrite scratch dirs; Spark writers always
 #: produce fresh part names, so the directory mtime moves) re-infer.
+#: CAVEAT: an external writer that rewrites a part file IN PLACE under
+#: the same name may not move the directory mtime/size — the memo would
+#: then serve the (correct-by-immutability) old schema; only the
+#: Spark-writer convention above makes the key sound. The memo is
+#: unbounded but stores one StructType per distinct table path — dozens
+#: of entries for this engine's fixed table set, never row data.
 _SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
 
 

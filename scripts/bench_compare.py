@@ -17,17 +17,29 @@ def main() -> None:
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     bq, aq = before["queries"], after["queries"]
     shared = sorted(set(bq) & set(aq))
-    bhf, ahf = before["host_factor"], after["host_factor"]
+    # older BENCH_RESULTS artifacts predate the normalization fields
+    bhf = before.get("host_factor", 1.0) or 1.0
+    ahf = after.get("host_factor", 1.0) or 1.0
     print(
-        f"before: {before['value']:.1f}s raw, hf={bhf}, noise={before['host_noise']}"
-        f" -> {before['value_normalized']:.1f}s norm over {len(bq)}"
+        f"before: {before['value']:.1f}s raw, hf={bhf},"
+        f" noise={before.get('host_noise', 'n/a')}"
+        f" -> {before.get('value_normalized', before['value']):.1f}s"
+        f" norm over {len(bq)}"
     )
     print(
-        f"after : {after['value']:.1f}s raw, hf={ahf}, noise={after['host_noise']}"
-        f" -> {after['value_normalized']:.1f}s norm over {len(aq)}"
+        f"after : {after['value']:.1f}s raw, hf={ahf},"
+        f" noise={after.get('host_noise', 'n/a')}"
+        f" -> {after.get('value_normalized', after['value']):.1f}s"
+        f" norm over {len(aq)}"
     )
+    if not shared:
+        print("no shared queries between the two artifacts")
+        return
     bs = sum(bq[k] for k in shared)
     as_ = sum(aq[k] for k in shared)
+    if bs == 0:
+        print("shared-before sum is zero; per-query deltas only")
+        bs = float("nan")
     print(
         f"shared {len(shared)}: raw {bs:.1f} -> {as_:.1f}"
         f" ({100 * (as_ - bs) / bs:+.1f}%); normalized"

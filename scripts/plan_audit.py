@@ -74,6 +74,12 @@ RUNTIME_REUSE_CLAIMS = (
     # window-lifted to a single lineage — SCALE.md wording fixed to
     # match; a single-lineage plan has nothing to reuse.)
     "doc_minhash_lsh_candidates",
+    # r13 dropped the eager checkpoint on the minhash signature frame,
+    # relying on the band self-join reusing its own exchange; if
+    # ReuseExchange ever stops firing (Spark upgrade / AQE replanning
+    # divergence) the md5-heavy signature pipeline silently runs twice —
+    # keep the reuse measured in the artifact (r14, ADVICE item).
+    "doc_lsh_tuning_curve",
 )
 
 
