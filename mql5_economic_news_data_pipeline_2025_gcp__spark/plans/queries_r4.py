@@ -1271,8 +1271,21 @@ def doc_incremental_dedup(spark, sf_dir, threshold: float = 0.5):
             F.col("o.doc_id").alias("match_id"),
         )
         .distinct()
+        # cand feeds TWO consumers (the n_candidates aggregate and the
+        # exact-verify chain); unchecked, the band self-join re-runs per
+        # consumer — r14 plan audit read 18 parquet scans for this
+        # query. Candidate pairs are the LSH-bounded small frame, the
+        # textbook checkpoint case (plan_audit fix-pattern #4).
+        # TRADE (§5): localCheckpoint blocks live in executor storage;
+        # a cluster run would use reliable checkpoint() instead.
+        .localCheckpoint()
     )
-    sh = shingles(docs, n=3).withColumn("_shash", F.xxhash64("shingle"))
+    # sh feeds THREE consumers (sizes + both verify sides); one
+    # materialization instead of three corpus re-shingles — the same
+    # discipline as doc_minhash_estimate_error's sh checkpoint (r5).
+    sh = shingles(docs, n=3).withColumn(
+        "_shash", F.xxhash64("shingle")
+    ).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # verify ONLY candidates: hash-join candidate pairs to both shingle
     # sides (8-byte keys), count the intersection per pair
@@ -1314,7 +1327,17 @@ def doc_incremental_dedup(spark, sf_dir, threshold: float = 0.5):
         F.count(F.lit(1)).alias("n_dups"),
         F.min("match_id").alias("best_match"),
     )
-    inc = docs.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    # fresh 1-column pruned scan for the incoming-id list, NOT the
+    # fan_out'ed docs frame: the round-robin repartition belongs to the
+    # shingling compute, and under the left joins below the ids get
+    # re-hashed anyway — the plan showed a back-to-back RoundRobin +
+    # hash Exchange pair for a 1-column readout (r14; same fix as
+    # pagerank's node list in r13, guide §2.4).
+    inc = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
     out = (
         inc.join(ce, "doc_id", "left")
         .join(de.withColumnRenamed("doc_id", "_d"), inc.doc_id == F.col("_d"), "left")

@@ -3079,6 +3079,10 @@ def doc_textrank_keywords(spark, sf_dir):
     ew = edges.join(outw, "u").select(
         "u", "v", "w", "wout"
     ).localCheckpoint(eager=False)
+    # TRADE (§5) for the checkpoints here and in the round loop below:
+    # localCheckpoint blocks live in executor storage — under executor
+    # loss / dynamic allocation the truncated lineage is unrecoverable;
+    # a cluster run should use reliable checkpoint() to a checkpoint dir.
     # the vocabulary node list feeds every one of the 10 rounds —
     # checkpoint it once instead of re-running the distinct each round
     nodes = (
@@ -4506,13 +4510,35 @@ def doc_suffix_ranks(spark, sf_dir):
     chars = docs.select(
         "doc_id", F.posexplode(F.split(s, "")).alias("pos", "ch")
     ).filter(F.col("ch") != "")
-    cur = chars.select(
-        "doc_id", "pos", F.ascii("ch").cast("long").alias("rank")
-    )
 
     from pyspark.sql import Window
 
-    k = 1
+    # Round k=1 FUSED into the initial ranking (r14, guide §2.4 —
+    # remove a whole sort round): intermediate prefix-doubling rounds
+    # only need ORDER-ISOMORPHIC ranks, not dense ones, and round 1's
+    # pair components are raw code points with a DATA-INDEPENDENT bound
+    # (max Unicode code point 0x10FFFF = 1114111) — so
+    #   rank_1[i] = code[i]·1114113 + (code[i+1]+1, or 0 past the end)
+    # encodes (code[i], code[i+1]-or-sentinel) order-exactly in one
+    # per-doc window expression (max ≈ 1.24e12, well inside long), and
+    # the first sortBy+zipWithIndex round disappears (6 → 5 rounds).
+    # Later rounds' rank values are data-bounded (≤ #distinct pairs),
+    # so the same fusion there would cap the corpus size — not taken.
+    # The OUTPUT rank comes from the final round's dense rank exactly
+    # as before; every later round sees the same pair ORDER, so every
+    # dense ranking from k=2 on is bit-identical to the 6-round form.
+    w0 = Window.partitionBy("doc_id").orderBy("pos")
+    code = F.ascii("ch").cast("long")
+    cur = chars.select(
+        "doc_id",
+        "pos",
+        (
+            code * F.lit(1114113)
+            + F.coalesce(F.lead(code, 1).over(w0) + 1, F.lit(0))
+        ).alias("rank"),
+    )
+
+    k = 2
     while k < 40:
         w = Window.partitionBy("doc_id").orderBy("pos")
         paired = cur.select(

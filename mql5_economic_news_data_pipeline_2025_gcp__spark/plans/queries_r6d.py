@@ -345,6 +345,13 @@ def evt_permutation_test(spark, sf_dir):
     the remaining cost is the 132-expression codegen compile, not
     data), with 64× less hashing on the hot path.
     """
+    # 132 aggregate cells > the default 100-field codegen limit: build
+    # on the maxFields=256 CHILD session so this one stage compiles
+    # (measured −36% r13) without the global raise's suite-wide codegen
+    # cache churn (r13 negative result; see session.wide_codegen_session)
+    from ..session import wide_codegen_session
+
+    spark = wide_codegen_session(spark)
     ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
     base = ev.select(
         F.md5(F.col("event_id").cast("string")).alias("h"),

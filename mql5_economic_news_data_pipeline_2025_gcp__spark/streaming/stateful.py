@@ -169,9 +169,13 @@ def series_state_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, max_c, hwm_us = 0, None, None
-            if self._state.exists():
-                n, max_c, hwm_us = self._state.get()
+            # ONE get() instead of exists()+get(): every state call is a
+            # synchronous state-server round trip (r14, guide §4 —
+            # fewer JVM↔Python crossings); get() returns None when the
+            # key has no state yet, so exists() adds nothing but an RPC
+            # per key per batch.
+            prev = self._state.get()
+            n, max_c, hwm_us = prev if prev is not None else (0, None, None)
             for pdf in rows:
                 n += len(pdf)
                 batch_max = int(pdf["value_c"].max())
@@ -546,12 +550,13 @@ def interval_union_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._n = handle.getValueState("n", "n long")
 
         def handleInputRows(self, key, rows, timerValues):
-            merged = (
-                [(int(s), int(e)) for s, e in self._segments.get()]
-                if self._segments.exists()
-                else []
-            )
-            n = self._n.get()[0] if self._n.exists() else 0
+            # no exists() probes (r14): ListState.get() on an absent key
+            # is an EMPTY iterator and ValueState.get() returns None —
+            # each dropped exists() is one state-server round trip per
+            # key per batch (guide §4: fewer JVM↔Python crossings)
+            merged = [(int(s), int(e)) for s, e in self._segments.get()]
+            prev_n = self._n.get()
+            n = prev_n[0] if prev_n is not None else 0
             for pdf in rows:
                 n += len(pdf)
                 batch = list(
@@ -689,8 +694,12 @@ def session_close_tws(
         def handleInputRows(self, key, rows, timerValues):
             prev_armed = None
             cur = None
-            if self._s.exists():
-                start_us, last_us, n, armed_ms = self._s.get()
+            # ONE get() instead of exists()+get() — get() returns None
+            # for a sessionless key; saves one state-server round trip
+            # per key per batch (r14, guide §4)
+            prev = self._s.get()
+            if prev is not None:
+                start_us, last_us, n, armed_ms = prev
                 cur = (start_us, last_us, n)
                 prev_armed = armed_ms
             ts = []
@@ -731,8 +740,12 @@ def session_close_tws(
             self._s.update(cur + (new_ms,))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._s.exists():
-                start_us, last_us, n, _armed_ms = self._s.get()
+            # same single-get discipline as handleInputRows (r14): the
+            # expiry pass visits every timer-armed key, so the dropped
+            # exists() is one RPC per key in the drain's second pass
+            prev = self._s.get()
+            if prev is not None:
+                start_us, last_us, n, _armed_ms = prev
                 # the timer was armed at last_us + gap; if state moved
                 # past it a newer timer exists — only close when the
                 # expiry really is this session's close point
@@ -826,11 +839,11 @@ def user_type_histogram_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if et in touched:
                         n0, c0 = touched[et]
                     else:
-                        prev = (
-                            self._cells.getValue((et,))
-                            if self._cells.containsKey((et,))
-                            else None
-                        )
+                        # getValue() returns None for an absent cell —
+                        # the containsKey() probe was a second
+                        # state-server round trip per (user, new type)
+                        # for nothing (r14, guide §4)
+                        prev = self._cells.getValue((et,))
                         n0, c0 = (prev[0], prev[1]) if prev else (0, 0)
                     touched[et] = (n0 + dn, c0 + dc)
             for et, (n, c) in touched.items():
