@@ -116,7 +116,14 @@ def bpe_train(
     wf = word_freqs(docs, text_col).withColumn(
         "s", F.expr("filter(split(word, ''), ch -> ch <> '')")
     )
-    wf = wf.localCheckpoint()
+    # LAZY checkpoints throughout this trainer (r14): the loop has one
+    # guaranteed driver action per merge (the argmax head(1)), so every
+    # eager checkpoint was a SECOND dedicated job per materialization —
+    # eager=False keeps the identical plan truncation and lets the
+    # round's own action do the materializing (guide §1.2/§5; same
+    # reasoning as emb_knn_communities in r13, except here the action
+    # already exists). Measured: 20-merge loop jobs roughly halved.
+    wf = wf.localCheckpoint(eager=False)
     # small vocab → recounting every round is one cheap job and fewer
     # round-trips than maintaining the delta table; big vocab → the
     # incremental path wins by ~6x (222 s → 36 s at a 135k-word vocab).
@@ -137,7 +144,9 @@ def bpe_train(
     vocab_parts = max(1, min(wf_parts, (n_vocab // 50_000) + 1))
     if vocab_parts < wf_parts:
         wf = wf.coalesce(vocab_parts)
-    cnts = _pair_counts(wf).localCheckpoint() if incremental else None
+    cnts = (
+        _pair_counts(wf).localCheckpoint(eager=False) if incremental else None
+    )
 
     records: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
@@ -156,7 +165,7 @@ def bpe_train(
                 "s", F.when(hit, _merge_fold(l, r)).otherwise(F.col("s"))
             )
             if rank % checkpoint_every == 0:
-                wf = wf.localCheckpoint()
+                wf = wf.localCheckpoint(eager=False)
             continue
         # one scan computes the whole ± delta: hit words contribute
         # their OLD pairs with -freq and their post-merge pairs with
@@ -192,10 +201,10 @@ def bpe_train(
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") > 0)
             .coalesce(1)  # |distinct pairs| rows — one task per round
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # next round's head() runs it
         )
         if rank % checkpoint_every == 0:
-            wf = wf.localCheckpoint()
+            wf = wf.localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         records, "rank int, left string, right string, merged string, pair_count bigint"
