@@ -371,46 +371,45 @@ def evt_permutation_test(spark, sf_dir):
             for i in range(16)
         ],
     )
+    # Construct-cost note (r14, guide §1): the 132 aggregate cells and
+    # the 64-struct explode array are assembled as SQL strings — the
+    # Column-by-Column form cost ~1 s of py4j round trips per call
+    # (same finding as evt_fdr_bh; expression shapes identical, oracle
+    # bit-exact).
     aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v_c").cast("bigint").alias("s"),
-        F.sum("is_a").cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("v_c")).otherwise(0))
-        .cast("bigint")
-        .alias("s_a"),
+        "CAST(count(1) AS BIGINT) AS n",
+        "CAST(sum(v_c) AS BIGINT) AS s",
+        "CAST(sum(is_a) AS BIGINT) AS n_a",
+        "CAST(sum(CASE WHEN is_a = 1 THEN v_c ELSE 0 END) AS BIGINT)"
+        " AS s_a",
     ]
     for k in range(_N_PERMS):
-        bit = F.expr(f"(shiftright(d{k // 4}, {k % 4}) & 1) = 1")
+        bit = f"(shiftright(d{k // 4}, {k % 4}) & 1) = 1"
         aggs.append(
-            F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"nk{k}")
+            f"CAST(sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nk{k}"
         )
         aggs.append(
-            F.sum(F.when(bit, F.col("v_c")).otherwise(0))
-            .cast("bigint")
-            .alias(f"sk{k}")
+            f"CAST(sum(CASE WHEN {bit} THEN v_c ELSE 0 END) AS BIGINT)"
+            f" AS sk{k}"
         )
-    row = b2.agg(*aggs)
+    row = b2.agg(F.expr(f"struct({', '.join(aggs)})").alias("_c")).select(
+        "_c.*"
+    )
     dec = "decimal(38,0)"
     obs = row.withColumn(
         "t_obs",
-        F.abs(
-            F.col("n").cast(dec) * F.col("s_a").cast(dec)
-            - F.col("n_a").cast(dec) * F.col("s").cast(dec)
+        F.expr(
+            "abs(CAST(n AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))"
+            " - CAST(n_a AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
         ),
     )
-    perm = obs.select(
+    perm_structs = ", ".join(
+        f"named_struct('n_k', nk{k}, 's_k', sk{k})" for k in range(_N_PERMS)
+    )
+    perm = obs.selectExpr(
         "n", "s", "n_a", "s_a", "t_obs",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"nk{k}").alias("n_k"),
-                        F.col(f"sk{k}").alias("s_k"),
-                    )
-                    for k in range(_N_PERMS)
-                ]
-            )
-        ).alias("k", "p"),
+        f"posexplode(array({perm_structs})) AS (k, p)",
     )
     ge = perm.agg(
         F.first("n").alias("n"),

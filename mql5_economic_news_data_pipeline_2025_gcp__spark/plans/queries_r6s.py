@@ -151,76 +151,80 @@ def evt_fdr_bh(spark, sf_dir):
     ev = keyed_events(spark, sf_dir).filter(F.col("value").isNotNull())
     h = F.md5(F.col("event_id").cast("string"))
     base = ev.select("event_type", F.col("value_c").alias("v_c"), h.alias("h"))
-    gcols = [
-        (F.conv(F.substring(F.col("h"), 3 * w + 1, 3), 16, 10).cast("int") % 5)
-        .alias(f"g{w}")
-        for w in _WINDOWS
-    ]
-    modg = base.select("event_type", "v_c", *gcols)
+    # Construct-cost note (r14, guide §1): building the 112 aggregate
+    # cells plus the 50-element null array as pyspark Column objects
+    # cost ~1.2 s of pure py4j round trips PER CALL (profiled ~800 JVM
+    # calls; Catalyst analysis of the finished tree is only ~0.1 s).
+    # The same expressions are therefore assembled as SQL strings — one
+    # parse each — with shapes identical to the old Column-by-Column
+    # form; the optimizer collapses the struct wrapper, so the executed
+    # plan and every output bit are unchanged (oracle-diffchecked).
+    modg = base.selectExpr(
+        "event_type",
+        "v_c",
+        *[
+            f"(CAST(conv(substring(h, {3 * w + 1}, 3), 16, 10) AS INT)"
+            f" % 5) AS g{w}"
+            for w in _WINDOWS
+        ],
+    )
     cells = [
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v_c").cast("bigint").alias("s"),
+        "CAST(count(1) AS BIGINT) AS n",
+        "CAST(sum(v_c) AS BIGINT) AS s",
     ]
     for g, et in enumerate(_TYPES):
-        is_g = F.col("event_type") == et
+        is_g = f"event_type = '{et}'"
         cells.append(
-            F.sum(F.when(is_g, 1).otherwise(0)).cast("bigint").alias(f"n_{g}")
+            f"CAST(sum(CASE WHEN {is_g} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{g}"
         )
         cells.append(
-            F.sum(F.when(is_g, F.col("v_c")).otherwise(0))
-            .cast("bigint")
-            .alias(f"s_{g}")
+            f"CAST(sum(CASE WHEN {is_g} THEN v_c ELSE 0 END) AS BIGINT)"
+            f" AS s_{g}"
         )
     for w in _WINDOWS:
         for r in _ROTS:
-            is_r = F.col(f"g{w}") == r
+            is_r = f"g{w} = {r}"
             cells.append(
-                F.sum(F.when(is_r, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"pn_{w}_{r}")
+                f"CAST(sum(CASE WHEN {is_r} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS pn_{w}_{r}"
             )
             cells.append(
-                F.sum(F.when(is_r, F.col("v_c")).otherwise(0))
-                .cast("bigint")
-                .alias(f"ps_{w}_{r}")
+                f"CAST(sum(CASE WHEN {is_r} THEN v_c ELSE 0 END)"
+                f" AS BIGINT) AS ps_{w}_{r}"
             )
-    c = modg.agg(*cells)
-    dec = "decimal(38,0)"
+    c = modg.agg(F.expr(f"struct({', '.join(cells)})").alias("_c")).select(
+        "_c.*"
+    )
 
-    def t_stat(nc, sc):
-        return F.abs(
-            F.col("n").cast(dec) * sc - nc.cast(dec) * F.col("s")
+    def t_stat(nc: str, sc: str) -> str:
+        return (
+            f"abs(CAST(n AS DECIMAL(38,0)) * CAST({sc} AS DECIMAL(38,0))"
+            f" - CAST({nc} AS DECIMAL(38,0)) * s)"
         )
 
     # The 50 null statistics |n·ps − pn·s| are hypothesis-independent:
     # compute them ONCE into an array, then each hypothesis counts the
     # elements ≥ its observed threshold with one filter+size HOF.
-    tnull = F.array(
-        *[
-            t_stat(F.col(f"pn_{w}_{r}"), F.col(f"ps_{w}_{r}").cast(dec))
-            for w in _WINDOWS
-            for r in _ROTS
-        ]
-    )
-    hyp_structs = [
-        F.struct(
-            F.lit(et).alias("event_type"),
-            F.col(f"n_{g}").alias("n_g"),
-            F.col(f"s_{g}").alias("s_g"),
-            t_stat(F.col(f"n_{g}"), F.col(f"s_{g}").cast(dec)).alias("t_obs"),
-        )
+    tnull_sql = "array(" + ", ".join(
+        t_stat(f"pn_{w}_{r}", f"ps_{w}_{r}")
+        for w in _WINDOWS
+        for r in _ROTS
+    ) + ")"
+    hyp_structs_sql = ", ".join(
+        f"named_struct('event_type', '{et}', 'n_g', n_{g},"
+        f" 's_g', s_{g}, 't_obs', {t_stat(f'n_{g}', f's_{g}')})"
         for g, et in enumerate(_TYPES)
-    ]
-    hyp = (
-        c.select(tnull.alias("tnull"), F.explode(F.array(*hyp_structs)).alias("x"))
-        .select("tnull", "x.*")
-        .withColumn(
-            "ge_count",
-            F.size(
-                F.filter("tnull", lambda t: t >= F.col("t_obs"))
-            ).cast("bigint"),
-        )
-        .select("event_type", "n_g", "s_g", "ge_count")
+    )
+    hyp = c.selectExpr(
+        f"{tnull_sql} AS tnull",
+        f"explode(array({hyp_structs_sql})) AS x",
+    ).selectExpr(
+        "x.event_type AS event_type",
+        "x.n_g AS n_g",
+        "x.s_g AS s_g",
+        "CAST(size(filter(tnull, t -> t >= x.t_obs)) AS BIGINT)"
+        " AS ge_count",
     )
     ranked = hyp.withColumn(
         "rk",
