@@ -313,9 +313,19 @@ def near_dup_pairs_cosine(
     engines sum doubles in unspecified order, so an unrounded boundary
     compare could flip a pair between engines)."""
     dims = dims or [0, 1, 2, 3]
+    # norm² is a PER-ROW quantity: computed once per vector below the
+    # bucket-join exchange instead of twice per candidate pair (r14 —
+    # the aggregate() HOF lambda is interpreted per element, so the
+    # old per-pair cosine() paid 3 full-array reductions per pair, 2
+    # of them redundant). sqrt(n2_a)·sqrt(n2_b) is the exact same
+    # double expression the old _norm(a)·_norm(b) evaluated —
+    # cosine_sim is bit-identical.
     v = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), dims))
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v"), dims)).withColumn(
+        "n2", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -326,7 +336,11 @@ def near_dup_pairs_cosine(
         )
         .withColumn(
             "cosine_sim",
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select(

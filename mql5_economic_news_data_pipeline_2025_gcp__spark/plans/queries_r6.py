@@ -817,6 +817,14 @@ def emb_matryoshka_recall(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )
+    # DISJOINT segment distances (16 + 16 + 32 = 64 element-ops per
+    # pair instead of the overlapping 16 + 32 + 64 = 112, r14): the
+    # prefix sums are recovered exactly as s32 = s16 + mid,
+    # s64 = s32 + tail — integer addition, bit-identical to the
+    # overlapping three-pass form. The interpreted aggregate() HOF
+    # lambda is the per-pair cost, so fewer elements = proportionally
+    # less Python^WJVM-interpreted work; the additions happen ABOVE
+    # the window exchange on materialized columns.
     pairs = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -825,22 +833,25 @@ def emb_matryoshka_recall(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             _int_d2_arr(F.slice("qv", 1, 16), F.slice("qq", 1, 16))
             .alias("s16"),
-            _int_d2_arr(F.slice("qv", 1, 32), F.slice("qq", 1, 32))
-            .alias("s32"),
-            _int_d2_arr(F.col("qv"), F.col("qq")).alias("s64"),
+            _int_d2_arr(F.slice("qv", 17, 16), F.slice("qq", 17, 16))
+            .alias("_mid"),
+            _int_d2_arr(F.slice("qv", 33, 32), F.slice("qq", 33, 32))
+            .alias("_tail"),
         )
     )
     wq = Window.partitionBy("query_id")
+    s32 = F.col("s16") + F.col("_mid")
+    s64 = s32 + F.col("_tail")
     ranked = pairs.select(
         "query_id",
         F.row_number()
         .over(wq.orderBy(F.col("s16").asc(), F.col("neighbor_id").asc()))
         .alias("r16"),
         F.row_number()
-        .over(wq.orderBy(F.col("s32").asc(), F.col("neighbor_id").asc()))
+        .over(wq.orderBy(s32.asc(), F.col("neighbor_id").asc()))
         .alias("r32"),
         F.row_number()
-        .over(wq.orderBy(F.col("s64").asc(), F.col("neighbor_id").asc()))
+        .over(wq.orderBy(s64.asc(), F.col("neighbor_id").asc()))
         .alias("r64"),
     )
     hit16 = F.sum(
@@ -917,8 +928,19 @@ def emb_matryoshka_recall(spark, sf_dir):
 )
 def emb_rrf_fusion(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", _qvec().alias("qv"))
+    # nq depends only on the QUERY row: computed on the 20-row side
+    # BELOW its broadcast exchange (materialized once per query), not
+    # per pair (r14, guide §4.2-adjacent: the aggregate() HOF lambdas
+    # are interpreted per element — 2 of the 4 per-pair 64-element
+    # reductions were redundant). d2 ≡ nc + nq − 2·dot EXACTLY in
+    # integers (Σ(c−q)² = Σc² + Σq² − 2Σcq), so the pair stage needs
+    # only dot and nc; d2/cos are scalar arithmetic ABOVE the window
+    # exchange (the shuffle materializes dot/nc/nq, so nothing
+    # re-evaluates a HOF).
     q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        _int_dot(F.col("qv"), F.col("qv")).alias("nq"),
     )
     pairs = (
         emb.crossJoin(F.broadcast(q))
@@ -926,13 +948,13 @@ def emb_rrf_fusion(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _int_d2_arr(F.col("qv"), F.col("qq")).alias("d2"),
             _int_dot(F.col("qv"), F.col("qq")).alias("dot"),
             _int_dot(F.col("qv"), F.col("qv")).alias("nc"),
-            _int_dot(F.col("qq"), F.col("qq")).alias("nq"),
+            "nq",
         )
     )
     wq = Window.partitionBy("query_id")
+    d2 = F.col("nc") + F.col("nq") - 2 * F.col("dot")
     cos = F.round(
         F.col("dot")
         / (
@@ -945,7 +967,7 @@ def emb_rrf_fusion(spark, sf_dir):
         "query_id",
         "neighbor_id",
         F.row_number()
-        .over(wq.orderBy(F.col("d2").asc(), F.col("neighbor_id").asc()))
+        .over(wq.orderBy(d2.asc(), F.col("neighbor_id").asc()))
         .alias("ra"),
         F.row_number()
         .over(wq.orderBy(cos.desc(), F.col("neighbor_id").asc()))
