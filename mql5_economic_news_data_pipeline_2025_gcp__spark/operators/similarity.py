@@ -88,16 +88,26 @@ def cosine_topk(
     The query side is broadcast; ranking ties break on neighbor id for
     determinism.
     """
+    # per-row norm² below the join (r14): the join node keeps the child
+    # projections separate, so qn2/cn2 evaluate once per row instead of
+    # once per (query, neighbor) pair; sqrt(qn2)·sqrt(cn2) is the exact
+    # double expression cosine()'s _norm(a)·_norm(b) evaluated
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn2", F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn2", F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))),
+        )
     )
     from pyspark.sql import Window
 
@@ -149,10 +159,14 @@ def bucketed_ann_topk(
     0.51 (probe=1) — gated by ``test_ann_recall_at_k``.
     """
     dims = dims or [0, 1, 2, 3]
+    # qn2/cn2: per-row norm² below the bucket join (r14) — see
+    # cosine_topk; cosine_sim value is bit-identical
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    ).withColumn("bucket", sign_bucket(F.col("qv"), dims)).withColumn(
+        "qn2", F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x)
+    )
     if multiprobe >= 1:
         probes = F.array(
             F.col("bucket"),
@@ -165,11 +179,17 @@ def bucketed_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims)).withColumn(
+        "cn2", F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))),
+        )
     )
     from pyspark.sql import Window
 
@@ -200,8 +220,29 @@ def ivf_assign(
     deterministic centroid pick for k-means fit; assignment/search are
     unchanged.
     """
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", F.round(cosine(F.col(vec_col), F.col("cv")), round_digits)
+    # per-row norm² on both join inputs (r14) — see cosine_topk; the
+    # broadcast build materializes _cn2 once per centroid
+    scored = (
+        vectors.withColumn(
+            "_vn2",
+            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x),
+        )
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn(
+                    "_cn2",
+                    F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x),
+                )
+            )
+        )
+        .withColumn(
+            "_sim",
+            F.round(
+                _dot(F.col(vec_col), F.col("cv"))
+                / (F.sqrt(F.col("_vn2")) * F.sqrt(F.col("_cn2"))),
+                round_digits,
+            ),
+        )
     )
     from pyspark.sql import Window
 
@@ -252,13 +293,20 @@ def ivf_topk(
     cid_arr = F.lit([cid for cid, _ in cent_rows])
 
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # vn2/qn2: per-row norm² below the cell join (r14) — see cosine_topk
     cells = v.withColumn(
         "_idx", cell_idx_expr(cell_sims_lit(F.col("v"), cent_rows, round_digits))
-    ).select(id_col, "v", F.element_at(cid_arr, F.col("_idx")).alias("cell"))
+    ).select(
+        id_col,
+        "v",
+        F.element_at(cid_arr, F.col("_idx")).alias("cell"),
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("vn2"),
+    )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn2", F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
     # nprobe nearest cells per query: sort (−sim, cid) structs ascending
     # = sim desc with ties to the lower cid, slice, explode — map-only
     sims = cell_sims_lit(F.col("qv"), cent_rows, round_digits)
@@ -272,14 +320,19 @@ def ivf_topk(
     )
     probes = q.withColumn(
         "_p", F.explode(F.slice(ranked_cells, 1, nprobe))
-    ).select("query_id", "qv", F.col("_p.cid").alias("cell"))
+    ).select("query_id", "qv", F.col("_p.cid").alias("cell"), "qn2")
     from pyspark.sql import Window
 
     scored = (
         cells.join(probes, on="cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("qv"), F.col("v")), round_digits)
+            "cosine_sim",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("vn2"))),
+                round_digits,
+            ),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -376,12 +429,19 @@ def semantic_dedup(
     """
     cid_arr = F.lit([int(cid) for cid, _ in cents])
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # n2 (norm²) is per-ROW: computed once per vector below the cell
+    # equi-join instead of twice per within-cell pair (r14, same fix as
+    # near_dup_pairs_cosine — sqrt(n2_a)·sqrt(n2_b) is the identical
+    # double expression the old cosine() evaluated, bit-equal result)
     assigned = v.withColumn(
         "_idx", cell_idx_expr(cell_sims_lit(F.col("v"), cents))
     ).select(
         id_col,
         "v",
         F.element_at(cid_arr, F.col("_idx")).cast("bigint").alias("cell"),
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x).alias(
+            "n2"
+        ),
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -392,7 +452,11 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits)
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))),
+                round_digits,
+            )
             >= F.lit(threshold)
         )
         .select(F.col(f"b.{id_col}").alias(id_col))

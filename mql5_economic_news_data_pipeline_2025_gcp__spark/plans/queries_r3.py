@@ -1375,25 +1375,32 @@ def emb_random_negatives(spark, sf_dir):
     tags=("embeddings", "similarity", "training"),
 )
 def emb_hard_negatives(spark, sf_dir):
-    from ..operators.similarity import _as_double, cosine
+    from ..operators.similarity import _as_double, _dot
 
     emb = t(spark, sf_dir, "embeddings")
+    # per-row norm² below the join (r14, same fix as cosine_topk):
+    # an2/nn2 evaluate once per anchor/candidate instead of once per
+    # pair; sqrt(an2)·sqrt(nn2) is cosine()'s exact double expression
     anchors = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         _as_double(F.col("embedding")).alias("ae"),
-    )
+    ).withColumn("an2", F.aggregate("ae", F.lit(0.0), lambda a, x: a + x * x))
     cand = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("n_label"),
         _as_double(F.col("embedding")).alias("ne"),
-    )
+    ).withColumn("nn2", F.aggregate("ne", F.lit(0.0), lambda a, x: a + x * x))
     scored = cand.join(
         F.broadcast(anchors), F.col("n_label") != F.col("a_label")
     ).select(
         "a_id",
         "n_id",
-        F.round(cosine(F.col("ae"), F.col("ne")), 6).alias("cs"),
+        F.round(
+            _dot(F.col("ae"), F.col("ne"))
+            / (F.sqrt(F.col("an2")) * F.sqrt(F.col("nn2"))),
+            6,
+        ).alias("cs"),
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cs").desc(), F.col("n_id").asc())
     return (

@@ -295,8 +295,13 @@ def doc_kn_bigram_lm(spark, sf_dir):
         "                 slice(tk, 2, size(tk) - 1),"
         "                 (a, b) -> named_struct('w1', a, 'w2', b))) AS p",
     ).select("doc_id", "p.w1", "p.w2")
-    dbg = bg.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
+    dbg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        # dbg feeds the corpus-level c12 aggregate AND the final scored
+        # join — unchecked, the token explode + bigram shuffle ran
+        # twice (r14; plan_audit fix-pattern #4, genuine second lineage)
+        .localCheckpoint()
     )
     c12 = dbg.groupBy("w1", "w2").agg(
         F.sum("k").cast("bigint").alias("c")
